@@ -1,0 +1,22 @@
+"""xalm_tpu — a TPU-native quantized LLM inference engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of jubruckne/Xalm
+(a C++ fork of andrewkchan/yalm):
+
+- ``.xalm`` frozen-weight container reader/writer (reference format:
+  /root/reference/src/xalm.h:90-192, convert.py:248-321).
+- HF-safetensors converter with weight-only FP16/BF16/FP8(E4M3/E5M2)/INT8
+  quantization and an ``--analyze`` error-study mode.
+- Llama/Mistral model family: GQA attention with a StreamingLLM sink+ring
+  sliding-window KV cache, interleaved RoPE, GLU FFN.
+- Fused dequant+matmul Pallas decode kernels; batched XLA prefill.
+- Tensor-parallel / data-parallel sharding over a ``jax.sharding.Mesh``.
+- completion / perplexity / passkey CLI harness with tok/s, latency and
+  achieved-bandwidth-vs-roofline reporting.
+
+The compute path is pure functional JAX (jit + lax control flow + Pallas);
+nothing here is a port of the reference's C++ — see SURVEY.md for the
+behavioral contract.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,124 @@
+"""Weight-only quantization schemes (host/numpy side).
+
+Converter-side quantize/dequantize for every dtype the runtime executes, plus
+the error-analysis metrics of the reference's ``--analyze`` mode
+(reference convert.py:776-811). Runtime (on-TPU) dequantization lives in the
+kernels (xalm_tpu/ops) — weights are dequantized in VMEM during the matmul,
+never materialized in HBM.
+
+Schemes:
+
+- ``f32/f16/bf16``: plain casts.
+- ``f8_e4m3 / f8_e5m2``: per-tensor saturating cast, matching the reference's
+  ``torch.float8_*`` casts (convert.py:162-167). No scale factor.
+- ``q8``: the reference's fixed-scale int8 (value = q/100, reference
+  types.h:423-424,458-462). Supported for read/write compat; poor accuracy —
+  do not use for new checkpoints.
+- ``i8``: xalm_tpu-native symmetric int8 with a per-output-row f32 scale
+  (scale = max|row| / 127), stored as a sibling ``<name>.scale`` tensor.
+  This fixes the reference's flagged magic-constant defect (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import ml_dtypes
+import numpy as np
+
+from xalm_tpu import dtypes as xdt
+
+__all__ = ["quantize", "dequantize", "QuantResult", "analyze", "ANALYZE_COLUMNS"]
+
+_F8_MAX = {
+    "f8_e4m3": 448.0,  # float8_e4m3fn
+    "f8_e5m2": 57344.0,
+}
+
+
+@dataclasses.dataclass
+class QuantResult:
+    values: np.ndarray  # storage-dtype array
+    scale: np.ndarray | None = None  # per-row f32 scales for `i8`, else None
+
+    @property
+    def nbytes(self) -> int:
+        n = self.values.nbytes
+        if self.scale is not None:
+            n += self.scale.nbytes
+        return n
+
+
+def quantize(x: np.ndarray, type_name: str) -> QuantResult:
+    """Quantize a float array to the given container dtype."""
+    x = np.asarray(x)
+    xf = x.astype(np.float32)
+    if type_name == "f32":
+        return QuantResult(xf)
+    if type_name == "f16":
+        return QuantResult(xf.astype(np.float16))
+    if type_name == "bf16":
+        return QuantResult(xf.astype(ml_dtypes.bfloat16))
+    if type_name in ("f8_e4m3", "f8_e5m2"):
+        dt = xdt.parse(type_name).np_dtype
+        clipped = np.clip(xf, -_F8_MAX[type_name], _F8_MAX[type_name])
+        return QuantResult(clipped.astype(dt))
+    if type_name == "q8":
+        q = np.clip(np.round(xf * 100.0), -127, 127).astype(np.int8)
+        return QuantResult(q)
+    if type_name == "i8":
+        if x.ndim < 2:
+            raise ValueError("i8 requires >=2-D weights (per-output-row scales)")
+        row = xf.reshape(x.shape[0], -1)
+        amax = np.abs(row).max(axis=1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(row / scale[:, None]), -127, 127).astype(np.int8)
+        return QuantResult(q.reshape(x.shape), scale)
+    raise ValueError(f"unsupported quantization target {type_name!r}")
+
+
+def dequantize(q: QuantResult | np.ndarray, type_name: str, scale: np.ndarray | None = None) -> np.ndarray:
+    """Dequantize back to float32."""
+    if isinstance(q, QuantResult):
+        values, scale = q.values, q.scale
+    else:
+        values = q
+    if type_name in ("f32", "f16", "bf16", "f8_e4m3", "f8_e5m2", "u8"):
+        return np.asarray(values).astype(np.float32)
+    if type_name == "q8":
+        return values.astype(np.float32) / 100.0
+    if type_name == "i8":
+        if scale is None:
+            raise ValueError("i8 dequantize needs per-row scales")
+        flat = values.reshape(values.shape[0], -1).astype(np.float32)
+        return (flat * scale[:, None].astype(np.float32)).reshape(values.shape)
+    raise ValueError(f"unsupported dequantization source {type_name!r}")
+
+
+ANALYZE_COLUMNS = ["type", "mse", "norm_err", "cosine", "snr_db", "exact_%", "bytes"]
+
+
+def analyze(x: np.ndarray, type_name: str) -> dict:
+    """Round-trip quantization error metrics (reference convert.py:776-811)."""
+    xf = np.asarray(x, dtype=np.float32)
+    q = quantize(xf, type_name)
+    back = dequantize(q, type_name)
+    err = xf - back
+    mse = float(np.mean(err**2))
+    denom = float(np.mean(xf**2))
+    norm_err = float(np.sqrt(mse / denom)) if denom > 0 else 0.0
+    dot = float(np.sum(xf * back))
+    nx = float(np.linalg.norm(xf))
+    nb = float(np.linalg.norm(back))
+    cosine = dot / (nx * nb) if nx > 0 and nb > 0 else 1.0
+    snr_db = 10.0 * np.log10(denom / mse) if mse > 0 else float("inf")
+    exact = float(np.mean(err == 0.0)) * 100.0
+    return {
+        "type": type_name,
+        "mse": mse,
+        "norm_err": norm_err,
+        "cosine": cosine,
+        "snr_db": snr_db,
+        "exact_%": exact,
+        "bytes": q.nbytes,
+    }
