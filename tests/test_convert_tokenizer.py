@@ -1,0 +1,116 @@
+"""Converter + tokenizer end-to-end tests on the tiny fixture model."""
+
+import numpy as np
+import pytest
+
+from tests.make_tiny_model import make_tiny_model
+from xalm_tpu.convert import convert as cvt
+from xalm_tpu.io import XalmFile
+from xalm_tpu.tokenizer import Tokenizer
+
+
+@pytest.fixture(scope="module")
+def tiny_hf(tmp_path_factory):
+    return make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+
+
+@pytest.fixture(scope="module")
+def tiny_xalm(tiny_hf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("xalm") / "tiny.xalm")
+    rc = cvt.main(["--input", tiny_hf, "--output", out, "--type", "f16"])
+    assert rc == 0
+    return out
+
+
+def test_convert_produces_valid_container(tiny_xalm):
+    with XalmFile(tiny_xalm) as xf:
+        assert xf.arch == "MistralForCausalLM"
+        cfg = xf.config
+        assert cfg["dim"] == "64"
+        assert cfg["n_kv_heads"] == "2"
+        assert cfg["act_type"] == "silu"
+        # canonical tensor set
+        assert "embed.weight" in xf.tensors
+        assert "l.1.mlp.up.weight" in xf.tensors
+        assert "output.weight" in xf.tensors  # not tied
+        assert "tokenizer.tokens" in xf.tensors
+        assert xf.tensors["embed.weight"].dtype.name == "f16"
+        assert xf.tensors["l.0.attn.norm.weight"].dtype.name == "f32"
+        assert all(xf.verify(n) for n in xf.tensors)
+
+
+def test_convert_i8_boosts_embeddings(tiny_hf, tmp_path):
+    out = str(tmp_path / "tiny_i8.xalm")
+    assert cvt.main(["--input", tiny_hf, "--output", out, "--type", "i8"]) == 0
+    with XalmFile(out) as xf:
+        assert xf.tensors["l.0.attn.q.weight"].dtype.name == "i8"
+        assert "l.0.attn.q.weight.scale" in xf.tensors
+        # embed/output boosted to >=16-bit (reference convert.py:729-744)
+        assert xf.tensors["embed.weight"].dtype.name == "f16"
+        assert xf.tensors["output.weight"].dtype.name == "f16"
+
+
+def test_permute_reverse_roundtrips_interleave():
+    """permute_reverse must re-interleave HF's two-half rope layout."""
+    heads, hd, rotary, dim = 2, 8, 8, 4
+    # build a weight where row value encodes (head, row-in-head)
+    w = np.arange(heads * hd * dim, dtype=np.float32).reshape(heads * hd, dim)
+    out = cvt.permute_reverse(w, heads, rotary)
+    # HF half layout: [r0 r1 r2 r3 | i0 i1 i2 i3] -> interleaved [r0 i0 r1 i1 ...]
+    got = out.reshape(heads, hd, dim)[0, :, 0] / dim
+    expect = np.array([0, 4, 1, 5, 2, 6, 3, 7], dtype=np.float32)
+    np.testing.assert_array_equal(got, expect)
+    # partial rotary: tail rows stay in place
+    out2 = cvt.permute_reverse(w, heads, 4)
+    got2 = out2.reshape(heads, hd, dim)[0, :, 0] / dim
+    np.testing.assert_array_equal(got2, np.array([0, 2, 1, 3, 4, 5, 6, 7], np.float32))
+
+
+def test_tokenizer_roundtrip(tiny_xalm):
+    with XalmFile(tiny_xalm) as xf:
+        tok = Tokenizer.from_xalm(xf)
+    assert tok.bos_id == 1 and tok.eos_id == 2
+    ids = tok.encode("hello world")
+    assert ids[0] == tok.bos_id
+    assert tok.decode(ids) == "hello world"
+    # greedy longest match picks the multi-char piece "▁hello" -> " hello"
+    body = tok.encode(" hello", bos=False)
+    assert len(body) == 1
+
+    # byte fallback: chars not in vocab become <0xNN> tokens and still decode
+    ids = tok.encode("héllo ☃")
+    assert tok.decode(ids) == "héllo ☃"
+    assert any(
+        tok.byte_fallback_start <= t < tok.byte_fallback_start + 256 for t in ids
+    )
+
+    dbg = tok.encoding_to_debug_string(tok.encode("the"))
+    assert dbg.startswith("[<s>:1]")
+
+
+def test_tokenizer_gpt2_byte_mode(tmp_path):
+    """Vocab without byte_fallback goes through the GPT-2 unicode-byte reversal."""
+    import json
+
+    tokenizer = {
+        "model": {
+            "type": "BPE",
+            # "Ġ" is the gpt2-encoded space; "Ã©" encodes é's utf-8 bytes
+            "vocab": {"<unk>": 0, "Ġhello": 1, "Ã©": 2},
+            "byte_fallback": False,
+        },
+        "added_tokens": [],
+    }
+    p = tmp_path / "tokenizer.json"
+    p.write_text(json.dumps(tokenizer))
+    toks = cvt.load_tokens(str(p), 3)
+    assert toks[1] == b" hello"
+    assert toks[2] == "é".encode()
+
+
+def test_analyze_mode_runs(tiny_hf, tmp_path, capsys):
+    out = str(tmp_path / "a.xalm")
+    assert cvt.main(["--input", tiny_hf, "--output", out, "--type", "f8_e4m3", "--analyze"]) == 0
+    captured = capsys.readouterr().out
+    assert "quantization error analysis" in captured
+    assert "f8_e4m3" in captured

@@ -1,0 +1,386 @@
+"""HF checkpoint -> .xalm converter (numpy-native; no torch at conversion time).
+
+Feature-parity rebuild of the reference converter (reference convert.py):
+
+- ``--input <dir>``: HF model dir (config.json, tokenizer.json, *.safetensors)
+  -> one ``.xalm`` container (reference convert.py:1111-1168).
+- ``--type``: target weight dtype — f32/f16/bf16/f8_e4m3/f8_e5m2/q8/i8
+  (reference XType, convert.py:43-109; `i8` is the xalm_tpu per-row-scaled
+  extension replacing the reference's fixed-scale q8).
+- ``--analyze``: per-tensor quantization-error study across candidate dtypes
+  (reference convert.py:776-811).
+- ``--download <url-or-repo>``: fetch config/tokenizer/safetensors from HF
+  (reference convert.py:854-1055). Gated on network availability.
+
+Behavioral contract carried over:
+
+- HF -> canonical weight-name mapping (reference convert.py:653-681).
+- ``permute_reverse`` undoing HF's q/k RoPE permutation so the runtime can
+  use interleaved-pair rotation (reference convert.py:714-727; applied to
+  attn.q / attn.k at convert.py:754-758).
+- ``boost_type``: embeddings/output stay >=16-bit when the body is 8-bit
+  (reference convert.py:729-744).
+- 1-D tensors (norms) stay bf16/f32 (reference convert.py:770-774).
+- Tokenizer export: GPT-2 byte-unicode reversal or sentencepiece ``▁``->space,
+  NUL -> 0x07, all tokens NUL-joined into a U8 ``tokenizer.tokens`` tensor
+  (reference convert.py:323-366).
+- Canonical emission order: embed -> per-layer fixed order -> output ->
+  output.norm -> tokenizer.tokens (reference convert.py:1057-1108).
+
+Not carried over (flagged defects, SURVEY.md §7): the stray truncated
+``torch.save`` (convert.py:275) and the fixed 1/100 q8 scale as the default
+int8 scheme.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import ml_dtypes
+import numpy as np
+
+from xalm_tpu import dtypes as xdt
+from xalm_tpu import quant
+from xalm_tpu.io import write_xalm
+from xalm_tpu.obs.table import Table
+
+SUPPORTED_ARCHITECTURES = ("MistralForCausalLM", "LlamaForCausalLM")
+
+# dtypes a weight body may be converted to
+TARGET_TYPES = ("f32", "f16", "bf16", "f8_e4m3", "f8_e5m2", "q8", "i8")
+
+
+# ---------------------------------------------------------------------------
+# Metadata normalization (reference convert.py:193-245)
+# ---------------------------------------------------------------------------
+
+
+def normalize_config(config: dict) -> tuple[str, dict[str, str]]:
+    """HF config.json -> (arch, stringly-typed .xalm config dict)."""
+    arch = config["architectures"][0]
+    if arch not in SUPPORTED_ARCHITECTURES:
+        raise ValueError(
+            f"architecture {arch} is not supported, must be one of {SUPPORTED_ARCHITECTURES}"
+        )
+    head_dim = config.get("head_dim") or config["hidden_size"] // config["num_attention_heads"]
+    act = config["hidden_act"]
+    if act not in ("gelu", "silu"):
+        raise ValueError(f"unsupported hidden_act {act}")
+    out = {
+        "dim": str(config["hidden_size"]),
+        "hidden_dim": str(config["intermediate_size"]),
+        "head_dim": str(head_dim),
+        "n_layers": str(config["num_hidden_layers"]),
+        "n_heads": str(config["num_attention_heads"]),
+        "n_kv_heads": str(config.get("num_key_value_heads", config["num_attention_heads"])),
+        "vocab_size": str(config["vocab_size"]),
+        "max_seq_len": str(config["max_position_embeddings"]),
+        "bos_token_id": str(config["bos_token_id"]),
+        "eos_token_id": str(config["eos_token_id"]),
+        "rope_theta": str(config.get("rope_theta", 10000.0)),
+        "rotary_dim": str(int(head_dim * config.get("partial_rotary_factor", 1))),
+        "norm_eps": str(config["rms_norm_eps"]),
+        "norm_type": "rmsnorm",
+        "act_type": str(act),
+        "tie_word_embeddings": str(config["tie_word_embeddings"]),
+    }
+    return arch, out
+
+
+# ---------------------------------------------------------------------------
+# Weight-name mapping (reference convert.py:653-681)
+# ---------------------------------------------------------------------------
+
+
+def translate_name(name: str) -> str:
+    if name == "model.embed_tokens.weight":
+        return "embed.weight"
+    if name == "model.norm.weight":
+        return "output.norm.weight"
+    if name == "lm_head.weight":
+        return "output.weight"
+    name = name.replace("model.layers.", "l.")
+    name = name.replace(".self_attn.q_proj.", ".attn.q.")
+    name = name.replace(".self_attn.k_proj.", ".attn.k.")
+    name = name.replace(".self_attn.v_proj.", ".attn.v.")
+    name = name.replace(".self_attn.o_proj.", ".attn.down.")
+    name = name.replace(".post_attention_layernorm.", ".mlp.norm.")
+    name = name.replace(".input_layernorm.", ".attn.norm.")
+    name = name.replace(".mlp.gate_proj.", ".mlp.gate.")
+    name = name.replace(".mlp.down_proj.", ".mlp.down.")
+    name = name.replace(".mlp.up_proj.", ".mlp.up.")
+    return name
+
+
+def permute_reverse(w: np.ndarray, heads: int, rotary_dim: int) -> np.ndarray:
+    """Undo HF's q/k RoPE permutation (reference convert.py:714-727).
+
+    HF stores q/k projections so that rotary pairs are (i, i + rotary/2)
+    within each head; the runtime uses interleaved pairs (2i, 2i+1). This
+    re-interleaves the first ``rotary_dim`` rows of every head.
+    """
+    head_dim = w.shape[0] // heads
+    assert rotary_dim <= head_dim
+    w = w.reshape(heads, head_dim, *w.shape[1:])
+    wr = w[:, :rotary_dim]  # rotary part
+    wk = w[:, rotary_dim:]  # non-rotated tail
+    wr = wr.reshape(heads, 2, rotary_dim // 2, *w.shape[2:])
+    wr = wr.swapaxes(1, 2).reshape(heads, rotary_dim, *w.shape[2:])
+    return np.concatenate([wr, wk], axis=1).reshape(heads * head_dim, *w.shape[2:])
+
+
+def boost_type(org_dtype: np.dtype, target: str) -> str:
+    """Keep embed/output at >=16-bit when the body is 8-bit
+    (reference convert.py:729-744)."""
+    if target in ("f8_e4m3", "f8_e5m2", "q8", "i8"):
+        if org_dtype == np.dtype(ml_dtypes.bfloat16):
+            return "bf16"
+        return "f16"
+    return target
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer export (reference convert.py:323-366)
+# ---------------------------------------------------------------------------
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    # The GPT-2 byte<->unicode table that poisons HF ByteLevel tokenizers;
+    # needed to undo it (reference convert.py:326-336).
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(2**8):
+        if b not in bs:
+            bs.append(b)
+            cs.append(2**8 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def load_tokens(tokenizer_path: str, vocab_size: int) -> list[bytes]:
+    with open(tokenizer_path) as f:
+        tokenizer = json.load(f)
+    use_gpt2_bytes = not tokenizer["model"].get("byte_fallback", False)
+
+    tokens: list[str] = [""] * vocab_size
+    vocab = tokenizer["model"]["vocab"]
+    assert len(vocab) <= vocab_size
+    for t, i in vocab.items():
+        tokens[i] = t
+    for added in tokenizer.get("added_tokens", []):
+        tokens[added["id"]] = added["content"]
+
+    gpt2_decode = {v: k for k, v in gpt2_bytes_to_unicode().items()}
+    out: list[bytes] = []
+    for t in tokens:
+        if use_gpt2_bytes:
+            b = bytes([gpt2_decode.get(c, 0) for c in t])
+        else:
+            b = t.replace("▁", " ").encode("utf-8")
+        b = b.replace(b"\x00", b"\x07")  # container is NUL-delimited
+        out.append(b)
+    return out
+
+
+def tokens_tensor(tokens: list[bytes]) -> np.ndarray:
+    blob = b"\x00".join(tokens) + b"\x00"
+    return np.frombuffer(blob, dtype=np.uint8).copy()
+
+
+# ---------------------------------------------------------------------------
+# Weight conversion (reference convert.py:696-852)
+# ---------------------------------------------------------------------------
+
+
+def _read_safetensors(files: list[str]) -> dict[str, np.ndarray]:
+    import safetensors
+
+    weights: dict[str, np.ndarray] = {}
+    for path in files:
+        with safetensors.safe_open(path, framework="numpy") as f:
+            for k in f.keys():
+                assert k not in weights, f"duplicate tensor {k}"
+                weights[k] = f.get_tensor(k)
+    return weights
+
+
+def canonical_order(n_layers: int, tied: bool) -> list[str]:
+    """Fixed on-disk emission order (reference convert.py:825-848, 1057-1108)."""
+    names = ["embed.weight"]
+    for i in range(n_layers):
+        names += [
+            f"l.{i}.attn.norm.weight",
+            f"l.{i}.attn.q.weight",
+            f"l.{i}.attn.k.weight",
+            f"l.{i}.attn.v.weight",
+            f"l.{i}.attn.down.weight",
+            f"l.{i}.mlp.norm.weight",
+            f"l.{i}.mlp.gate.weight",
+            f"l.{i}.mlp.down.weight",
+            f"l.{i}.mlp.up.weight",
+        ]
+    if not tied:
+        names.append("output.weight")
+    names.append("output.norm.weight")
+    return names
+
+
+def convert_weights(
+    weights: dict[str, np.ndarray],
+    arch_config: dict[str, str],
+    target_type: str,
+    analyze: bool = False,
+) -> dict[str, np.ndarray]:
+    """Translate names, fix RoPE layout, quantize; returns container tensors."""
+    n_heads = int(arch_config["n_heads"])
+    n_kv_heads = int(arch_config["n_kv_heads"])
+    rotary_dim = int(arch_config["rotary_dim"])
+    n_layers = int(arch_config["n_layers"])
+    tied = arch_config["tie_word_embeddings"] == "True"
+
+    translated = {translate_name(k): v for k, v in weights.items()}
+    out: dict[str, np.ndarray] = {}
+    order = canonical_order(n_layers, tied)
+    missing = [n for n in order if n not in translated]
+    if missing:
+        raise ValueError(f"missing tensors in checkpoint: {missing[:5]}...")
+
+    analyze_rows: list[dict] = []
+    for name in order:
+        t = translated[name]
+        if ".attn.q.weight" in name:
+            t = permute_reverse(t, n_heads, rotary_dim)
+        elif ".attn.k.weight" in name:
+            t = permute_reverse(t, n_kv_heads, rotary_dim)
+
+        if t.ndim == 1:
+            # norm weights stay high precision (reference convert.py:770-774)
+            actual = "bf16" if t.dtype == np.dtype(ml_dtypes.bfloat16) else "f32"
+        elif name in ("embed.weight", "output.weight"):
+            actual = boost_type(t.dtype, target_type)
+        else:
+            actual = target_type
+
+        if analyze and t.ndim > 1:
+            for cand in TARGET_TYPES[1:]:
+                m = quant.analyze(t.astype(np.float32), cand)
+                m["tensor"] = name
+                analyze_rows.append(m)
+
+        q = quant.quantize(t, actual)
+        out[name] = q.values
+        if q.scale is not None:
+            out[xdt.scale_name(name)] = q.scale
+
+    if analyze and analyze_rows:
+        tbl = Table(["tensor"] + quant.ANALYZE_COLUMNS)
+        for m in analyze_rows:
+            tbl.add(
+                m["tensor"], m["type"], f"{m['mse']:.3e}", f"{m['norm_err']:.4f}",
+                f"{m['cosine']:.5f}", f"{m['snr_db']:.1f}", f"{m['exact_%']:.1f}", m["bytes"],
+            )
+        print(tbl.format(title="quantization error analysis"))
+
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Download mode (reference convert.py:854-1055) — zero-egress environments
+# will fail gracefully at the first request.
+# ---------------------------------------------------------------------------
+
+
+def download_model(repo: str, dest: str) -> str:
+    import requests
+
+    base = f"https://huggingface.co/{repo}/resolve/main"
+    os.makedirs(dest, exist_ok=True)
+    files = ["config.json", "tokenizer.json"]
+    # single-file and sharded safetensors layouts
+    idx_url = f"{base}/model.safetensors.index.json"
+    r = requests.get(idx_url, timeout=30)
+    if r.ok:
+        index = r.json()
+        with open(os.path.join(dest, "model.safetensors.index.json"), "w") as f:
+            json.dump(index, f)
+        files += sorted(set(index["weight_map"].values()))
+    else:
+        files.append("model.safetensors")
+    for fname in files:
+        path = os.path.join(dest, fname)
+        if os.path.exists(path):
+            continue
+        print(f"downloading {fname}...")
+        with requests.get(f"{base}/{fname}", stream=True, timeout=60) as r:
+            r.raise_for_status()
+            with open(path, "wb") as f:
+                for chunk in r.iter_content(1 << 20):
+                    f.write(chunk)
+    return dest
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def process_input(input_dir: str) -> tuple[dict, str, list[str]]:
+    """Locate config/tokenizer/shards in an HF model dir (reference convert.py:893-956)."""
+    config_path = os.path.join(input_dir, "config.json")
+    tokenizer_path = os.path.join(input_dir, "tokenizer.json")
+    if not os.path.exists(config_path):
+        raise FileNotFoundError(config_path)
+    if not os.path.exists(tokenizer_path):
+        raise FileNotFoundError(tokenizer_path)
+    with open(config_path) as f:
+        config = json.load(f)
+    shards = sorted(glob.glob(os.path.join(input_dir, "*.safetensors")))
+    if not shards:
+        raise FileNotFoundError(f"no .safetensors files in {input_dir}")
+    return config, tokenizer_path, shards
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="xalm-convert", description="Convert HF checkpoints to .xalm containers"
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="HF model directory")
+    src.add_argument("--download", help="HF repo id to fetch (e.g. mistralai/Mistral-7B-Instruct-v0.2)")
+    p.add_argument("--output", help="output .xalm path (default: <input>.xalm)")
+    p.add_argument("--type", default="f16", choices=TARGET_TYPES, help="target weight dtype")
+    p.add_argument("--analyze", action="store_true", help="report quantization error per tensor")
+    p.add_argument("--cache-dir", default=os.path.expanduser("~/.cache/xalm"), help="download cache")
+    args = p.parse_args(argv)
+
+    input_dir = args.input
+    if args.download:
+        input_dir = download_model(args.download, os.path.join(args.cache_dir, args.download.replace("/", "--")))
+
+    config, tokenizer_path, shards = process_input(input_dir)
+    arch, arch_config = normalize_config(config)
+    print(f"arch={arch} layers={arch_config['n_layers']} dim={arch_config['dim']} target={args.type}")
+
+    weights = _read_safetensors(shards)
+    tensors = convert_weights(weights, arch_config, args.type, analyze=args.analyze)
+    toks = load_tokens(tokenizer_path, int(arch_config["vocab_size"]))
+    tensors["tokenizer.tokens"] = tokens_tensor(toks)
+
+    out_path = args.output or (input_dir.rstrip("/") + ".xalm")
+    write_xalm(out_path, arch, arch_config, tensors)
+    size = os.path.getsize(out_path)
+    print(f"wrote {out_path} ({size / 1e9:.2f} GB, {len(tensors)} tensors)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
