@@ -1,0 +1,124 @@
+"""Long-context correctness: StreamingLLM sink+ring KV cache vs numpy oracle.
+
+Exercises the wrapped-cache regime (pos >= max_seq_len) that the reference's
+passkey mode stresses (SURVEY.md §3.3/§5.7) — ring writes, kv_len saturation,
+and per-step sink key re-rotation.
+"""
+
+import numpy as np
+import pytest
+
+from tests.make_tiny_model import make_tiny_model
+from tests.reference_numpy import NumpyOracle
+from xalm_tpu.convert import convert as cvt
+from xalm_tpu.io import XalmFile
+from xalm_tpu.models.config import KV_SINKS, ModelConfig
+from xalm_tpu.runtime.cache import ring_indices
+from xalm_tpu.runtime.engine import Engine
+
+WINDOW = 16  # tiny ring so tests wrap quickly
+
+
+def test_ring_indices_match_reference_formulas():
+    """Pure-function check of the kv_sink/kv_pos/kv_len math
+    (reference infer.cpp:610-613 + model.h:10)."""
+    S = 8
+    for pos in range(40):
+        sink = KV_SINKS if pos >= S else 0
+        expect_pos = sink + (pos - sink) % (S - sink)
+        expect_len = min(pos + 1, S)
+        ks, kp, kl = (int(x[0]) for x in ring_indices(np.array([pos]), S))
+        assert (ks, kp, kl) == (sink, expect_pos, expect_len), pos
+    # before wrap the ring is the identity
+    for pos in range(S):
+        _, kp, _ = ring_indices(np.array([pos]), S)
+        assert int(kp[0]) == pos
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    eng = Engine.from_xalm(out, context=WINDOW)
+    with XalmFile(out) as xf:
+        weights = {name: np.asarray(xf.load(name)) for name in xf.tensors}
+        cfg = ModelConfig.from_metadata(xf.config, context=WINDOW)
+    oracle = NumpyOracle(weights, cfg)
+    return eng, oracle
+
+
+def test_wrapped_decode_matches_oracle(setup):
+    """3x window of per-token decode: logits must track the oracle through
+    multiple ring wraps and accumulated sink rotations."""
+    eng, oracle = setup
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(3, 350, size=3 * WINDOW).tolist()
+    cache = eng.new_cache(1)
+    for i, tok in enumerate(tokens):
+        logits, cache = eng.decode(np.array([tok]), np.array([i]), cache)
+        expect = oracle.forward(tok, i)
+        got = np.asarray(logits)[0]
+        err = np.abs(got - expect).max()
+        # fp16 KV rounding accumulates in the re-rotated sink keys on both
+        # sides identically; residual diff is f32 noise
+        assert err < 5e-4, f"pos {i}: max err {err}"
+        if i == len(tokens) - 1:
+            assert np.argmax(got) == np.argmax(expect)
+
+
+def test_wrapped_cache_state_matches_oracle(setup):
+    """The KV cache contents themselves (ring layout + rotated sinks) must
+    match the oracle's buffers after wrapping."""
+    eng, oracle2 = setup
+    # fresh oracle to avoid state from previous test
+    oracle = NumpyOracle(oracle2.w, oracle2.cfg)
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(3, 350, size=2 * WINDOW + 3).tolist()
+    cache = eng.new_cache(1)
+    for i, tok in enumerate(tokens):
+        _, cache = eng.decode(np.array([tok]), np.array([i]), cache)
+        oracle.forward(tok, i)
+    cfg = oracle.cfg
+    ours_k = np.asarray(cache.k)[:, 0].reshape(cfg.n_layers, cfg.max_seq_len, cfg.kv_dim)
+    theirs_k = oracle.key_cache
+    np.testing.assert_allclose(
+        ours_k.astype(np.float32), theirs_k.astype(np.float32), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_batch_sequences_wrap_independently(setup):
+    """Two sequences at different positions in one batch: the wrapped one
+    must produce identical logits to running it alone (per-sequence ring)."""
+    eng, _ = setup
+    rng = np.random.default_rng(2)
+    toks_a = rng.integers(3, 350, size=WINDOW + 5).tolist()  # wraps
+    toks_b = rng.integers(3, 350, size=4).tolist()  # doesn't
+
+    # solo runs
+    cache = eng.new_cache(1)
+    for i, t in enumerate(toks_a):
+        la, cache = eng.decode(np.array([t]), np.array([i]), cache)
+    cache = eng.new_cache(1)
+    for i, t in enumerate(toks_b):
+        lb, cache = eng.decode(np.array([t]), np.array([i]), cache)
+
+    # batched run with staggered starts: pad b with inactive steps via valid mask
+    cache = eng.new_cache(2)
+    off = len(toks_a) - len(toks_b)
+    import jax.numpy as jnp
+
+    for i in range(len(toks_a)):
+        j = i - off
+        tok_b = toks_b[j] if j >= 0 else 0
+        valid = np.array([[True], [j >= 0]])
+        logits, cache = eng.step(
+            np.array([[toks_a[i]], [tok_b]], np.int32),
+            np.array([i, max(j, 0)], np.int32),
+            cache,
+            jnp.asarray(valid),
+            logits_mode="last",
+        )
+    got = np.asarray(logits)
+    np.testing.assert_allclose(got[0], np.asarray(la)[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got[1], np.asarray(lb)[0], rtol=1e-4, atol=1e-5)

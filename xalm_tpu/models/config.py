@@ -1,0 +1,84 @@
+"""Normalized model hyperparameters.
+
+Mirrors the reference ``Config::from_xalm`` (reference src/model.h:25-91)
+including its defaults (norm_eps 1e-5, act gelu, norm rmsnorm, qkv_clip off)
+and the max_seq_len clamp to 4096 with a ``context`` override (model.h:54-59)
+— the clamp stands in for Mistral's sliding window and bounds the KV ring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+__all__ = ["ModelConfig", "KV_SINKS"]
+
+# StreamingLLM attention-sink count (reference src/model.h:10).
+KV_SINKS = 2
+
+_MAX_SEQ_LEN_CLAMP = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    dim: int
+    hidden_dim: int
+    head_dim: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    vocab_size: int
+    max_seq_len: int
+    rope_theta: float
+    rotary_dim: int
+    norm_eps: float = 1e-5
+    act: str = "gelu"  # gelu | silu
+    norm_type: str = "rmsnorm"
+    qkv_clip: float = math.inf  # inf = no clipping
+    tie_word_embeddings: bool = False
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    @property
+    def group_size(self) -> int:
+        return self.n_heads // self.n_kv_heads
+
+    def __post_init__(self):
+        if self.n_heads % self.n_kv_heads != 0:
+            raise ValueError("n_heads must be a multiple of n_kv_heads")
+        if self.rotary_dim % 2 != 0 or self.rotary_dim > self.head_dim:
+            raise ValueError("rotary_dim must be even and <= head_dim")
+        if self.act not in ("gelu", "silu"):
+            raise ValueError(f"unsupported act {self.act}")
+        if self.norm_type != "rmsnorm":
+            raise ValueError(f"unsupported norm_type {self.norm_type}")
+
+    @classmethod
+    def from_metadata(cls, metadata: dict, context: int = 0) -> "ModelConfig":
+        """Parse the stringly-typed .xalm config (reference model.h:44-90)."""
+        max_seq_len = min(int(metadata["max_seq_len"]), _MAX_SEQ_LEN_CLAMP)
+        if context:
+            max_seq_len = context
+        return cls(
+            dim=int(metadata["dim"]),
+            hidden_dim=int(metadata["hidden_dim"]),
+            head_dim=int(metadata["head_dim"]),
+            n_layers=int(metadata["n_layers"]),
+            n_heads=int(metadata["n_heads"]),
+            n_kv_heads=int(metadata["n_kv_heads"]),
+            vocab_size=int(metadata["vocab_size"]),
+            max_seq_len=max_seq_len,
+            rope_theta=float(metadata["rope_theta"]),
+            rotary_dim=int(metadata["rotary_dim"]),
+            norm_eps=float(metadata.get("norm_eps", "1e-5")),
+            act=metadata.get("act_type", "gelu"),
+            norm_type=metadata.get("norm_type", "rmsnorm"),
+            qkv_clip=float(metadata["qkv_clip"]) if "qkv_clip" in metadata else math.inf,
+            tie_word_embeddings=metadata.get("tie_word_embeddings") == "True",
+        )

@@ -1,0 +1,251 @@
+"""Llama/Mistral-family forward pass — functional, jit-first, scan-over-layers.
+
+Behavioral contract (reference src/infer.cpp:365-638, SURVEY.md §2/§5.7):
+
+- f32 residual stream and softmax with max subtraction; fp16 KV cache
+  rounding on write; optional qkv clipping pre-RoPE (infer.cpp:393-399).
+- Interleaved-pair RoPE with a ``rotary_dim`` cutoff — pairs beyond
+  rotary_dim are unrotated (infer.cpp:305-322).
+- GQA: query head h attends kv head h // (n_heads/n_kv_heads)
+  (infer.cpp:434-444).
+- StreamingLLM sink+ring KV cache: writes at ``kv_pos``, attends over
+  ``kv_len`` slots, and re-rotates the ``kv_sink`` pinned keys by +1 position
+  each decode step (infer.cpp:411-431, arXiv:2309.17453).
+- GLU FFN: w2(act(w1 x) * w3 x) with gelu(tanh)/silu (infer.cpp:455-495).
+
+TPU-first departures from the reference's per-token matvec loop:
+
+- One traced function handles a whole (batch, chunk) of tokens: prefill is a
+  single batched MXU pass with the causal mask *implied by kv_len* (slot s is
+  visible to the query at position p iff s < min(p+1, S) — for non-wrapped
+  prefill that equals s <= p, i.e. causality), not T sequential matvec chains.
+- Layers are a ``lax.scan`` over stacked weights; the KV cache rides in the
+  carry and is updated in place (donated buffer) via scatter rows.
+- Positions are **per-sequence vectors** so a continuous batch wraps its
+  rings independently.
+
+Chunk contract: calls with T > 1 must not wrap the ring — the engine chunks
+prompts so ``pos + T <= max_seq_len``; once wrapped, it feeds tokens one at a
+time (T=1), which is also the only shape where sink re-rotation applies.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xalm_tpu.models.config import KV_SINKS, ModelConfig
+from xalm_tpu.models.params import ModelParams, Q8_FIXED_SCALE, QWeight
+from xalm_tpu.ops.linear import qmatmul
+from xalm_tpu.runtime.cache import KVCache, ring_indices
+
+__all__ = ["forward", "rope_freqs", "apply_rope", "rmsnorm", "embed_lookup", "attention"]
+
+LogitsMode = Literal["none", "last", "all"]
+
+
+def rope_freqs(cfg: ModelConfig) -> np.ndarray:
+    """Per-pair angular frequency; pairs with j >= rotary_dim get freq 0
+    (unrotated tail — reference infer.cpp:309-312)."""
+    j = np.arange(0, cfg.head_dim, 2, dtype=np.float32)
+    freqs = np.where(
+        j < cfg.rotary_dim,
+        cfg.rope_theta ** (-(j / max(cfg.rotary_dim, 1))),
+        0.0,
+    )
+    return freqs.astype(np.float32)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, freqs) -> jax.Array:
+    """Interleaved-pair rotation. ``x``: (B, T, H, head_dim) f32;
+    ``positions``: (B, T) int32."""
+    b, t, h, hd = x.shape
+    xr = x.reshape(b, t, h, hd // 2, 2)
+    ang = positions[:, :, None].astype(jnp.float32) * jnp.asarray(freqs)  # (B, T, hd//2)
+    cos = jnp.cos(ang)[:, :, None]  # (B, T, 1, hd//2) — broadcast over heads
+    sin = jnp.sin(ang)[:, :, None]
+    x0, x1 = xr[..., 0], xr[..., 1]
+    out = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    return out.reshape(b, t, h, hd)
+
+
+def rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """f32 RMS norm (reference infer.cpp:224-251)."""
+    x = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(ms + eps) * w.astype(jnp.float32)
+
+
+def embed_lookup(embed: QWeight, tokens: jax.Array) -> jax.Array:
+    """Gather + dequantize embedding rows (reference infer.cpp:553-602)."""
+    rows = embed.values[tokens].astype(jnp.float32)
+    if embed.values.dtype == jnp.int8:
+        if embed.scale is not None:
+            rows = rows * embed.scale[tokens][..., None]
+        else:
+            rows = rows * Q8_FIXED_SCALE
+    return rows
+
+
+def attention(
+    q: jax.Array,  # (B, T, n_heads, head_dim) f32, already rotated
+    k: jax.Array,  # (B, S, n_kv_heads, head_dim) cache dtype
+    v: jax.Array,  # (B, S, n_kv_heads, head_dim)
+    kv_len: jax.Array,  # (B, T) int32 — slots visible to each query
+    cfg: ModelConfig,
+) -> jax.Array:
+    """GQA attention over the (possibly ring-ordered) cache. Returns (B, T, q_dim).
+
+    Ring order is attention-order-irrelevant: keys are pre-rotated, scores are
+    position-agnostic beyond that (reference attn, infer.cpp:325-359).
+    """
+    b, t, _, hd = q.shape
+    kh = cfg.n_kv_heads
+    g = cfg.group_size
+    s = k.shape[1]
+    qg = q.reshape(b, t, kh, g, hd) * (1.0 / math.sqrt(hd))
+    scores = jnp.einsum(
+        "btkgh,bskh->bkgts",
+        qg.astype(jnp.float32),
+        k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    mask = (
+        jnp.arange(s, dtype=jnp.int32)[None, None, None, None, :]
+        < kv_len[:, None, None, :, None]
+    )
+    scores = jnp.where(mask, scores, -jnp.inf)
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgts,bskh->btkgh", att, v.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, t, cfg.q_dim)
+
+
+def _write_rows(cache: jax.Array, layer, kv_pos: jax.Array, rows: jax.Array) -> jax.Array:
+    """Scatter (B, T) new KV rows into cache layer ``layer``.
+
+    cache: (L, B, S, K, hd); rows: (B, T, K, hd) already in cache dtype.
+    """
+    b = rows.shape[0]
+    b_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    # mode="drop": padding/inactive tokens carry kv_pos == S (out of bounds)
+    # and their writes vanish — the masking mechanism for bucketed chunks and
+    # idle continuous-batching slots.
+    return cache.at[layer, b_idx, kv_pos].set(rows, mode="drop")
+
+
+def _rotate_sinks(
+    cache_k: jax.Array, layer, active: jax.Array, freqs, cfg: ModelConfig
+) -> jax.Array:
+    """Rotate the pinned sink keys forward by +1 position for wrapped
+    sequences (reference infer.cpp:416-431). T=1 decode only."""
+    l_b = cache_k.shape[1]
+    sinks = jax.lax.dynamic_slice(
+        cache_k,
+        (layer, 0, 0, 0, 0),
+        (1, l_b, KV_SINKS, cfg.n_kv_heads, cfg.head_dim),
+    )[0]
+    ones = jnp.ones((l_b, KV_SINKS), dtype=jnp.int32)
+    rotated = apply_rope(sinks.astype(jnp.float32), ones, freqs).astype(cache_k.dtype)
+    new = jnp.where(active[:, None, None, None], rotated, sinks)
+    return jax.lax.dynamic_update_slice(cache_k, new[None], (layer, 0, 0, 0, 0))
+
+
+def forward(
+    params: ModelParams,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # (B, T) int32
+    pos: jax.Array,  # (B,) int32 — absolute position of tokens[:, 0]
+    cache: KVCache,
+    valid: jax.Array | None = None,  # (B, T) bool; False = padding/inactive
+    *,
+    logits_mode: LogitsMode = "last",
+    compute_dtype=jnp.float32,
+    matmul_impl: str = "auto",
+):
+    """One jitted step over a (B, T) token block. Returns (logits, cache).
+
+    logits: (B, vocab) for "last", (B, T, vocab) for "all", None for "none"
+    ("none" is the reference's HYDRATE_KV_CACHE early-out, infer.cpp:620-623).
+    Tokens with ``valid == False`` neither write the cache nor produce
+    meaningful logits (their KV write is dropped out-of-bounds).
+    """
+    b, t = tokens.shape
+    s = cfg.max_seq_len
+    freqs = rope_freqs(cfg)
+
+    positions = pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # (B, T)
+    _, kv_pos, kv_len = ring_indices(positions, s)
+    if valid is not None:
+        kv_pos = jnp.where(valid, kv_pos, s)  # out-of-bounds -> write dropped
+
+    x = embed_lookup(params.embed, tokens)  # (B, T, dim) f32
+
+    def mm(xx, w):
+        return qmatmul(xx, w, compute_dtype=compute_dtype, impl=matmul_impl)
+
+    clip = cfg.qkv_clip if math.isfinite(cfg.qkv_clip) else None
+
+    def body(carry, layer_in):
+        x, ck, cv = carry
+        lw, layer = layer_in
+
+        # --- attention ---
+        xb = rmsnorm(x, lw.attn_norm, cfg.norm_eps)
+        q = mm(xb, lw.wq)
+        k = mm(xb, lw.wk)
+        v = mm(xb, lw.wv)
+        if clip is not None:
+            q = jnp.clip(q, -clip, clip)
+            k = jnp.clip(k, -clip, clip)
+            v = jnp.clip(v, -clip, clip)
+        q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        q = apply_rope(q, positions, freqs)
+        k = apply_rope(k, positions, freqs)
+
+        ck = _write_rows(ck, layer, kv_pos, k.astype(ck.dtype))
+        cv = _write_rows(cv, layer, kv_pos, v.astype(cv.dtype))
+        if t == 1:
+            # sink re-rotation is a per-step operation; chunked (T>1) calls
+            # never have wrapped sequences by the chunk contract.
+            active = positions[:, 0] >= s
+            if valid is not None:
+                active = active & valid[:, 0]
+            ck = _rotate_sinks(ck, layer, active, freqs, cfg)
+
+        kl = jax.lax.dynamic_index_in_dim(ck, layer, axis=0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(cv, layer, axis=0, keepdims=False)
+        attn_out = attention(q, kl, vl, kv_len, cfg)
+        x = x + mm(attn_out, lw.wo)
+
+        # --- GLU FFN ---
+        xb = rmsnorm(x, lw.mlp_norm, cfg.norm_eps)
+        gate = mm(xb, lw.w1)
+        up = mm(xb, lw.w3)
+        if cfg.act == "silu":
+            act = jax.nn.silu(gate)
+        else:
+            act = jax.nn.gelu(gate, approximate=True)
+        x = x + mm(act * up, lw.w2)
+        return (x, ck, cv), None
+
+    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), (params.layers, layer_ids))
+    new_cache = KVCache(k=ck, v=cv)
+
+    if logits_mode == "none":
+        return None, new_cache
+    if logits_mode == "last":
+        x = x[:, -1:]
+    xn = rmsnorm(x, params.out_norm, cfg.norm_eps)
+    logits = qmatmul(xn, params.wcls, compute_dtype=compute_dtype, impl=matmul_impl)
+    if logits_mode == "last":
+        logits = logits[:, 0]
+    return logits, new_cache

@@ -1,0 +1,188 @@
+"""Quantized weight pytrees and .xalm -> device loading.
+
+The reference keeps dtype-erased ``Tensor`` objects per layer and dispatches
+matmul kernels on a runtime ``Type`` tag (reference src/model.h:158-247,
+src/infer.cpp:185-216). TPU-first equivalent: weights live as JAX arrays in
+their *storage* dtype (int8 / fp8 / f16 / bf16) inside a pytree, layers
+**stacked along a leading axis** so the whole transformer is one
+``lax.scan`` — compile time is O(1) in depth and sharding annotations apply
+to every layer at once.
+
+Quantization semantics are carried in the array dtype plus the optional
+per-output-row ``scale``:
+
+- float dtypes (f32/f16/bf16/fp8): dequantize = cast.
+- int8 with ``scale``: xalm_tpu `i8`, y = (x @ W^T) * scale (row-wise).
+- int8 without ``scale``: reference `q8`, fixed scale 1/100
+  (reference types.h:423-424).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xalm_tpu import dtypes as xdt
+from xalm_tpu.models.config import ModelConfig
+
+__all__ = ["QWeight", "LayerParams", "ModelParams", "load_params", "Q8_FIXED_SCALE"]
+
+Q8_FIXED_SCALE = 1.0 / 100.0
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass, data_fields=["values", "scale"], meta_fields=[]
+)
+@dataclasses.dataclass
+class QWeight:
+    """A (possibly quantized) weight matrix of logical shape (..., D, N).
+
+    ``scale`` is a per-output-row f32 array of shape (..., D) for `i8`
+    weights, else None.
+    """
+
+    values: Any
+    scale: Any = None
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    def astype_dequant(self, dtype) -> jax.Array:
+        """Materialize the dequantized matrix (test/debug path — the runtime
+        kernels dequantize in VMEM instead)."""
+        v = self.values.astype(dtype)
+        if self.values.dtype == jnp.int8:
+            s = self.scale if self.scale is not None else Q8_FIXED_SCALE
+            if self.scale is not None:
+                s = s[..., None]
+            v = v * jnp.asarray(s, dtype)
+        return v
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["attn_norm", "wq", "wk", "wv", "wo", "mlp_norm", "w1", "w2", "w3"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class LayerParams:
+    """Per-layer weights, stacked with leading dim L (canonical names per
+    reference model.cpp:89-106; w1=mlp.gate, w2=mlp.down, w3=mlp.up)."""
+
+    attn_norm: Any  # (L, dim)
+    wq: QWeight  # (L, q_dim, dim)
+    wk: QWeight  # (L, kv_dim, dim)
+    wv: QWeight  # (L, kv_dim, dim)
+    wo: QWeight  # (L, dim, q_dim)
+    mlp_norm: Any  # (L, dim)
+    w1: QWeight  # (L, hidden_dim, dim)
+    w2: QWeight  # (L, dim, hidden_dim)
+    w3: QWeight  # (L, hidden_dim, dim)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["embed", "layers", "out_norm", "wcls"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class ModelParams:
+    embed: QWeight  # (vocab, dim)
+    layers: LayerParams
+    out_norm: Any  # (dim,)
+    wcls: QWeight  # (vocab, dim); aliases embed when tied
+
+    def nbytes(self) -> int:
+        return sum(
+            x.nbytes for x in jax.tree.leaves(self) if hasattr(x, "nbytes")
+        )
+
+
+def _np_to_jnp_dtype(arr: np.ndarray):
+    # ml_dtypes dtypes map 1:1 onto jnp dtypes
+    return jnp.dtype(arr.dtype)
+
+
+def _load_qweight(xf, name: str, expect_shape: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray | None]:
+    info = xf.tensors.get(name)
+    if info is None:
+        raise ValueError(f"FATAL: missing tensor {name}")
+    if tuple(info.shape) != tuple(expect_shape):
+        raise ValueError(
+            f"FATAL: tensor {name} has unexpected shape {info.shape}, expected {expect_shape}"
+        )
+    values = xf.load(name)
+    scale = None
+    sname = xdt.scale_name(name)
+    if info.dtype.name == "i8":
+        if sname not in xf.tensors:
+            raise ValueError(f"FATAL: i8 tensor {name} missing {sname}")
+        scale = xf.load(sname)
+    return values, scale
+
+
+def load_params(xf, cfg: ModelConfig, device_put=True) -> ModelParams:
+    """Load and stack all weights from an open XalmFile.
+
+    Shape validation matches the reference loader (model.cpp:62-81). Stacking
+    is host-side numpy (cheap views -> one contiguous stack per weight kind),
+    then a single device transfer per stacked tensor.
+    """
+
+    def put(x):
+        arr = jnp.asarray(x) if device_put else x
+        return arr
+
+    def stack_qw(name_fmt: str, expect_shape) -> QWeight:
+        vals, scales = [], []
+        for l in range(cfg.n_layers):
+            v, s = _load_qweight(xf, name_fmt.format(l), expect_shape)
+            vals.append(v)
+            scales.append(s)
+        has_scale = scales[0] is not None
+        if any((s is not None) != has_scale for s in scales):
+            raise ValueError(f"inconsistent quantization across layers for {name_fmt}")
+        return QWeight(
+            put(np.stack(vals)), put(np.stack(scales)) if has_scale else None
+        )
+
+    def stack_norm(name_fmt: str) -> jax.Array:
+        vals = []
+        for l in range(cfg.n_layers):
+            v, _ = _load_qweight(xf, name_fmt.format(l), (cfg.dim,))
+            vals.append(np.asarray(v, dtype=np.float32))
+        return put(np.stack(vals))
+
+    d, q, kv, h = cfg.dim, cfg.q_dim, cfg.kv_dim, cfg.hidden_dim
+
+    layers = LayerParams(
+        attn_norm=stack_norm("l.{}.attn.norm.weight"),
+        wq=stack_qw("l.{}.attn.q.weight", (q, d)),
+        wk=stack_qw("l.{}.attn.k.weight", (kv, d)),
+        wv=stack_qw("l.{}.attn.v.weight", (kv, d)),
+        wo=stack_qw("l.{}.attn.down.weight", (d, q)),
+        mlp_norm=stack_norm("l.{}.mlp.norm.weight"),
+        w1=stack_qw("l.{}.mlp.gate.weight", (h, d)),
+        w2=stack_qw("l.{}.mlp.down.weight", (d, h)),
+        w3=stack_qw("l.{}.mlp.up.weight", (h, d)),
+    )
+
+    ev, es = _load_qweight(xf, "embed.weight", (cfg.vocab_size, cfg.dim))
+    embed = QWeight(put(ev), put(es) if es is not None else None)
+
+    onv, _ = _load_qweight(xf, "output.norm.weight", (cfg.dim,))
+    out_norm = put(np.asarray(onv, dtype=np.float32))
+
+    if cfg.tie_word_embeddings:
+        wcls = embed
+    else:
+        cv, cs = _load_qweight(xf, "output.weight", (cfg.vocab_size, cfg.dim))
+        wcls = QWeight(put(cv), put(cs) if cs is not None else None)
+
+    return ModelParams(embed=embed, layers=layers, out_norm=out_norm, wcls=wcls)

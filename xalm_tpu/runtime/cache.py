@@ -1,0 +1,72 @@
+"""HBM-resident KV cache with StreamingLLM sink + ring indexing.
+
+The reference's signature long-context mechanism (SURVEY.md §5.7; reference
+src/infer.cpp:610-613, src/model.h:10):
+
+- ``KV_SINKS=2`` attention-sink tokens stay pinned in slots [0, 2) once
+  ``pos >= max_seq_len``.
+- The remaining slots form a ring:
+  ``kv_pos = kv_sink + (pos - kv_sink) % (max_seq_len - kv_sink)``.
+- Attention always spans ``kv_len = min(pos + 1, max_seq_len)`` slots.
+
+Here those are pure jnp functions over **per-sequence** position vectors —
+each slot of a continuous batch wraps independently.
+
+Layout: (n_layers, batch, max_seq_len, n_kv_heads, head_dim), matching the
+reference's per-layer (max_seq_len, n_kv_heads * head_dim) fp16 buffers
+(reference model.h:222-223) with batch and stacked layers added. head_dim is
+innermost so decode attention reads are contiguous 128-lane rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from xalm_tpu.models.config import KV_SINKS, ModelConfig
+
+__all__ = ["KVCache", "ring_indices", "KV_SINKS"]
+
+
+def ring_indices(pos: jax.Array, max_seq_len: int):
+    """(kv_sink, kv_pos, kv_len) for per-sequence positions ``pos`` (int32).
+
+    Exactly the reference's indexing (infer.cpp:610-613); element-wise over a
+    batch of positions.
+    """
+    pos = jnp.asarray(pos, jnp.int32)
+    wrapped = pos >= max_seq_len
+    kv_sink = jnp.where(wrapped, KV_SINKS, 0).astype(jnp.int32)
+    ring = max_seq_len - kv_sink
+    kv_pos = kv_sink + (pos - kv_sink) % ring
+    kv_len = jnp.minimum(pos + 1, max_seq_len).astype(jnp.int32)
+    return kv_sink, kv_pos.astype(jnp.int32), kv_len
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass, data_fields=["k", "v"], meta_fields=[]
+)
+@dataclasses.dataclass
+class KVCache:
+    k: Any  # (L, B, S, n_kv_heads, head_dim)
+    v: Any  # (L, B, S, n_kv_heads, head_dim)
+
+    @classmethod
+    def init(cls, cfg: ModelConfig, batch: int, dtype=jnp.float16) -> "KVCache":
+        shape = (cfg.n_layers, batch, cfg.max_seq_len, cfg.n_kv_heads, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[2]
+
+    def nbytes(self) -> int:
+        return self.k.nbytes + self.v.nbytes

@@ -1,0 +1,301 @@
+"""Inference engine: load a .xalm model, jit the step functions, run workloads.
+
+Replaces the reference's Model/InferenceState pair (reference src/model.h,
+src/infer.cpp:604-638) with functional jitted steps:
+
+- ``prefill``: whole prompt chunks in one batched MXU pass per chunk
+  (the reference hydrates one token at a time, main.cpp:93-101 — on TPU that
+  wastes the systolic array; chunking is the idiomatic replacement).
+- ``decode``: one token per sequence per call, KV cache donated so XLA
+  updates it in place in HBM.
+- ``generate`` / ``perplexity``: the run_completion / run_perplexity
+  workloads (reference main.cpp:44-128, 198-268) including throughput and
+  achieved-bandwidth accounting against the active-bytes model
+  (reference model.cpp:12-35).
+
+Chunk contract (see models/llama.py): T>1 calls never wrap the KV ring; the
+engine switches to T=1 stepping once pos reaches the window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xalm_tpu.io import XalmFile
+from xalm_tpu.models.config import ModelConfig
+from xalm_tpu.models.llama import forward
+from xalm_tpu.models.params import ModelParams, load_params
+from xalm_tpu.runtime.cache import KVCache
+from xalm_tpu.sampler import sample_argmax, token_logprobs
+from xalm_tpu.tokenizer import Tokenizer
+
+__all__ = ["Engine", "GenerationStats"]
+
+_CHUNK_BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def _bucket(n: int) -> int:
+    for b in _CHUNK_BUCKETS:
+        if n <= b:
+            return b
+    return _CHUNK_BUCKETS[-1]
+
+
+@dataclasses.dataclass
+class GenerationStats:
+    prompt_tokens: int = 0
+    generated_tokens: int = 0
+    prefill_s: float = 0.0
+    decode_s: float = 0.0
+    active_bytes: int = 0  # cumulative bytes touched during decode
+
+    @property
+    def tok_per_s(self) -> float:
+        return self.generated_tokens / self.decode_s if self.decode_s > 0 else 0.0
+
+    @property
+    def bandwidth_gb_s(self) -> float:
+        return self.active_bytes / self.decode_s / 1e9 if self.decode_s > 0 else 0.0
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: ModelParams,
+        tokenizer: Tokenizer | None = None,
+        *,
+        kv_dtype=jnp.float16,
+        compute_dtype=jnp.float32,
+        matmul_impl: str = "auto",
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.kv_dtype = kv_dtype
+        self.compute_dtype = compute_dtype
+        self.matmul_impl = matmul_impl
+
+        def _fwd(params, tokens, pos, cache, valid, *, logits_mode):
+            return forward(
+                params,
+                cfg,
+                tokens,
+                pos,
+                cache,
+                valid,
+                logits_mode=logits_mode,
+                compute_dtype=compute_dtype,
+                matmul_impl=matmul_impl,
+            )
+
+        # cache (arg 3) donated: decode updates it in place in HBM.
+        self._fwd = jax.jit(_fwd, static_argnames=("logits_mode",), donate_argnums=(3,))
+
+    # ------------------------------------------------------------------ load
+
+    @classmethod
+    def from_xalm(
+        cls,
+        path: str,
+        *,
+        context: int = 0,
+        kv_dtype=jnp.float16,
+        compute_dtype=jnp.float32,
+        matmul_impl: str = "auto",
+    ) -> "Engine":
+        xf = XalmFile(path)
+        cfg = ModelConfig.from_metadata(xf.config, context)
+        params = load_params(xf, cfg)
+        tokenizer = Tokenizer.from_xalm(xf) if "tokenizer.tokens" in xf else None
+        xf.close()
+        return cls(
+            cfg,
+            params,
+            tokenizer,
+            kv_dtype=kv_dtype,
+            compute_dtype=compute_dtype,
+            matmul_impl=matmul_impl,
+        )
+
+    # ----------------------------------------------------------------- steps
+
+    def new_cache(self, batch: int = 1) -> KVCache:
+        return KVCache.init(self.cfg, batch, self.kv_dtype)
+
+    def step(self, tokens, pos, cache: KVCache, valid=None, logits_mode="last"):
+        """Raw jitted forward on device arrays. tokens (B,T), pos (B,)."""
+        tokens = jnp.asarray(tokens, jnp.int32)
+        pos = jnp.asarray(pos, jnp.int32)
+        return self._fwd(self.params, tokens, pos, cache, valid, logits_mode=logits_mode)
+
+    def decode(self, tokens, pos, cache: KVCache):
+        """One decode step: tokens (B,), pos (B,) -> logits (B, vocab)."""
+        tokens = jnp.asarray(tokens, jnp.int32)[:, None]
+        return self.step(tokens, pos, cache, logits_mode="last")
+
+    def prefill(self, token_ids: list[int], cache: KVCache, logits_mode="last"):
+        """Feed a single prompt (batch 1) through chunked prefill.
+
+        Returns (logits-for-last-token | per-token logits list, cache, pos).
+        Uses bucketed chunk shapes (bounded compile count) with masked
+        padding; switches to T=1 stepping once the ring would wrap.
+        """
+        s = self.cfg.max_seq_len
+        n = len(token_ids)
+        pos = 0
+        logits = None
+        all_logits = []
+        while pos < n:
+            remaining = n - pos
+            if pos + 1 > s - 1 and remaining > 1:
+                t = 1  # ring about to wrap: per-token stepping from here on
+            else:
+                t = min(remaining, _CHUNK_BUCKETS[-1], max(s - pos, 1))
+            bucket = _bucket(t) if t > 1 else 1
+            # never let a (padded) bucket cross the ring boundary
+            if t > 1 and pos + bucket > s:
+                bucket = t
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :t] = token_ids[pos : pos + t]
+            valid = np.zeros((1, bucket), bool)
+            valid[0, :t] = True
+            is_last = pos + t >= n
+            if logits_mode == "all":
+                mode = "all"
+            elif is_last and logits_mode == "last":
+                # padded chunks compute all positions so the last *valid*
+                # token's logits can be selected
+                mode = "last" if t == bucket else "all"
+            else:
+                mode = "none"
+            out, cache = self.step(
+                padded,
+                np.array([pos], np.int32),
+                cache,
+                jnp.asarray(valid),
+                logits_mode=mode,
+            )
+            if logits_mode == "all":
+                all_logits.append(np.asarray(out)[0, :t])
+            elif is_last and logits_mode == "last":
+                logits = out if mode == "last" else out[:, t - 1]
+            pos += t
+        if logits_mode == "all":
+            return np.concatenate(all_logits, axis=0), cache, pos
+        return logits, cache, pos
+
+    # ------------------------------------------------------------- workloads
+
+    def generate(
+        self,
+        prompt_ids: list[int],
+        max_new_tokens: int,
+        *,
+        on_token=None,
+        stop_on_eos: bool = True,
+    ) -> tuple[list[int], GenerationStats]:
+        """Greedy completion (reference run_completion, main.cpp:44-128)."""
+        stats = GenerationStats(prompt_tokens=len(prompt_ids))
+        cache = self.new_cache(1)
+
+        t0 = time.perf_counter()
+        logits, cache, pos = self.prefill(prompt_ids, cache, logits_mode="last")
+        token = int(np.asarray(sample_argmax(logits))[0])
+        stats.prefill_s = time.perf_counter() - t0
+
+        out: list[int] = []
+        t0 = time.perf_counter()
+        for _ in range(max_new_tokens):
+            out.append(token)
+            if on_token is not None:
+                on_token(token)
+            if stop_on_eos and self.tokenizer is not None and self.tokenizer.is_stop(token):
+                break
+            logits, cache = self.decode(
+                np.array([token], np.int32), np.array([pos], np.int32), cache
+            )
+            token = int(np.asarray(sample_argmax(logits))[0])
+            stats.active_bytes += self.active_bytes(pos)
+            pos += 1
+        stats.decode_s = time.perf_counter() - t0
+        stats.generated_tokens = len(out)
+        return out, stats
+
+    def perplexity(self, token_ids: list[int]) -> tuple[float, float, int]:
+        """(ppl, stderr, n) over a prompt (reference run_perplexity,
+        main.cpp:198-268): forward every token, accumulate log p of the next.
+        """
+        n = len(token_ids)
+        if n < 2:
+            raise ValueError("perplexity needs at least 2 tokens")
+        cache = self.new_cache(1)
+        s = self.cfg.max_seq_len
+
+        sum_lp = 0.0
+        sum_lp2 = 0.0
+        count = 0
+        pos = 0
+        # fast path: chunked "all"-logits prefill while inside the window
+        head = min(n, s)
+        logits_all, cache, pos = self.prefill(token_ids[:head], cache, logits_mode="all")
+        targets = np.asarray(token_ids[1:head], np.int32)
+        lps = np.asarray(token_logprobs(jnp.asarray(logits_all[: head - 1]), jnp.asarray(targets)))
+        sum_lp += float(lps.sum())
+        sum_lp2 += float((lps.astype(np.float64) ** 2).sum())
+        count += len(lps)
+        # wrapped tail: per-token stepping (ring + sink active)
+        while pos < n - 1:
+            logits, cache = self.decode(
+                np.array([token_ids[pos]], np.int32), np.array([pos], np.int32), cache
+            )
+            lp = float(np.asarray(token_logprobs(logits, jnp.asarray([token_ids[pos + 1]])))[0])
+            sum_lp += lp
+            sum_lp2 += lp * lp
+            count += 1
+            pos += 1
+
+        ppl = math.exp(-sum_lp / count)
+        err = ppl * math.sqrt((sum_lp2 - sum_lp * sum_lp / count) / count / count)
+        return ppl, err, count
+
+    # ----------------------------------------------------------- accounting
+
+    @functools.cached_property
+    def _per_token_weight_bytes(self) -> int:
+        cfg = self.cfg
+        p = self.params
+
+        def qbytes(qw):
+            b = qw.values.nbytes
+            if qw.scale is not None:
+                b += qw.scale.nbytes
+            return b
+
+        lw = p.layers
+        weight_bytes = sum(
+            qbytes(w) for w in (lw.wq, lw.wk, lw.wv, lw.wo, lw.w1, lw.w2, lw.w3)
+        )
+        weight_bytes += lw.attn_norm.nbytes + lw.mlp_norm.nbytes
+        # one embedding row read
+        weight_bytes += qbytes(p.embed) // cfg.vocab_size
+        weight_bytes += p.out_norm.nbytes + qbytes(p.wcls)
+        return int(weight_bytes)
+
+    def active_bytes(self, pos: int) -> int:
+        """Bytes touched per decoded token (reference Model::active_bytes,
+        model.cpp:12-35): all live weight bytes + KV cache rows up to kv_len +
+        the KV write. The roofline denominator for GB/s reporting."""
+        cfg = self.cfg
+        kv_len = min(pos + 1, cfg.max_seq_len)
+        kv_elt = jnp.dtype(self.kv_dtype).itemsize
+        kv_read = 2 * cfg.n_layers * kv_len * cfg.kv_dim * kv_elt
+        kv_write = 2 * cfg.n_layers * cfg.kv_dim * kv_elt
+        return self._per_token_weight_bytes + kv_read + kv_write
