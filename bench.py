@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: Mistral-7B FP8 weight-only single-chip decode tok/s.
+
+Matches the reference's measurement regime (reference README.md:7-14 /
+main.cpp:105-127): greedy decode throughput at 4k sliding-window context,
+reported against the published baseline (yalm CUDA on RTX 4090, FP16:
+63.8 tok/s — BASELINE.md) and the chip's HBM roofline.
+
+Weights are random at real 7B shapes (throughput is value-independent; see
+xalm_tpu/utils/synthetic.py). Decode runs as a device-side scan so dispatch
+latency is off the measured path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra context goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xalm_tpu.runtime.engine import Engine
+from xalm_tpu.utils.synthetic import MISTRAL_7B, synthetic_params
+
+BASELINE_TOK_S = 63.8  # yalm FP16 @ RTX 4090, ~120-token generations
+V5E_HBM_GB_S = 819.0  # TPU v5e HBM speed of light
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=96, help="decode steps to time")
+    ap.add_argument("--warmup", type=int, default=16)
+    ap.add_argument("--dtype", default="f8_e4m3", choices=["f8_e4m3", "f8_e5m2", "i8", "bf16", "f16"])
+    ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
+    args = ap.parse_args()
+
+    dt = {
+        "f8_e4m3": jnp.float8_e4m3fn,
+        "f8_e5m2": jnp.float8_e5m2,
+        "i8": jnp.int8,
+        "bf16": jnp.bfloat16,
+        "f16": jnp.float16,
+    }[args.dtype]
+
+    cfg = MISTRAL_7B
+    if args.layers:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, n_layers=args.layers)
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} | backend: {jax.default_backend()}")
+    log(f"building synthetic Mistral-7B ({cfg.n_layers} layers) {args.dtype} params...")
+    t0 = time.time()
+    params = synthetic_params(cfg, weight_dtype=dt)
+    jax.block_until_ready(jax.tree.leaves(params))
+    eng = Engine(cfg, params, None)
+    weight_gb = params.nbytes() / 1e9
+    log(f"params resident: {weight_gb:.2f} GB (built in {time.time() - t0:.1f}s)")
+
+    cache = eng.new_cache(1)
+    log(f"kv cache: {cache.nbytes() / 1e9:.2f} GB f16 @ {cfg.max_seq_len} window")
+
+    # short prompt hydrate (reference benches ~120-token generations from
+    # short prompts, README.md:9)
+    prompt = list(range(1, 17))
+    t0 = time.time()
+    logits, cache, pos = eng.prefill(prompt, cache, logits_mode="last")
+    tok0 = jnp.argmax(logits, -1).astype(jnp.int32)
+    jax.block_until_ready(tok0)
+    log(f"prefill({len(prompt)} tokens): {time.time() - t0:.1f}s (incl. compile)")
+
+    # warmup: compile the scan-decode graph
+    t0 = time.time()
+    toks, cache = eng.decode_scan(tok0, np.array([pos]), cache, args.warmup)
+    jax.block_until_ready(toks)
+    log(f"decode compile+warmup({args.warmup} steps): {time.time() - t0:.1f}s")
+    pos += args.warmup
+
+    # timed run
+    t0 = time.perf_counter()
+    toks, cache = eng.decode_scan(toks[:, -1], np.array([pos]), cache, args.steps)
+    jax.block_until_ready(toks)
+    dt_s = time.perf_counter() - t0
+    tok_s = args.steps / dt_s
+
+    active = eng.active_bytes(pos + args.steps // 2)
+    achieved_gb_s = active * tok_s / 1e9
+    roofline_tok_s = V5E_HBM_GB_S * 1e9 / active
+    log(
+        f"decode: {args.steps} steps in {dt_s:.3f}s -> {tok_s:.2f} tok/s | "
+        f"active bytes/tok {active / 1e9:.2f} GB -> achieved {achieved_gb_s:.0f} GB/s "
+        f"({achieved_gb_s / V5E_HBM_GB_S * 100:.0f}% of v5e roofline; "
+        f"roofline {roofline_tok_s:.1f} tok/s)"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"mistral7b_{args.dtype}_decode_tok_s_per_chip",
+                "value": round(tok_s, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Fused dequant+matmul kernel: pallas (interpret on CPU) vs XLA reference.
+
+The two-backend-same-op comparison strategy of the reference test suite
+(SURVEY.md §4 item 1: "run the same op on two backends / two dtypes and
+compare").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xalm_tpu.models.params import QWeight
+from xalm_tpu.ops.linear import qmatmul
+from xalm_tpu.ops.pallas_matmul import (
+    pallas_qmatmul,
+    pallas_qmatmul_stacked_full,
+    supported_weight_dtype,
+)
+from xalm_tpu import quant
+
+
+def _mk_qweight(rng, l, d, n, tname):
+    w = (rng.normal(size=(l, d, n)) * 0.03).astype(np.float32)
+    q = quant.quantize(w.reshape(l * d, n), tname)
+    values = jnp.asarray(q.values.reshape(l, d, n))
+    scale = jnp.asarray(q.scale.reshape(l, d)) if q.scale is not None else None
+    return QWeight(values, scale), w
+
+
+@pytest.mark.parametrize("tname", ["f32", "bf16", "f8_e4m3", "f8_e5m2", "q8", "i8"])
+def test_stacked_kernel_matches_xla(tname):
+    rng = np.random.default_rng(0)
+    l, d, n, m = 3, 256, 384, 4
+    qw, w = _mk_qweight(rng, l, d, n, tname)
+    x = jnp.asarray(rng.normal(size=(m, n)) * 0.5, jnp.float32)
+    for layer in (0, 2):
+        got = pallas_qmatmul_stacked_full(x, qw.values, qw.scale, jnp.int32(layer))
+        lw = QWeight(qw.values[layer], None if qw.scale is None else qw.scale[layer])
+        ref = qmatmul(x, lw, compute_dtype=jnp.float32, impl="xla")
+        # kernel computes in bf16 (except f32 weights) -> bf16-level tolerance
+        tol = 1e-5 if tname == "f32" else 2e-2
+        err = float(jnp.abs(got - ref).max() / (jnp.abs(ref).max() + 1e-9))
+        assert err < tol, f"{tname} layer {layer}: rel err {err}"
+
+
+def test_unstacked_wrapper_and_leading_dims():
+    rng = np.random.default_rng(1)
+    qw, w = _mk_qweight(rng, 1, 128, 256, "i8")
+    lw = QWeight(qw.values[0], qw.scale[0])
+    x = jnp.asarray(rng.normal(size=(2, 3, 256)), jnp.float32)
+    got = pallas_qmatmul(x, lw)
+    ref = qmatmul(x, lw, impl="xla")
+    assert got.shape == (2, 3, 128)
+    rel = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+    assert rel < 2e-2
+
+
+def test_uneven_d_blocks():
+    """D not a multiple of the tile: final block must be masked correctly."""
+    rng = np.random.default_rng(2)
+    qw, w = _mk_qweight(rng, 1, 320, 256, "f8_e4m3")  # 320 = 2.5 * 128
+    lw = QWeight(qw.values[0], None)
+    x = jnp.asarray(rng.normal(size=(2, 256)), jnp.float32)
+    got = pallas_qmatmul(x, lw)
+    ref = qmatmul(x, lw, impl="xla")
+    assert got.shape == (2, 320)
+    assert float(jnp.abs(got - ref).max() / jnp.abs(ref).max()) < 2e-2
+
+
+def test_supported_dtypes():
+    assert supported_weight_dtype(jnp.int8)
+    assert supported_weight_dtype(jnp.float8_e4m3fn)
+    assert not supported_weight_dtype(jnp.uint8)
+
+
+def test_engine_pallas_impl_matches_xla(tmp_path):
+    """Whole-model check: engine with matmul_impl=pallas (interpret) vs xla."""
+    from tests.make_tiny_model import make_tiny_model
+    from xalm_tpu.convert import convert as cvt
+    from xalm_tpu.runtime.engine import Engine
+
+    hf = make_tiny_model(str(tmp_path / "hf"))
+    out = str(tmp_path / "t.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f8_e4m3"]) == 0
+    toks = [1, 259, 260, 10, 20, 300]
+    eng_x = Engine.from_xalm(out, matmul_impl="xla")
+    eng_p = Engine.from_xalm(out, matmul_impl="pallas")
+    lx, _, _ = eng_x.prefill(toks, eng_x.new_cache(1), logits_mode="all")
+    lp, _, _ = eng_p.prefill(toks, eng_p.new_cache(1), logits_mode="all")
+    # prefill chunk of 6 tokens is small enough for the pallas path (M<=64)
+    np.testing.assert_allclose(lp, lx, rtol=5e-2, atol=1e-2)
+    assert np.all(np.argmax(lp, -1) == np.argmax(lx, -1))

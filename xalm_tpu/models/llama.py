@@ -186,20 +186,54 @@ def forward(
 
     x = embed_lookup(params.embed, tokens)  # (B, T, dim) f32
 
-    def mm(xx, w):
-        return qmatmul(xx, w, compute_dtype=compute_dtype, impl=matmul_impl)
+    lp = params.layers
+    use_pallas = matmul_impl == "pallas"
+
+    def mm(xx, qw: QWeight, layer=None):
+        """Stacked-weight matmul. With the pallas impl, the kernel indexes the
+        stacked (L, D, N) buffer by `layer` via scalar prefetch — the scan
+        never slices weights, so no per-layer HBM copy exists. The xla path
+        slices explicitly (fallback / large-M prefill)."""
+        m = b * xx.shape[1] if xx.ndim == 3 else b
+        if use_pallas and m <= 64 and _pallas_ok(qw):
+            from xalm_tpu.ops.pallas_matmul import (
+                pallas_qmatmul,
+                pallas_qmatmul_stacked_full,
+            )
+
+            if layer is None:
+                return pallas_qmatmul(xx, qw)
+            y = pallas_qmatmul_stacked_full(
+                xx.reshape(-1, xx.shape[-1]), qw.values, qw.scale, layer
+            )
+            return y.reshape(*xx.shape[:-1], y.shape[-1])
+        if layer is not None:
+            qw = QWeight(
+                jax.lax.dynamic_index_in_dim(qw.values, layer, 0, keepdims=False),
+                None
+                if qw.scale is None
+                else jax.lax.dynamic_index_in_dim(qw.scale, layer, 0, keepdims=False),
+            )
+        return qmatmul(xx, qw, compute_dtype=compute_dtype, impl="xla")
+
+    def _pallas_ok(qw: QWeight) -> bool:
+        from xalm_tpu.ops.pallas_matmul import supported_weight_dtype
+
+        return supported_weight_dtype(qw.values.dtype)
 
     clip = cfg.qkv_clip if math.isfinite(cfg.qkv_clip) else None
 
-    def body(carry, layer_in):
+    def _index(arr, layer):
+        return jax.lax.dynamic_index_in_dim(arr, layer, 0, keepdims=False)
+
+    def body(carry, layer):
         x, ck, cv = carry
-        lw, layer = layer_in
 
         # --- attention ---
-        xb = rmsnorm(x, lw.attn_norm, cfg.norm_eps)
-        q = mm(xb, lw.wq)
-        k = mm(xb, lw.wk)
-        v = mm(xb, lw.wv)
+        xb = rmsnorm(x, _index(lp.attn_norm, layer), cfg.norm_eps)
+        q = mm(xb, lp.wq, layer)
+        k = mm(xb, lp.wk, layer)
+        v = mm(xb, lp.wv, layer)
         if clip is not None:
             q = jnp.clip(q, -clip, clip)
             k = jnp.clip(k, -clip, clip)
@@ -223,21 +257,21 @@ def forward(
         kl = jax.lax.dynamic_index_in_dim(ck, layer, axis=0, keepdims=False)
         vl = jax.lax.dynamic_index_in_dim(cv, layer, axis=0, keepdims=False)
         attn_out = attention(q, kl, vl, kv_len, cfg)
-        x = x + mm(attn_out, lw.wo)
+        x = x + mm(attn_out, lp.wo, layer)
 
         # --- GLU FFN ---
-        xb = rmsnorm(x, lw.mlp_norm, cfg.norm_eps)
-        gate = mm(xb, lw.w1)
-        up = mm(xb, lw.w3)
+        xb = rmsnorm(x, _index(lp.mlp_norm, layer), cfg.norm_eps)
+        gate = mm(xb, lp.w1, layer)
+        up = mm(xb, lp.w3, layer)
         if cfg.act == "silu":
             act = jax.nn.silu(gate)
         else:
             act = jax.nn.gelu(gate, approximate=True)
-        x = x + mm(act * up, lw.w2)
+        x = x + mm(act * up, lp.w2, layer)
         return (x, ck, cv), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), (params.layers, layer_ids))
+    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), layer_ids)
     new_cache = KVCache(k=ck, v=cv)
 
     if logits_mode == "none":
@@ -245,7 +279,7 @@ def forward(
     if logits_mode == "last":
         x = x[:, -1:]
     xn = rmsnorm(x, params.out_norm, cfg.norm_eps)
-    logits = qmatmul(xn, params.wcls, compute_dtype=compute_dtype, impl=matmul_impl)
+    logits = mm(xn, params.wcls)
     if logits_mode == "last":
         logits = logits[:, 0]
     return logits, new_cache

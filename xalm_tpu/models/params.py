@@ -127,16 +127,25 @@ def _load_qweight(xf, name: str, expect_shape: tuple[int, ...]) -> tuple[np.ndar
     return values, scale
 
 
-def load_params(xf, cfg: ModelConfig, device_put=True) -> ModelParams:
+def load_params(xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto") -> ModelParams:
     """Load and stack all weights from an open XalmFile.
 
     Shape validation matches the reference loader (model.cpp:62-81). Stacking
     is host-side numpy (cheap views -> one contiguous stack per weight kind),
     then a single device transfer per stacked tensor.
+
+    ``f16_mode``: what to do with f16 container weights — "auto" converts to
+    bf16 on TPU (Mosaic has no f16; same byte count, ~3 fewer mantissa bits)
+    and keeps f16 elsewhere; "keep" / "bf16" / "f32" force.
     """
+    if f16_mode == "auto":
+        f16_mode = "bf16" if jax.default_backend() == "tpu" else "keep"
+    _f16_target = {"keep": None, "bf16": jnp.bfloat16, "f32": jnp.float32}[f16_mode]
 
     def put(x):
         arr = jnp.asarray(x) if device_put else x
+        if arr.dtype == jnp.float16 and _f16_target is not None:
+            arr = arr.astype(_f16_target)
         return arr
 
     def stack_qw(name_fmt: str, expect_shape) -> QWeight:

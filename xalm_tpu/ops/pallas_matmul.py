@@ -1,0 +1,137 @@
+"""Fused dequant+matmul Pallas kernel — the decode hot path.
+
+TPU-native replacement for the reference's templated dequant-and-dot matvec
+(reference src/infer.cpp:104-222): quantized weight tiles stream HBM->VMEM
+through the Pallas pipeline (double-buffered by the grid), are dequantized
+in VMEM registers, and hit the MXU — the dequantized matrix never exists in
+HBM, so bytes moved per token = quantized weight bytes, which is what the
+>=90%-of-roofline target requires (BASELINE.json).
+
+Key design point: weights stay **stacked** (L, D, N) and the layer is chosen
+by a scalar-prefetch index feeding the BlockSpec index_map. The layer scan
+never slices the weight array, so XLA never materializes a per-layer copy —
+the kernel DMAs tiles straight out of the stacked HBM buffer.
+
+Per-row scales (`i8`) multiply the (tiny) output outside the kernel; the
+reference's fixed-scale `q8` multiplies by 1/100 the same way.
+
+Compute: inputs cast to bf16 in VMEM (f32 for f32/f16 weights), f32 MXU
+accumulation. At decode the MXU is idle either way — HBM bandwidth is the
+wall — so dequant cost is hidden entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xalm_tpu.models.params import Q8_FIXED_SCALE, QWeight
+
+__all__ = ["pallas_qmatmul_stacked", "pallas_qmatmul", "supported_weight_dtype"]
+
+# Per-block VMEM budget for the weight tile (double-buffered by the pipeline;
+# the bf16 dequant copy lives alongside, so real usage is ~3x this).
+_WEIGHT_BLOCK_BYTES = 2 * 1024 * 1024
+_MAX_TD = 1024
+# v5e has 128 MiB of VMEM; XLA's default 16 MiB scoped limit is far below
+# what a double-buffered weight stream wants.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def supported_weight_dtype(dtype) -> bool:
+    # f16 is absent: Mosaic has no f16 support on TPU ("Unsupported type in
+    # mosaic dialect: f16") — the loader converts f16 checkpoints to bf16 on
+    # TPU instead (see models/params.load_params f16_mode).
+    return jnp.dtype(dtype) in (
+        jnp.dtype(jnp.int8),
+        jnp.dtype(jnp.float8_e4m3fn),
+        jnp.dtype(jnp.float8_e5m2),
+        jnp.dtype(jnp.bfloat16),
+        jnp.dtype(jnp.float32),
+    )
+
+
+def _tile_d(d: int, n: int, itemsize: int) -> int:
+    td = _WEIGHT_BLOCK_BYTES // (n * itemsize)
+    td = max(128, min(_MAX_TD, td // 128 * 128))
+    return min(td, pl.cdiv(d, 128) * 128)
+
+
+def _dequant_cast(w, out_dtype):
+    """Storage dtype -> MXU input dtype, in VMEM."""
+    return w.astype(out_dtype)
+
+
+def _kernel(l_ref, x_ref, w_ref, o_ref, *, compute_dtype):
+    del l_ref  # consumed by the index_map
+    w = _dequant_cast(w_ref[0], compute_dtype)
+    x = x_ref[:].astype(compute_dtype)
+    o_ref[:] = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def pallas_qmatmul_stacked(
+    x: jax.Array,  # (M, N) activations, f32
+    values: jax.Array,  # (L, D, N) stacked quantized weights
+    layer: jax.Array,  # scalar int32 layer index
+) -> jax.Array:
+    """y[M, D] = dequant(values[layer]) @ x^T, fused. M must be small (decode)."""
+    m, n = x.shape
+    l, d, n2 = values.shape
+    assert n == n2, (x.shape, values.shape)
+    compute_dtype = jnp.float32 if values.dtype == jnp.float32 else jnp.bfloat16
+    td = _tile_d(d, n, values.dtype.itemsize)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(d, td),),
+        in_specs=[
+            pl.BlockSpec((m, n), lambda i, lr: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, td, n), lambda i, lr: (lr[0], i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, td), lambda i, lr: (0, i), memory_space=pltpu.VMEM),
+    )
+    bytes_accessed = td * n * values.dtype.itemsize * pl.cdiv(d, td) + m * n * 4 + m * d * 4
+    return pl.pallas_call(
+        functools.partial(_kernel, compute_dtype=compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * d, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        # interpreter on non-TPU backends so the kernel is testable on the
+        # CPU mesh (SURVEY.md §4: jit-vs-interpret pallas kernel checks)
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, values)
+
+
+def pallas_qmatmul_stacked_full(
+    x: jax.Array,
+    values: jax.Array,
+    scale: jax.Array | None,
+    layer: jax.Array,
+) -> jax.Array:
+    y = pallas_qmatmul_stacked(x, values, layer)
+    if values.dtype == jnp.int8:
+        if scale is not None:
+            row = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
+            y = y * row
+        else:
+            y = y * Q8_FIXED_SCALE
+    return y
+
+
+def pallas_qmatmul(x: jax.Array, w: QWeight, *, out_dtype=jnp.float32) -> jax.Array:
+    """Unstacked convenience wrapper: x (..., N) @ dequant(w (D, N))^T."""
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    xm = x.reshape(-1, n).astype(jnp.float32)
+    values = w.values[None]
+    scale = w.scale[None] if w.scale is not None else None
+    y = pallas_qmatmul_stacked_full(xm, values, scale, jnp.int32(0))
+    return y.reshape(*lead, -1).astype(out_dtype)

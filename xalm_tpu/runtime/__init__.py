@@ -1,2 +1,3 @@
+# Engine is imported from xalm_tpu.runtime.engine directly — re-exporting it
+# here would cycle (engine -> models.llama -> runtime.cache -> this package).
 from xalm_tpu.runtime.cache import KVCache, ring_indices  # noqa: F401
-from xalm_tpu.runtime.engine import Engine  # noqa: F401

@@ -81,6 +81,10 @@ class Engine:
         self.tokenizer = tokenizer
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
+        if matmul_impl == "auto":
+            # fused pallas dequant+matmul on TPU; XLA dots elsewhere (the
+            # forward itself falls back to xla for large-M prefill chunks)
+            matmul_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.matmul_impl = matmul_impl
 
         def _fwd(params, tokens, pos, cache, valid, *, logits_mode):
@@ -98,6 +102,36 @@ class Engine:
 
         # cache (arg 3) donated: decode updates it in place in HBM.
         self._fwd = jax.jit(_fwd, static_argnames=("logits_mode",), donate_argnums=(3,))
+
+        def _decode_scan(params, token0, pos0, cache, n_steps: int):
+            """n_steps of greedy decode entirely on device — one dispatch for
+            the whole generation (the reference's per-token host loop costs
+            nothing on CPU but would gate TPU tok/s on dispatch latency,
+            SURVEY.md §7 'hard parts')."""
+
+            def step(carry, _):
+                token, p, ck, cv = carry
+                logits, new_cache = forward(
+                    params,
+                    cfg,
+                    token[:, None],
+                    p,
+                    KVCache(ck, cv),
+                    logits_mode="last",
+                    compute_dtype=compute_dtype,
+                    matmul_impl=self.matmul_impl,
+                )
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (nxt, p + 1, new_cache.k, new_cache.v), nxt
+
+            (tok, p, ck, cv), tokens = jax.lax.scan(
+                step, (token0, pos0, cache.k, cache.v), None, length=n_steps
+            )
+            return tokens.T, KVCache(ck, cv)  # (B, n_steps)
+
+        self._decode_scan = jax.jit(
+            _decode_scan, static_argnames=("n_steps",), donate_argnums=(3,)
+        )
 
     # ------------------------------------------------------------------ load
 
@@ -135,6 +169,17 @@ class Engine:
         tokens = jnp.asarray(tokens, jnp.int32)
         pos = jnp.asarray(pos, jnp.int32)
         return self._fwd(self.params, tokens, pos, cache, valid, logits_mode=logits_mode)
+
+    def decode_scan(self, tokens, pos, cache: KVCache, n_steps: int):
+        """Greedy-decode n_steps on device. tokens (B,), pos (B,) ->
+        (generated (B, n_steps) int32, cache)."""
+        return self._decode_scan(
+            self.params,
+            jnp.asarray(tokens, jnp.int32),
+            jnp.asarray(pos, jnp.int32),
+            cache,
+            n_steps,
+        )
 
     def decode(self, tokens, pos, cache: KVCache):
         """One decode step: tokens (B,), pos (B,) -> logits (B, vocab)."""

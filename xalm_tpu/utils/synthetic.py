@@ -1,0 +1,88 @@
+"""Synthetic (random) model parameters at real shapes.
+
+Decode throughput is weight-value-independent (the engine is
+bandwidth-bound; reference README.md:7-14 measures the same way), so
+benchmarks use randomly initialized parameters at Mistral-7B shapes —
+no 14 GB checkpoint needed in CI or the bench harness. Deterministic
+(jax PRNG, fixed seed; the fixture convention mirrors reference
+tensor.cpp:94's fixed seed 42).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from xalm_tpu.models.config import ModelConfig
+from xalm_tpu.models.params import LayerParams, ModelParams, QWeight
+
+__all__ = ["MISTRAL_7B", "synthetic_params"]
+
+# Mistral-7B-Instruct-v0.2 geometry (HF config; reference README.md:4).
+MISTRAL_7B = ModelConfig(
+    dim=4096,
+    hidden_dim=14336,
+    head_dim=128,
+    n_layers=32,
+    n_heads=32,
+    n_kv_heads=8,
+    vocab_size=32000,
+    max_seq_len=4096,  # the reference's clamped sliding window (model.h:54-56)
+    rope_theta=1e6,
+    rotary_dim=128,
+    norm_eps=1e-5,
+    act="silu",
+    tie_word_embeddings=False,
+)
+
+
+def _synth_qweight(key, shape, weight_dtype, scale_mag=0.02) -> QWeight:
+    # generate in bf16 to halve the transient footprint at 7B scale
+    w = jax.random.normal(key, shape, jnp.bfloat16) * scale_mag
+    if weight_dtype == jnp.int8:
+        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(
+            jnp.round(w.astype(jnp.float32) / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+        return QWeight(q, scale.astype(jnp.float32))
+    return QWeight(w.astype(weight_dtype), None)
+
+
+def synthetic_params(
+    cfg: ModelConfig,
+    weight_dtype=jnp.float8_e4m3fn,
+    embed_dtype=jnp.bfloat16,  # the converter boosts embeds to 16-bit;
+    # bf16 rather than f16 because Mosaic has no f16 (see ops/pallas_matmul)
+    seed: int = 42,
+) -> ModelParams:
+    """Random ModelParams at cfg's shapes, weight-only quantized like the
+    converter would (body in ``weight_dtype``, embeds boosted, f32 norms)."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), 12)
+    L, d, h, q, kv, v = (
+        cfg.n_layers,
+        cfg.dim,
+        cfg.hidden_dim,
+        cfg.q_dim,
+        cfg.kv_dim,
+        cfg.vocab_size,
+    )
+    layers = LayerParams(
+        attn_norm=jnp.ones((L, d), jnp.float32),
+        wq=_synth_qweight(keys[0], (L, q, d), weight_dtype),
+        wk=_synth_qweight(keys[1], (L, kv, d), weight_dtype),
+        wv=_synth_qweight(keys[2], (L, kv, d), weight_dtype),
+        wo=_synth_qweight(keys[3], (L, d, q), weight_dtype),
+        mlp_norm=jnp.ones((L, d), jnp.float32),
+        w1=_synth_qweight(keys[4], (L, h, d), weight_dtype),
+        w2=_synth_qweight(keys[5], (L, d, h), weight_dtype),
+        w3=_synth_qweight(keys[6], (L, h, d), weight_dtype),
+    )
+    embed = _synth_qweight(keys[7], (v, d), embed_dtype, scale_mag=0.05)
+    wcls = embed if cfg.tie_word_embeddings else _synth_qweight(keys[8], (v, d), embed_dtype, scale_mag=0.05)
+    return ModelParams(
+        embed=embed,
+        layers=layers,
+        out_norm=jnp.ones((d,), jnp.float32),
+        wcls=wcls,
+    )
