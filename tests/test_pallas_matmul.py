@@ -70,7 +70,10 @@ def test_uneven_d_blocks():
 
 def test_supported_dtypes():
     assert supported_weight_dtype(jnp.int8)
-    assert supported_weight_dtype(jnp.float8_e4m3fn)
+    assert supported_weight_dtype(jnp.bfloat16)
+    # fp8 deliberately routes to XLA's fused convert+dot: Mosaic's f8 cast
+    # measured ~78 GB/s on v5e vs ~313 GB/s for the XLA fusion
+    assert not supported_weight_dtype(jnp.float8_e4m3fn)
     assert not supported_weight_dtype(jnp.uint8)
 
 

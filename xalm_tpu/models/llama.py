@@ -103,9 +103,12 @@ def attention(
     Ring order is attention-order-irrelevant: keys are pre-rotated, scores are
     position-agnostic beyond that (reference attn, infer.cpp:325-359).
     """
-    b, t, _, hd = q.shape
-    kh = cfg.n_kv_heads
-    g = cfg.group_size
+    # head counts come from the *arrays*, not cfg — under tensor parallelism
+    # these are the local shard's heads (n_heads/tp, n_kv_heads/tp); the GQA
+    # group ratio is shard-invariant because tp divides n_kv_heads.
+    b, t, hq, hd = q.shape
+    kh = k.shape[2]
+    g = hq // kh
     s = k.shape[1]
     qg = q.reshape(b, t, kh, g, hd) * (1.0 / math.sqrt(hd))
     scores = jnp.einsum(
@@ -123,7 +126,7 @@ def attention(
     out = jnp.einsum(
         "bkgts,bskh->btkgh", att, v.astype(jnp.float32), preferred_element_type=jnp.float32
     )
-    return out.reshape(b, t, cfg.q_dim)
+    return out.reshape(b, t, hq * hd)
 
 
 def _write_rows(cache: jax.Array, layer, kv_pos: jax.Array, rows: jax.Array) -> jax.Array:
@@ -144,11 +147,11 @@ def _rotate_sinks(
 ) -> jax.Array:
     """Rotate the pinned sink keys forward by +1 position for wrapped
     sequences (reference infer.cpp:416-431). T=1 decode only."""
-    l_b = cache_k.shape[1]
+    _, l_b, _, kh, hd = cache_k.shape  # kh = local kv heads under tp
     sinks = jax.lax.dynamic_slice(
         cache_k,
         (layer, 0, 0, 0, 0),
-        (1, l_b, KV_SINKS, cfg.n_kv_heads, cfg.head_dim),
+        (1, l_b, KV_SINKS, kh, hd),
     )[0]
     ones = jnp.ones((l_b, KV_SINKS), dtype=jnp.int32)
     rotated = apply_rope(sinks.astype(jnp.float32), ones, freqs).astype(cache_k.dtype)
@@ -167,6 +170,7 @@ def forward(
     logits_mode: LogitsMode = "last",
     compute_dtype=jnp.float32,
     matmul_impl: str = "auto",
+    tp_axis: str | None = None,
 ):
     """One jitted step over a (B, T) token block. Returns (logits, cache).
 
@@ -174,6 +178,14 @@ def forward(
     ("none" is the reference's HYDRATE_KV_CACHE early-out, infer.cpp:620-623).
     Tokens with ``valid == False`` neither write the cache nor produce
     meaningful logits (their KV write is dropped out-of-bounds).
+
+    Tensor parallelism: when called inside ``shard_map`` with ``tp_axis``
+    set, params must carry megatron-style local shards (see
+    xalm_tpu/parallel/shardings.py): wq/wk/wv/w1/w3 column-sharded (local
+    heads / local hidden), wo/w2 row-sharded producing partial sums that are
+    ``psum``'d here before the residual add, and wcls vocab-sharded (logits
+    come back vocab-local). GQA stays chip-local because KV heads shard with
+    the query heads (SURVEY.md §7 "GQA head mapping + sharding interplay").
     """
     b, t = tokens.shape
     s = cfg.max_seq_len
@@ -238,9 +250,10 @@ def forward(
             q = jnp.clip(q, -clip, clip)
             k = jnp.clip(k, -clip, clip)
             v = jnp.clip(v, -clip, clip)
-        q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        # -1: local head counts under tensor parallelism
+        q = q.reshape(b, t, -1, cfg.head_dim)
+        k = k.reshape(b, t, -1, cfg.head_dim)
+        v = v.reshape(b, t, -1, cfg.head_dim)
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
@@ -257,7 +270,11 @@ def forward(
         kl = jax.lax.dynamic_index_in_dim(ck, layer, axis=0, keepdims=False)
         vl = jax.lax.dynamic_index_in_dim(cv, layer, axis=0, keepdims=False)
         attn_out = attention(q, kl, vl, kv_len, cfg)
-        x = x + mm(attn_out, lp.wo, layer)
+        attn_proj = mm(attn_out, lp.wo, layer)
+        if tp_axis is not None:
+            # row-parallel wo produced partial sums over the sharded head dim
+            attn_proj = jax.lax.psum(attn_proj, tp_axis)
+        x = x + attn_proj
 
         # --- GLU FFN ---
         xb = rmsnorm(x, _index(lp.mlp_norm, layer), cfg.norm_eps)
@@ -267,7 +284,11 @@ def forward(
             act = jax.nn.silu(gate)
         else:
             act = jax.nn.gelu(gate, approximate=True)
-        x = x + mm(act * up, lp.w2, layer)
+        down = mm(act * up, lp.w2, layer)
+        if tp_axis is not None:
+            # row-parallel w2: partial sums over the sharded hidden dim
+            down = jax.lax.psum(down, tp_axis)
+        x = x + down
         return (x, ck, cv), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)

@@ -46,10 +46,15 @@ def supported_weight_dtype(dtype) -> bool:
     # f16 is absent: Mosaic has no f16 support on TPU ("Unsupported type in
     # mosaic dialect: f16") — the loader converts f16 checkpoints to bf16 on
     # TPU instead (see models/params.load_params f16_mode).
+    #
+    # fp8 is absent for a different reason: v5e has no native fp8 MXU path
+    # and Mosaic's f8->bf16 cast lowers to ~78 GB/s of VPU work (measured),
+    # drowning the 819 GB/s HBM stream. XLA's convert+dot fusion does the
+    # same dequant at ~313 GB/s, so fp8 weights take the XLA path (see
+    # ops/linear.qmatmul); int8 casts are hardware-native and free, which is
+    # why `i8` is the performance-representative 8-bit format on v5e.
     return jnp.dtype(dtype) in (
         jnp.dtype(jnp.int8),
-        jnp.dtype(jnp.float8_e4m3fn),
-        jnp.dtype(jnp.float8_e5m2),
         jnp.dtype(jnp.bfloat16),
         jnp.dtype(jnp.float32),
     )

@@ -1,0 +1,217 @@
+"""Tensor/data-parallel engine: the single-chip Engine over a device mesh.
+
+``forward`` runs under ``jax.shard_map`` with megatron-style local shards
+(xalm_tpu/parallel/shardings.py): every matmul and the Pallas kernels see
+local arrays, the two row-parallel reductions psum over ICI inside the layer
+scan, and greedy sampling does a distributed argmax over the vocab-sharded
+logits. dp shards the batch (continuous-batching slots) with no collectives
+on the decode path.
+
+The reference has no distributed mode (SURVEY.md §2.4); this is the
+target-platform extension scaled per BASELINE.json (tensor-sharded weights +
+KV over a v5e slice, >=85% 2-host efficiency target).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from xalm_tpu.models.config import ModelConfig
+from xalm_tpu.models.llama import forward
+from xalm_tpu.models.params import ModelParams, QWeight
+from xalm_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+from xalm_tpu.parallel.shardings import cache_pspecs, param_pspecs, validate_tp
+from xalm_tpu.runtime.cache import KVCache
+from xalm_tpu.runtime.engine import Engine
+from xalm_tpu.tokenizer import Tokenizer
+
+__all__ = ["ShardedEngine", "sharded_argmax"]
+
+
+def sharded_argmax(logits: jax.Array, axis_name: str) -> jax.Array:
+    """Greedy token over a vocab-sharded (B, V_local) logits array.
+
+    Local argmax per shard, then a global winner pick over the tp axis —
+    no full-vocab all-gather.
+    """
+    vloc = logits.shape[-1]
+    loc_idx = jnp.argmax(logits, axis=-1)  # (B,)
+    loc_val = jnp.take_along_axis(logits, loc_idx[:, None], axis=-1)[:, 0]
+    shard = jax.lax.axis_index(axis_name)
+    glob_idx = loc_idx + shard * vloc
+    vals = jax.lax.all_gather(loc_val, axis_name)  # (tp, B)
+    idxs = jax.lax.all_gather(glob_idx, axis_name)  # (tp, B)
+    winner = jnp.argmax(vals, axis=0)  # (B,)
+    return jnp.take_along_axis(idxs, winner[None], axis=0)[0].astype(jnp.int32)
+
+
+def _pspecs_like(params: ModelParams, cfg: ModelConfig) -> ModelParams:
+    """param_pspecs with scale specs dropped wherever params carry None
+    (pytree structures must match for shard_map)."""
+    specs = param_pspecs(cfg)
+
+    def fix(qw_spec, qw):
+        if isinstance(qw, QWeight):
+            return QWeight(
+                qw_spec.values, qw_spec.scale if qw.scale is not None else None
+            )
+        return qw_spec
+
+    return jax.tree.map(
+        fix,
+        specs,
+        params,
+        is_leaf=lambda x: isinstance(x, QWeight) or x is None,
+    )
+
+
+class ShardedEngine(Engine):
+    """Engine whose step functions run under shard_map over a (dp, tp) mesh."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: ModelParams,
+        tokenizer: Tokenizer | None,
+        mesh: Mesh,
+        *,
+        kv_dtype=jnp.float16,
+        compute_dtype=jnp.float32,
+        matmul_impl: str = "auto",
+    ):
+        self.mesh = mesh
+        tp = mesh.shape[AXIS_TP]
+        validate_tp(cfg, tp)
+
+        if matmul_impl == "auto":
+            matmul_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+        pspecs = _pspecs_like(params, cfg)
+        params = jax.tree.map(
+            lambda x, s: None
+            if x is None
+            else jax.device_put(x, NamedSharding(mesh, s)),
+            params,
+            pspecs,
+            is_leaf=lambda x: x is None,
+        )
+
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.kv_dtype = kv_dtype
+        self.compute_dtype = compute_dtype
+        self.matmul_impl = matmul_impl
+        cspecs = cache_pspecs(cfg)
+
+        data_spec = P(AXIS_DP)  # tokens/pos/valid: batch over dp
+        tok2 = P(AXIS_DP, None)
+
+        def local_fwd(params, tokens, pos, ck, cv, valid, logits_mode):
+            logits, cache = forward(
+                params,
+                cfg,
+                tokens,
+                pos,
+                KVCache(ck, cv),
+                valid,
+                logits_mode=logits_mode,
+                compute_dtype=compute_dtype,
+                matmul_impl=matmul_impl,
+                tp_axis=AXIS_TP,
+            )
+            return logits, cache.k, cache.v
+
+        def make_fwd(logits_mode):
+            out_logits_spec = (
+                P(AXIS_DP, AXIS_TP)
+                if logits_mode == "last"
+                else P(AXIS_DP, None, AXIS_TP)
+            )
+            fn = jax.shard_map(
+                lambda p, t, ps, ck, cv, v: local_fwd(p, t, ps, ck, cv, v, logits_mode),
+                mesh=mesh,
+                in_specs=(pspecs, tok2, data_spec, cspecs.k, cspecs.v, tok2),
+                out_specs=(out_logits_spec, cspecs.k, cspecs.v),
+                check_vma=False,
+            )
+            return fn
+
+        fwd_last = make_fwd("last")
+        fwd_all = make_fwd("all")
+        fwd_none = jax.shard_map(
+            lambda p, t, ps, ck, cv, v: local_fwd(p, t, ps, ck, cv, v, "none")[1:],
+            mesh=mesh,
+            in_specs=(pspecs, tok2, data_spec, cspecs.k, cspecs.v, tok2),
+            out_specs=(cspecs.k, cspecs.v),
+            check_vma=False,
+        )
+
+        def _fwd(params, tokens, pos, cache, valid, *, logits_mode):
+            if valid is None:
+                valid = jnp.ones(tokens.shape, bool)
+            if logits_mode == "none":
+                ck, cv = fwd_none(params, tokens, pos, cache.k, cache.v, valid)
+                return None, KVCache(ck, cv)
+            fn = fwd_last if logits_mode == "last" else fwd_all
+            logits, ck, cv = fn(params, tokens, pos, cache.k, cache.v, valid)
+            return logits, KVCache(ck, cv)
+
+        self._fwd = jax.jit(_fwd, static_argnames=("logits_mode",), donate_argnums=(3,))
+
+        def _decode_scan(params, token0, pos0, ck, cv, n_steps: int):
+            def local(params, token0, pos0, ck, cv):
+                def step(carry, _):
+                    tok, p, ck, cv = carry
+                    logits, cache = forward(
+                        params,
+                        cfg,
+                        tok[:, None],
+                        p,
+                        KVCache(ck, cv),
+                        logits_mode="last",
+                        compute_dtype=compute_dtype,
+                        matmul_impl=matmul_impl,
+                        tp_axis=AXIS_TP,
+                    )
+                    nxt = sharded_argmax(logits, AXIS_TP)
+                    return (nxt, p + 1, cache.k, cache.v), nxt
+
+                (tok, p, ck, cv), toks = jax.lax.scan(
+                    step, (token0, pos0, ck, cv), None, length=n_steps
+                )
+                return toks.T, ck, cv
+
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(pspecs, data_spec, data_spec, cspecs.k, cspecs.v),
+                out_specs=(tok2, cspecs.k, cspecs.v),
+                check_vma=False,
+            )(params, token0, pos0, ck, cv)
+
+        _ds = jax.jit(_decode_scan, static_argnames=("n_steps",), donate_argnums=(3, 4))
+        self._decode_scan = lambda params, t0, p0, cache, n_steps: (
+            lambda out: (out[0], KVCache(out[1], out[2]))
+        )(_ds(params, t0, p0, cache.k, cache.v, n_steps))
+
+    @classmethod
+    def from_xalm(cls, path: str, mesh: Mesh, *, context: int = 0, **kw) -> "ShardedEngine":
+        from xalm_tpu.io import XalmFile
+        from xalm_tpu.models.params import load_params
+
+        xf = XalmFile(path)
+        cfg = ModelConfig.from_metadata(xf.config, context)
+        params = load_params(xf, cfg, device_put=False)
+        tokenizer = Tokenizer.from_xalm(xf) if "tokenizer.tokens" in xf else None
+        xf.close()
+        return cls(cfg, params, tokenizer, mesh, **kw)
+
+    def new_cache(self, batch: int = 1) -> KVCache:
+        cache = KVCache.init(self.cfg, batch, self.kv_dtype)
+        from xalm_tpu.parallel.shardings import shard_cache
+
+        return shard_cache(cache, self.cfg, self.mesh)
