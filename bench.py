@@ -81,17 +81,19 @@ def main() -> int:
     jax.block_until_ready(tok0)
     log(f"prefill({len(prompt)} tokens): {time.time() - t0:.1f}s (incl. compile)")
 
-    # warmup: compile the scan-decode graph
+    # warmup: compile the scan-decode graph (same step count as the timed run
+    # so exactly one program is compiled)
     t0 = time.time()
-    toks, cache = eng.decode_scan(tok0, np.array([pos]), cache, args.warmup)
-    jax.block_until_ready(toks)
-    log(f"decode compile+warmup({args.warmup} steps): {time.time() - t0:.1f}s")
-    pos += args.warmup
+    toks, cache = eng.decode_scan(tok0, np.array([pos]), cache, args.steps)
+    toks = np.asarray(toks)
+    log(f"decode compile+warmup({args.steps} steps): {time.time() - t0:.1f}s")
+    pos += args.steps
 
-    # timed run
+    # timed run (np.asarray forces a real host readback — block_until_ready
+    # alone is unreliable through the axon tunnel)
     t0 = time.perf_counter()
-    toks, cache = eng.decode_scan(toks[:, -1], np.array([pos]), cache, args.steps)
-    jax.block_until_ready(toks)
+    toks, cache = eng.decode_scan(toks[:, -1].copy(), np.array([pos]), cache, args.steps)
+    toks = np.asarray(toks)
     dt_s = time.perf_counter() - t0
     tok_s = args.steps / dt_s
 

@@ -1,0 +1,65 @@
+"""Continuous batching: batched greedy results must equal solo runs."""
+
+import numpy as np
+import pytest
+
+from tests.make_tiny_model import make_tiny_model
+from xalm_tpu.convert import convert as cvt
+from xalm_tpu.runtime.engine import Engine
+from xalm_tpu.serve.batching import ContinuousBatcher, Request
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    return Engine.from_xalm(out)
+
+
+def _solo(engine, prompt, n):
+    out, _ = engine.generate(prompt, n, stop_on_eos=False)
+    return out
+
+
+def test_batched_equals_solo(engine):
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, 350, size=l).tolist() for l in (4, 9, 6, 13)]
+    n_new = [6, 3, 8, 5]
+    solo = [_solo(engine, p, n) for p, n in zip(prompts, n_new)]
+
+    batcher = ContinuousBatcher(engine, max_batch=3)  # fewer slots than reqs
+    reqs = [
+        Request(prompt_ids=p, max_new_tokens=n, stop_on_eos=False)
+        for p, n in zip(prompts, n_new)
+    ]
+    for r in reqs:
+        batcher.submit(r)
+    done = batcher.run()
+    assert len(done) == 4
+    by_id = {r.id: r for r in done}
+    for i, (p, n) in enumerate(zip(prompts, n_new)):
+        assert by_id[i].out_tokens == solo[i], f"request {i}"
+    assert batcher.decoded_tokens > 0
+    assert all(r.finished_s >= r.submitted_s for r in done)
+
+
+def test_eos_stops_early(engine):
+    # craft a prompt; eos id is 2 — force stop by limiting max_new and
+    # checking the stop_on_eos path doesn't crash with real tokenizer
+    batcher = ContinuousBatcher(engine, max_batch=2)
+    r = Request(prompt_ids=[1, 259, 260], max_new_tokens=50, stop_on_eos=True)
+    batcher.submit(r)
+    done = batcher.run()
+    assert done[0].done
+    assert 1 <= len(done[0].out_tokens) <= 50
+
+
+def test_streaming_callback(engine):
+    got = []
+    r = Request(prompt_ids=[1, 259], max_new_tokens=4, stop_on_eos=False,
+                on_token=got.append)
+    b = ContinuousBatcher(engine, max_batch=1)
+    b.submit(r)
+    b.run()
+    assert got == r.out_tokens and len(got) == 4
