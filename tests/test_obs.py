@@ -1,0 +1,66 @@
+"""Observability: histogram sparklines, tensor dumps, container CLI, profiler."""
+
+import numpy as np
+import pytest
+
+from tests.make_tiny_model import make_tiny_model
+from xalm_tpu.convert import convert as cvt
+from xalm_tpu.obs.inspect import container_cli, format_tensor
+from xalm_tpu.obs.profiler import profile, report, reset
+from xalm_tpu.obs.stats import Histogram
+
+
+def test_histogram():
+    h = Histogram(np.linspace(-1, 1, 1000))
+    assert h.n == 1000
+    assert h.min == -1 and h.max == 1
+    assert abs(h.mean) < 1e-9
+    line = h.sparkline()
+    assert len(line) == 10
+    # uniform data -> all bins roughly equal height
+    assert len(set(line)) <= 2
+
+    g = Histogram(np.random.default_rng(0).normal(size=5000))
+    s = g.sparkline()
+    assert s[4] > s[0] and s[5] > s[9]  # bell shape
+
+    off, scale = Histogram(np.array([2.0, 6.0])).suggest_scale()
+    assert off == 4.0 and scale == 0.5
+
+    assert "min=" in g.format()
+
+
+def test_format_tensor():
+    arr = np.random.default_rng(1).normal(size=(4, 64)).astype(np.float32)
+    out = format_tensor(arr, "w")
+    assert "w float32 4x64" in out
+    assert out.count("\n") >= 7
+    big = format_tensor(np.zeros((40, 8), np.float32), "z", max_rows=4)
+    assert "more rows" in big
+
+
+def test_container_cli(tmp_path, capsys):
+    hf = make_tiny_model(str(tmp_path / "hf"))
+    out = str(tmp_path / "t.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "i8"]) == 0
+    assert container_cli([out, "--verify"]) == 0
+    text = capsys.readouterr().out
+    assert "embed.weight" in text and "hashes verified" in text
+    assert container_cli([out, "--dump", "l.0.attn.q.weight"]) == 0
+    text = capsys.readouterr().out
+    assert "l.0.attn.q.weight float32" in text
+
+
+def test_profiler():
+    reset()
+    with profile("outer"):
+        with profile("inner"):
+            pass
+    with profile("inner"):
+        pass
+    rep = report()
+    assert "outer" in rep and "inner" in rep
+    from xalm_tpu.obs.profiler import get
+
+    total, calls = get("inner")
+    assert calls == 2 and total >= 0
