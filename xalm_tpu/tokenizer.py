@@ -66,6 +66,16 @@ class Tokenizer:
                 node = entry[1]
             entry[0] = i
 
+        # native C++ trie fast path (xalm_tpu/native.py); encode() falls back
+        # to the Python trie when the toolchain/library is unavailable
+        self._native = None
+        try:
+            from xalm_tpu.native import NativeTrie
+
+            self._native = NativeTrie(blob, self.bos_id, self.eos_id)
+        except Exception:
+            self._native = None
+
     @classmethod
     def from_xalm(cls, xf) -> "Tokenizer":
         return cls(
@@ -80,6 +90,8 @@ class Tokenizer:
 
     def encode(self, text: str | bytes, bos: bool = True) -> list[int]:
         data = text.encode("utf-8") if isinstance(text, str) else text
+        if self._native is not None:
+            return self._native.encode(data, bos)
         out: list[int] = [self.bos_id] if bos else []
         i = 0
         n = len(data)
