@@ -246,8 +246,15 @@ class Engine:
         *,
         on_token=None,
         stop_on_eos: bool = True,
+        segment: int | None = None,
     ) -> tuple[list[int], GenerationStats]:
-        """Greedy completion (reference run_completion, main.cpp:44-128)."""
+        """Greedy completion (reference run_completion, main.cpp:44-128).
+
+        On TPU, tokens are generated in device-side scan segments (default
+        32) so per-call dispatch latency amortizes; EOS is checked between
+        segments (greedy output is identical to per-token stepping)."""
+        if segment is None:
+            segment = 32 if jax.default_backend() == "tpu" else 1
         stats = GenerationStats(prompt_tokens=len(prompt_ids))
         cache = self.new_cache(1)
 
@@ -258,18 +265,34 @@ class Engine:
 
         out: list[int] = []
         t0 = time.perf_counter()
-        for _ in range(max_new_tokens):
-            out.append(token)
+
+        def emit(t) -> bool:
+            out.append(t)
             if on_token is not None:
-                on_token(token)
-            if stop_on_eos and self.tokenizer is not None and self.tokenizer.is_stop(token):
-                break
-            logits, cache = self.decode(
-                np.array([token], np.int32), np.array([pos], np.int32), cache
-            )
-            token = int(np.asarray(sample_argmax(logits))[0])
-            stats.active_bytes += self.active_bytes(pos)
-            pos += 1
+                on_token(t)
+            return stop_on_eos and self.tokenizer is not None and self.tokenizer.is_stop(t)
+
+        stopped = emit(token)
+        while not stopped and len(out) < max_new_tokens:
+            if segment > 1:
+                seg, cache = self.decode_scan(
+                    np.array([token], np.int32), np.array([pos], np.int32), cache, segment
+                )
+                seg = np.asarray(seg)[0].tolist()
+            else:
+                logits, cache = self.decode(
+                    np.array([token], np.int32), np.array([pos], np.int32), cache
+                )
+                seg = [int(np.asarray(sample_argmax(logits))[0])]
+            for i, t in enumerate(seg):
+                stats.active_bytes += self.active_bytes(pos + i)
+                if len(out) >= max_new_tokens:
+                    break
+                if emit(t):
+                    stopped = True
+                    break
+            pos += len(seg)
+            token = seg[-1]
         stats.decode_s = time.perf_counter() - t0
         stats.generated_tokens = len(out)
         return out, stats

@@ -37,15 +37,16 @@ MISTRAL_7B = ModelConfig(
 
 
 def _synth_qweight(key, shape, weight_dtype, scale_mag=0.02) -> QWeight:
-    # generate in bf16 to halve the transient footprint at 7B scale
-    w = jax.random.normal(key, shape, jnp.bfloat16) * scale_mag
     if weight_dtype == jnp.int8:
-        amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1)
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q = jnp.clip(
-            jnp.round(w.astype(jnp.float32) / scale[..., None]), -127, 127
-        ).astype(jnp.int8)
-        return QWeight(q, scale.astype(jnp.float32))
+        # draw int8 codes directly — no multi-GB float transient exists at
+        # any point (large transients fragment the HBM pool at 7B scale)
+        q = jax.jit(
+            lambda k: jax.random.randint(k, shape, -127, 128, jnp.int32).astype(jnp.int8)
+        )(key)
+        scale = jnp.full(shape[:-1], scale_mag / 127.0, jnp.float32)
+        return QWeight(q, scale)
+    # generate in bf16 to halve the transient footprint at 7B scale
+    w = jax.jit(lambda k: jax.random.normal(k, shape, jnp.bfloat16) * scale_mag)(key)
     return QWeight(w.astype(weight_dtype), None)
 
 
