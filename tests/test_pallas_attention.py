@@ -1,0 +1,68 @@
+"""Fused decode-attention kernel (interpret mode) vs the jnp reference path.
+
+Covers the in-place ring write, kv_len masking, sink re-rotation through
+multiple cache wraps, and the inactive-slot sentinel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.make_tiny_model import make_tiny_model
+from xalm_tpu.convert import convert as cvt
+from xalm_tpu.runtime.engine import Engine
+
+WINDOW = 16
+
+
+@pytest.fixture(scope="module")
+def engines(tmp_path_factory):
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    fused = Engine.from_xalm(out, context=WINDOW, matmul_impl="pallas", kv_dtype=jnp.float32)
+    ref = Engine.from_xalm(out, context=WINDOW, matmul_impl="xla", kv_dtype=jnp.float32)
+    return fused, ref
+
+
+def test_fused_decode_matches_reference_through_wraps(engines):
+    fused, ref = engines
+    rng = np.random.default_rng(0)
+    toks = rng.integers(3, 350, size=3 * WINDOW).tolist()
+    cf, cr = fused.new_cache(1), ref.new_cache(1)
+    for i, t in enumerate(toks):
+        lf, cf = fused.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=2e-2, atol=2e-3,
+            err_msg=f"pos {i}",
+        )
+        assert np.argmax(np.asarray(lf)) == np.argmax(np.asarray(lr)), f"pos {i}"
+    # cache contents identical too (ring layout + rotated sinks)
+    np.testing.assert_allclose(
+        np.asarray(cf.k, np.float32), np.asarray(cr.k, np.float32), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_fused_batch_with_inactive_slot(engines):
+    fused, ref = engines
+    rng = np.random.default_rng(1)
+    toks = rng.integers(3, 350, size=6).tolist()
+    # batch of 2: slot 1 inactive (valid=False) the whole time
+    cache = fused.new_cache(2)
+    for i, t in enumerate(toks):
+        valid = jnp.asarray(np.array([[True], [False]]))
+        logits, cache = fused.step(
+            np.array([[t], [0]], np.int32), np.array([i, 0], np.int32), cache,
+            valid, logits_mode="last",
+        )
+    # slot 1's cache must remain zeros (sentinel writes dropped)
+    assert float(jnp.abs(cache.k[:, 1]).max()) == 0.0
+    # slot 0 equals a solo run
+    c2 = fused.new_cache(1)
+    for i, t in enumerate(toks):
+        l2, c2 = fused.decode(np.array([t]), np.array([i]), c2)
+    np.testing.assert_allclose(
+        np.asarray(logits)[0], np.asarray(l2)[0], rtol=1e-4, atol=1e-5
+    )

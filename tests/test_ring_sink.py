@@ -80,7 +80,12 @@ def test_wrapped_cache_state_matches_oracle(setup):
         _, cache = eng.decode(np.array([tok]), np.array([i]), cache)
         oracle.forward(tok, i)
     cfg = oracle.cfg
-    ours_k = np.asarray(cache.k)[:, 0].reshape(cfg.n_layers, cfg.max_seq_len, cfg.kv_dim)
+    # ours: (L, B, K, S, hd) head-major -> reference token-major (L, S, K*hd)
+    ours_k = (
+        np.asarray(cache.k)[:, 0]
+        .transpose(0, 2, 1, 3)
+        .reshape(cfg.n_layers, cfg.max_seq_len, cfg.kv_dim)
+    )
     theirs_k = oracle.key_cache
     np.testing.assert_allclose(
         ours_k.astype(np.float32), theirs_k.astype(np.float32), rtol=2e-2, atol=2e-3

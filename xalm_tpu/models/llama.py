@@ -93,8 +93,8 @@ def embed_lookup(embed: QWeight, tokens: jax.Array) -> jax.Array:
 
 def attention(
     q: jax.Array,  # (B, T, n_heads, head_dim) f32, already rotated
-    k: jax.Array,  # (B, S, n_kv_heads, head_dim) cache dtype
-    v: jax.Array,  # (B, S, n_kv_heads, head_dim)
+    k: jax.Array,  # (B, n_kv_heads, S, head_dim) cache dtype
+    v: jax.Array,  # (B, n_kv_heads, S, head_dim)
     kv_len: jax.Array,  # (B, T) int32 — slots visible to each query
     cfg: ModelConfig,
 ) -> jax.Array:
@@ -107,12 +107,12 @@ def attention(
     # these are the local shard's heads (n_heads/tp, n_kv_heads/tp); the GQA
     # group ratio is shard-invariant because tp divides n_kv_heads.
     b, t, hq, hd = q.shape
-    kh = k.shape[2]
+    kh = k.shape[1]
     g = hq // kh
-    s = k.shape[1]
+    s = k.shape[2]
     qg = q.reshape(b, t, kh, g, hd) * (1.0 / math.sqrt(hd))
     scores = jnp.einsum(
-        "btkgh,bskh->bkgts",
+        "btkgh,bksh->bkgts",
         qg.astype(jnp.float32),
         k.astype(jnp.float32),
         preferred_element_type=jnp.float32,
@@ -124,7 +124,7 @@ def attention(
     scores = jnp.where(mask, scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bkgts,bskh->btkgh", att, v.astype(jnp.float32), preferred_element_type=jnp.float32
+        "bkgts,bksh->btkgh", att, v.astype(jnp.float32), preferred_element_type=jnp.float32
     )
     return out.reshape(b, t, hq * hd)
 
@@ -132,14 +132,18 @@ def attention(
 def _write_rows(cache: jax.Array, layer, kv_pos: jax.Array, rows: jax.Array) -> jax.Array:
     """Scatter (B, T) new KV rows into cache layer ``layer``.
 
-    cache: (L, B, S, K, hd); rows: (B, T, K, hd) already in cache dtype.
+    cache: (L, B, K, S, hd); rows: (B, T, K, hd) already in cache dtype.
     """
-    b = rows.shape[0]
-    b_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    b, t, kh, hd = rows.shape
+    b_idx = jnp.arange(b, dtype=jnp.int32)[:, None, None]  # (B,1,1)
+    k_idx = jnp.arange(kh, dtype=jnp.int32)[None, :, None]  # (1,K,1)
+    s_idx = kv_pos[:, None, :]  # (B,1,T)
     # mode="drop": padding/inactive tokens carry kv_pos == S (out of bounds)
     # and their writes vanish — the masking mechanism for bucketed chunks and
     # idle continuous-batching slots.
-    return cache.at[layer, b_idx, kv_pos].set(rows, mode="drop")
+    return cache.at[layer, b_idx, k_idx, s_idx].set(
+        rows.transpose(0, 2, 1, 3), mode="drop"
+    )
 
 
 def _rotate_sinks(
@@ -147,14 +151,16 @@ def _rotate_sinks(
 ) -> jax.Array:
     """Rotate the pinned sink keys forward by +1 position for wrapped
     sequences (reference infer.cpp:416-431). T=1 decode only."""
-    _, l_b, _, kh, hd = cache_k.shape  # kh = local kv heads under tp
+    _, l_b, kh, _, hd = cache_k.shape  # kh = local kv heads under tp
     sinks = jax.lax.dynamic_slice(
         cache_k,
         (layer, 0, 0, 0, 0),
-        (1, l_b, KV_SINKS, kh, hd),
-    )[0]
+        (1, l_b, kh, KV_SINKS, hd),
+    )[0]  # (B, K, KV_SINKS, hd)
     ones = jnp.ones((l_b, KV_SINKS), dtype=jnp.int32)
-    rotated = apply_rope(sinks.astype(jnp.float32), ones, freqs).astype(cache_k.dtype)
+    rotated = apply_rope(
+        sinks.transpose(0, 2, 1, 3).astype(jnp.float32), ones, freqs
+    ).transpose(0, 2, 1, 3).astype(cache_k.dtype)
     new = jnp.where(active[:, None, None, None], rotated, sinks)
     return jax.lax.dynamic_update_slice(cache_k, new[None], (layer, 0, 0, 0, 0))
 
@@ -233,6 +239,11 @@ def forward(
 
         return supported_weight_dtype(qw.values.dtype)
 
+    def _fused_cache_ok(ck) -> bool:
+        from xalm_tpu.ops.pallas_attention import supported_cache_dtype
+
+        return supported_cache_dtype(ck.dtype)
+
     clip = cfg.qkv_clip if math.isfinite(cfg.qkv_clip) else None
 
     def _index(arr, layer):
@@ -257,19 +268,47 @@ def forward(
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
-        ck = _write_rows(ck, layer, kv_pos, k.astype(ck.dtype))
-        cv = _write_rows(cv, layer, kv_pos, v.astype(cv.dtype))
-        if t == 1:
-            # sink re-rotation is a per-step operation; chunked (T>1) calls
-            # never have wrapped sequences by the chunk contract.
+        fuse_attn = t == 1 and use_pallas and _fused_cache_ok(ck)
+        if fuse_attn:
+            # fused kernel: in-place ring write + sink rotation + attention;
+            # no cache copies exist (ops/pallas_attention.py)
+            from xalm_tpu.ops.pallas_attention import (
+                fused_decode_attention,
+                rope_cos_sin_plus1,
+            )
+
             active = positions[:, 0] >= s
             if valid is not None:
                 active = active & valid[:, 0]
-            ck = _rotate_sinks(ck, layer, active, freqs, cfg)
+            cexp, sexp = rope_cos_sin_plus1(freqs)
+            attn_out, ck, cv = fused_decode_attention(
+                q[:, 0],
+                k[:, 0],
+                v[:, 0],
+                ck,
+                cv,
+                layer,
+                kv_pos[:, 0],
+                kv_len[:, 0],
+                active,
+                jnp.asarray(cexp),
+                jnp.asarray(sexp),
+            )
+            attn_out = attn_out[:, None]  # (B, 1, q_dim)
+        else:
+            ck = _write_rows(ck, layer, kv_pos, k.astype(ck.dtype))
+            cv = _write_rows(cv, layer, kv_pos, v.astype(cv.dtype))
+            if t == 1:
+                # sink re-rotation is a per-step operation; chunked (T>1)
+                # calls never have wrapped sequences by the chunk contract.
+                active = positions[:, 0] >= s
+                if valid is not None:
+                    active = active & valid[:, 0]
+                ck = _rotate_sinks(ck, layer, active, freqs, cfg)
 
-        kl = jax.lax.dynamic_index_in_dim(ck, layer, axis=0, keepdims=False)
-        vl = jax.lax.dynamic_index_in_dim(cv, layer, axis=0, keepdims=False)
-        attn_out = attention(q, kl, vl, kv_len, cfg)
+            kl = jax.lax.dynamic_index_in_dim(ck, layer, axis=0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(cv, layer, axis=0, keepdims=False)
+            attn_out = attention(q, kl, vl, kv_len, cfg)
         attn_proj = mm(attn_out, lp.wo, layer)
         if tp_axis is not None:
             # row-parallel wo produced partial sums over the sharded head dim

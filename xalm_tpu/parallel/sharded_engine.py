@@ -78,7 +78,7 @@ class ShardedEngine(Engine):
         tokenizer: Tokenizer | None,
         mesh: Mesh,
         *,
-        kv_dtype=jnp.float16,
+        kv_dtype="auto",
         compute_dtype=jnp.float32,
         matmul_impl: str = "auto",
     ):
@@ -102,6 +102,8 @@ class ShardedEngine(Engine):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
+        if kv_dtype == "auto":
+            kv_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float16
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
         self.matmul_impl = matmul_impl

@@ -67,7 +67,8 @@ def param_pspecs(cfg: ModelConfig) -> ModelParams:
 
 
 def cache_pspecs(cfg: ModelConfig) -> KVCache:
-    spec = P(None, AXIS_DP, None, AXIS_TP, None)
+    # (L, B, K, S, hd): batch on dp, kv heads on tp
+    spec = P(None, AXIS_DP, AXIS_TP, None, None)
     return KVCache(k=spec, v=spec)
 
 

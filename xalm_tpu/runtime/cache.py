@@ -12,10 +12,11 @@ src/infer.cpp:610-613, src/model.h:10):
 Here those are pure jnp functions over **per-sequence** position vectors —
 each slot of a continuous batch wraps independently.
 
-Layout: (n_layers, batch, max_seq_len, n_kv_heads, head_dim), matching the
-reference's per-layer (max_seq_len, n_kv_heads * head_dim) fp16 buffers
-(reference model.h:222-223) with batch and stacked layers added. head_dim is
-innermost so decode attention reads are contiguous 128-lane rows.
+Layout: (n_layers, batch, n_kv_heads, max_seq_len, head_dim) — **head-major**,
+unlike the reference's token-major per-layer (max_seq_len, n_kv_heads *
+head_dim) fp16 buffers (model.h:222-223). On TPU each (seq, head_dim) stripe
+is then contiguous, so the fused decode-attention kernel streams one kv
+head's entire history as a single dense HBM->VMEM block.
 """
 
 from __future__ import annotations
@@ -52,12 +53,12 @@ def ring_indices(pos: jax.Array, max_seq_len: int):
 )
 @dataclasses.dataclass
 class KVCache:
-    k: Any  # (L, B, S, n_kv_heads, head_dim)
-    v: Any  # (L, B, S, n_kv_heads, head_dim)
+    k: Any  # (L, B, n_kv_heads, S, head_dim)
+    v: Any  # (L, B, n_kv_heads, S, head_dim)
 
     @classmethod
     def init(cls, cfg: ModelConfig, batch: int, dtype=jnp.float16) -> "KVCache":
-        shape = (cfg.n_layers, batch, cfg.max_seq_len, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, cfg.max_seq_len, cfg.head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
@@ -66,7 +67,7 @@ class KVCache:
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     def nbytes(self) -> int:
         return self.k.nbytes + self.v.nbytes

@@ -72,13 +72,17 @@ class Engine:
         params: ModelParams,
         tokenizer: Tokenizer | None = None,
         *,
-        kv_dtype=jnp.float16,
+        kv_dtype="auto",
         compute_dtype=jnp.float32,
         matmul_impl: str = "auto",
     ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
+        if kv_dtype == "auto":
+            # Mosaic has no f16: the fused attention kernel needs a bf16
+            # cache on TPU. CPU/golden paths keep the reference's f16.
+            kv_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float16
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
         if matmul_impl == "auto":
@@ -141,7 +145,7 @@ class Engine:
         path: str,
         *,
         context: int = 0,
-        kv_dtype=jnp.float16,
+        kv_dtype="auto",
         compute_dtype=jnp.float32,
         matmul_impl: str = "auto",
     ) -> "Engine":
