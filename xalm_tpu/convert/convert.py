@@ -50,8 +50,13 @@ from xalm_tpu.obs.table import Table
 
 SUPPORTED_ARCHITECTURES = ("MistralForCausalLM", "LlamaForCausalLM")
 
-# dtypes a weight body may be converted to
-TARGET_TYPES = ("f32", "f16", "bf16", "f8_e4m3", "f8_e5m2", "q8", "i8")
+# dtypes a weight body may be converted to. Runtime types are stored as-is;
+# the simulated interchange formats (GGUF blocks + sub-byte packers,
+# reference convert.py:43-62 XType members) round-trip through the packed
+# representation and store the dequantized f16 result — unlike the reference,
+# everything the converter emits is loadable by the engine (SURVEY.md §2.3).
+RUNTIME_TYPES = ("f32", "f16", "bf16", "f8_e4m3", "f8_e5m2", "q8", "i8")
+TARGET_TYPES = RUNTIME_TYPES + quant.SIMULATED_TYPES
 
 
 # ---------------------------------------------------------------------------
@@ -134,9 +139,11 @@ def permute_reverse(w: np.ndarray, heads: int, rotary_dim: int) -> np.ndarray:
 
 
 def boost_type(org_dtype: np.dtype, target: str) -> str:
-    """Keep embed/output at >=16-bit when the body is 8-bit
-    (reference convert.py:729-744)."""
-    if target in ("f8_e4m3", "f8_e5m2", "q8", "i8"):
+    """Keep embed/output at >=16-bit when the body is 8-bit and >=fp8 when
+    the body is sub-byte (reference convert.py:729-744)."""
+    if target in ("qi4", "qi3", "f4_e2m1", "f6_e3m2", "q4_0", "q4_1", "q5_0", "q5_1", "tq1_0", "tq2_0"):
+        return "f8_e4m3"
+    if target in ("f8_e4m3", "f8_e5m2", "q8", "i8", "qi8", "q8_0"):
         if org_dtype == np.dtype(ml_dtypes.bfloat16):
             return "bf16"
         return "f16"

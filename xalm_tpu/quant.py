@@ -17,6 +17,13 @@ Schemes:
 - ``i8``: xalm_tpu-native symmetric int8 with a per-output-row f32 scale
   (scale = max|row| / 127), stored as a sibling ``<name>.scale`` tensor.
   This fixes the reference's flagged magic-constant defect (SURVEY.md §7).
+- Simulated interchange formats (``qi8/qi4/qi3/f4_e2m1/f6_e3m2`` from
+  xalm_tpu.packing, and the GGUF block formats ``q4_0/q4_1/q5_0/q5_1/q8_0/
+  tq1_0/tq2_0`` from xalm_tpu.gguf): quantize() round-trips the values
+  through the packed representation and stores the dequantized result as
+  f16, reporting the true packed byte size. The reference can *write* these
+  types into .xalm but its engine cannot load them (SURVEY.md §2.3); here
+  everything the converter emits is loadable.
 """
 
 from __future__ import annotations
@@ -27,8 +34,9 @@ import ml_dtypes
 import numpy as np
 
 from xalm_tpu import dtypes as xdt
+from xalm_tpu import gguf, packing
 
-__all__ = ["quantize", "dequantize", "QuantResult", "analyze", "ANALYZE_COLUMNS"]
+__all__ = ["quantize", "dequantize", "QuantResult", "analyze", "ANALYZE_COLUMNS", "SIMULATED_TYPES"]
 
 _F8_MAX = {
     "f8_e4m3": 448.0,  # float8_e4m3fn
@@ -40,13 +48,52 @@ _F8_MAX = {
 class QuantResult:
     values: np.ndarray  # storage-dtype array
     scale: np.ndarray | None = None  # per-row f32 scales for `i8`, else None
+    packed_nbytes: int | None = None  # true wire size for simulated formats
 
     @property
     def nbytes(self) -> int:
+        if self.packed_nbytes is not None:
+            return self.packed_nbytes
         n = self.values.nbytes
         if self.scale is not None:
             n += self.scale.nbytes
         return n
+
+
+# packed bits per element for the simulated sub-byte interchange formats
+_PACKED_BITS = {"qi8": 8, "qi4": 4, "qi3": 3, "f4_e2m1": 4, "f6_e3m2": 6}
+_GGUF_SIM = ("q4_0", "q4_1", "q5_0", "q5_1", "q8_0", "tq1_0", "tq2_0")
+SIMULATED_TYPES = tuple(_PACKED_BITS) + _GGUF_SIM
+
+
+def _simulate(xf: np.ndarray, type_name: str) -> QuantResult:
+    """Round-trip through the packed representation; store f16, true size."""
+    flat = xf.reshape(-1)
+    if type_name in _GGUF_SIM:
+        block = gguf.GGUF_SIZES[type_name][0]
+        pad = (-flat.size) % block
+        padded = np.pad(flat, (0, pad)) if pad else flat
+        raw = gguf.quantize(padded, type_name)
+        back = gguf.dequantize(raw, type_name)[: flat.size]
+        nbytes = gguf.quant_byte_size(padded.size, type_name)
+    elif type_name == "qi8":
+        raw = packing.quantize_qi8(flat)
+        back, nbytes = packing.dequantize_qi8(raw), raw.nbytes
+    elif type_name == "qi4":
+        raw = packing.quantize_qi4(flat)
+        back, nbytes = packing.dequantize_qi4(raw, flat.size), raw.nbytes
+    elif type_name == "qi3":
+        raw = packing.quantize_qi3(flat)
+        back, nbytes = packing.dequantize_qi3(raw, flat.size), raw.nbytes
+    elif type_name == "f4_e2m1":
+        raw = packing.quantize_f4_e2m1(flat)
+        back, nbytes = packing.dequantize_f4_e2m1(raw, flat.size), raw.nbytes
+    elif type_name == "f6_e3m2":
+        raw = packing.quantize_f6_e3m2(flat)
+        back, nbytes = packing.dequantize_f6_e3m2(raw, flat.size), raw.nbytes
+    else:  # pragma: no cover
+        raise ValueError(type_name)
+    return QuantResult(back.reshape(xf.shape).astype(np.float16), packed_nbytes=nbytes)
 
 
 def quantize(x: np.ndarray, type_name: str) -> QuantResult:
@@ -74,6 +121,8 @@ def quantize(x: np.ndarray, type_name: str) -> QuantResult:
         scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
         q = np.clip(np.round(row / scale[:, None]), -127, 127).astype(np.int8)
         return QuantResult(q.reshape(x.shape), scale)
+    if type_name in SIMULATED_TYPES:
+        return _simulate(xf, type_name)
     raise ValueError(f"unsupported quantization target {type_name!r}")
 
 
@@ -83,7 +132,8 @@ def dequantize(q: QuantResult | np.ndarray, type_name: str, scale: np.ndarray | 
         values, scale = q.values, q.scale
     else:
         values = q
-    if type_name in ("f32", "f16", "bf16", "f8_e4m3", "f8_e5m2", "u8"):
+    if type_name in ("f32", "f16", "bf16", "f8_e4m3", "f8_e5m2", "u8") or type_name in SIMULATED_TYPES:
+        # simulated formats store the round-tripped values as f16
         return np.asarray(values).astype(np.float32)
     if type_name == "q8":
         return values.astype(np.float32) / 100.0
