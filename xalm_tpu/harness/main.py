@@ -213,6 +213,9 @@ def run_passkey(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from xalm_tpu.obs.console import SystemUsage
+
+    proc_t0, proc_r0 = SystemUsage._now()
     args = _build_parser().parse_args(argv)
     mode = {"c": "completion"}.get(args.mode, args.mode)
     try:
@@ -229,6 +232,9 @@ def main(argv: list[str] | None = None) -> int:
         from xalm_tpu.obs.profiler import report
 
         print(report())
+        # whole-process resource table (reference profiler.h:76-178 /
+        # main.cpp:538-546 end-of-run reporting)
+        print(SystemUsage.measure(proc_t0, proc_r0).format(title="process usage"))
     return rc
 
 

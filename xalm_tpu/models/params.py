@@ -127,7 +127,15 @@ def _load_qweight(xf, name: str, expect_shape: tuple[int, ...]) -> tuple[np.ndar
     return values, scale
 
 
-def load_params(xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto") -> ModelParams:
+def load_units(cfg: ModelConfig) -> int:
+    """Number of progress units load_params reports: 9 tensors per layer
+    (reference model.cpp:89-106) plus embed/out_norm/wcls."""
+    return 9 * cfg.n_layers + 3
+
+
+def load_params(
+    xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto", progress=None
+) -> ModelParams:
     """Load and stack all weights from an open XalmFile.
 
     Shape validation matches the reference loader (model.cpp:62-81). Stacking
@@ -141,6 +149,7 @@ def load_params(xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto") -
     if f16_mode == "auto":
         f16_mode = "bf16" if jax.default_backend() == "tpu" else "keep"
     _f16_target = {"keep": None, "bf16": jnp.bfloat16, "f32": jnp.float32}[f16_mode]
+    _tick = progress if progress is not None else (lambda: None)
 
     def put(x):
         arr = jnp.asarray(x) if device_put else x
@@ -154,6 +163,7 @@ def load_params(xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto") -
             v, s = _load_qweight(xf, name_fmt.format(l), expect_shape)
             vals.append(v)
             scales.append(s)
+            _tick()
         has_scale = scales[0] is not None
         if any((s is not None) != has_scale for s in scales):
             raise ValueError(f"inconsistent quantization across layers for {name_fmt}")
@@ -166,6 +176,7 @@ def load_params(xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto") -
         for l in range(cfg.n_layers):
             v, _ = _load_qweight(xf, name_fmt.format(l), (cfg.dim,))
             vals.append(np.asarray(v, dtype=np.float32))
+            _tick()
         return put(np.stack(vals))
 
     d, q, kv, h = cfg.dim, cfg.q_dim, cfg.kv_dim, cfg.hidden_dim
@@ -184,14 +195,17 @@ def load_params(xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto") -
 
     ev, es = _load_qweight(xf, "embed.weight", (cfg.vocab_size, cfg.dim))
     embed = QWeight(put(ev), put(es) if es is not None else None)
+    _tick()
 
     onv, _ = _load_qweight(xf, "output.norm.weight", (cfg.dim,))
     out_norm = put(np.asarray(onv, dtype=np.float32))
+    _tick()
 
     if cfg.tie_word_embeddings:
         wcls = embed
     else:
         cv, cs = _load_qweight(xf, "output.weight", (cfg.vocab_size, cfg.dim))
         wcls = QWeight(put(cv), put(cs) if cs is not None else None)
+    _tick()
 
     return ModelParams(embed=embed, layers=layers, out_norm=out_norm, wcls=wcls)

@@ -148,10 +148,20 @@ class Engine:
         kv_dtype="auto",
         compute_dtype=jnp.float32,
         matmul_impl: str = "auto",
+        progress: bool = True,
     ) -> "Engine":
+        from xalm_tpu.models.params import load_units
+        from xalm_tpu.obs.console import ProgressBar
+
         xf = XalmFile(path)
         cfg = ModelConfig.from_metadata(xf.config, context)
-        params = load_params(xf, cfg)
+        if progress:
+            # layer-loading progress with wall/user/sys summary
+            # (reference model.cpp:87-108 / console.h:86-238)
+            with ProgressBar("loading weights", total=load_units(cfg)) as bar:
+                params = load_params(xf, cfg, progress=bar.advance)
+        else:
+            params = load_params(xf, cfg)
         tokenizer = Tokenizer.from_xalm(xf) if "tokenizer.tokens" in xf else None
         xf.close()
         return cls(
