@@ -76,3 +76,56 @@ def _timed(f):
     t0 = time.perf_counter()
     r = f()
     return time.perf_counter() - t0, r
+
+
+# ---------------------------------------------------------------------------
+# native container loader (native/loader.cpp)
+# ---------------------------------------------------------------------------
+
+
+def test_native_map_copy_batch(tmp_path):
+    import numpy as np
+
+    from xalm_tpu.native import NativeMap, load as load_lib
+
+    if load_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    payload = np.arange(1 << 16, dtype=np.uint8)
+    p = tmp_path / "blob.bin"
+    p.write_bytes(payload.tobytes())
+    nm = NativeMap(str(p))
+    assert nm.size == payload.size
+
+    d1 = np.empty(1000, np.uint8)
+    d2 = np.empty(30000, np.uint8)
+    nm.copy_batch([5, 1234], [1000, 30000], [d1, d2], n_threads=4)
+    np.testing.assert_array_equal(d1, payload[5:1005])
+    np.testing.assert_array_equal(d2, payload[1234:31234])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        nm.copy_batch([nm.size - 10], [100], [np.empty(100, np.uint8)])
+    with pytest.raises(ValueError):  # dest too small
+        nm.copy_batch([0], [200], [np.empty(100, np.uint8)])
+    assert nm.prefault(4) == int(payload[::4096].sum())
+    nm.close()
+
+
+def test_read_stack_matches_views(tmp_path):
+    import numpy as np
+
+    hf = make_tiny_model(str(tmp_path / "hf"))
+    out = str(tmp_path / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f16"]) == 0
+    xf = XalmFile(out)
+    names = [n for n in xf.tensors if ".attn.q.weight" in n]
+    stacked = xf.read_stack(names)
+    for r, n in enumerate(names):
+        np.testing.assert_array_equal(
+            stacked[r].view(np.uint8), np.asarray(xf.load(n)).view(np.uint8)
+        )
+    xf.close()

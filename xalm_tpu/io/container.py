@@ -123,11 +123,15 @@ class XalmFile:
         self._file = open(self.path, "rb")
         self._mmap = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
         self._view = np.frombuffer(self._mmap, dtype=np.uint8)
+        self._native = None  # lazy NativeMap for parallel materialization
 
     def close(self) -> None:
         # Zero-copy views handed out by load() may still be alive; dropping our
         # references lets refcounting unmap once the last view dies (mmap dups
         # the fd, so closing the file object is always safe).
+        if getattr(self, "_native", None) is not None:
+            self._native.close()
+            self._native = None
         if getattr(self, "_mmap", None) is not None:
             self._view = None
             try:
@@ -152,6 +156,68 @@ class XalmFile:
         raw = self._view[info.offset : info.offset + info.size]
         arr = raw.view(info.dtype.np_dtype).reshape(info.shape)
         return arr
+
+    def _native_map(self):
+        if self._native is None:
+            from xalm_tpu.native import NativeMap
+
+            self._native = NativeMap(self.path)
+        return self._native
+
+    def read_batch(self, names: list[str], n_threads: int = 0) -> dict[str, np.ndarray]:
+        """Materialize tensors into fresh arrays with the native thread-pool
+        copier (native/loader.cpp); falls back to serial numpy copies.
+
+        Unlike load() this returns owned, writable arrays — the right call
+        when the data is about to be restacked or device_put anyway.
+        """
+        infos = [self.tensors[n] for n in names]
+        out = {i.name: np.empty(i.shape, i.dtype.np_dtype) for i in infos}
+        try:
+            nm = self._native_map()
+        except (RuntimeError, ImportError):
+            for i in infos:
+                np.copyto(out[i.name].view(np.uint8).reshape(-1), self._view[i.offset : i.offset + i.size])
+            return out
+        nm.copy_batch(
+            [i.offset for i in infos],
+            [i.size for i in infos],
+            [out[i.name] for i in infos],
+            n_threads=n_threads,
+        )
+        return out
+
+    def read_stack(self, names: list[str], n_threads: int = 0) -> np.ndarray:
+        """Materialize same-shaped tensors directly into one stacked
+        (len(names), *shape) array, rows copied by the native worker pool.
+        Replaces load()+np.stack (which copies serially) on the load path.
+        """
+        infos = [self.tensors[n] for n in names]
+        shape, dt = infos[0].shape, infos[0].dtype
+        if any(i.shape != shape or i.dtype.name != dt.name for i in infos):
+            raise ValueError("read_stack requires homogeneous tensors")
+        out = np.empty((len(infos),) + shape, dt.np_dtype)
+        try:
+            nm = self._native_map()
+        except (RuntimeError, ImportError):
+            for r, i in enumerate(infos):
+                np.copyto(out[r].view(np.uint8).reshape(-1), self._view[i.offset : i.offset + i.size])
+            return out
+        nm.copy_batch(
+            [i.offset for i in infos],
+            [i.size for i in infos],
+            [out[r] for r in range(len(infos))],
+            n_threads=n_threads,
+        )
+        return out
+
+    def prefault(self, n_threads: int = 0) -> None:
+        """Pull the whole container through the page cache in parallel
+        (cold-load accelerator; no-op if the native library is unavailable)."""
+        try:
+            self._native_map().prefault(n_threads)
+        except (RuntimeError, ImportError):
+            pass
 
     def verify(self, name: str) -> bool:
         """Check the stored xxh3_64 content hash (convert.py:265-267).

@@ -157,27 +157,44 @@ def load_params(
             arr = arr.astype(_f16_target)
         return arr
 
-    def stack_qw(name_fmt: str, expect_shape) -> QWeight:
-        vals, scales = [], []
-        for l in range(cfg.n_layers):
-            v, s = _load_qweight(xf, name_fmt.format(l), expect_shape)
-            vals.append(v)
-            scales.append(s)
+    def _validate(name_fmt: str, expect_shape) -> list[str]:
+        names = [name_fmt.format(l) for l in range(cfg.n_layers)]
+        for name in names:
+            info = xf.tensors.get(name)
+            if info is None:
+                raise ValueError(f"FATAL: missing tensor {name}")
+            if tuple(info.shape) != tuple(expect_shape):
+                raise ValueError(
+                    f"FATAL: tensor {name} has unexpected shape {info.shape}, expected {expect_shape}"
+                )
+        return names
+
+    def _stack(names: list[str]) -> np.ndarray:
+        # native thread-pool copy straight into the stacked array
+        # (native/loader.cpp); falls back to serial copies inside read_stack
+        out = xf.read_stack(names) if hasattr(xf, "read_stack") else np.stack([xf.load(n) for n in names])
+        for _ in names:
             _tick()
-        has_scale = scales[0] is not None
-        if any((s is not None) != has_scale for s in scales):
-            raise ValueError(f"inconsistent quantization across layers for {name_fmt}")
-        return QWeight(
-            put(np.stack(vals)), put(np.stack(scales)) if has_scale else None
-        )
+        return out
+
+    def stack_qw(name_fmt: str, expect_shape) -> QWeight:
+        names = _validate(name_fmt, expect_shape)
+        first = xf.tensors[names[0]]
+        scale = None
+        if first.dtype.name == "i8":
+            snames = [xdt.scale_name(n) for n in names]
+            if any(s not in xf.tensors for s in snames):
+                raise ValueError(f"FATAL: i8 tensors for {name_fmt} missing scales")
+            scale = _stack_noprogress(snames)
+        vals = _stack(names)
+        return QWeight(put(vals), put(scale) if scale is not None else None)
+
+    def _stack_noprogress(names: list[str]) -> np.ndarray:
+        return xf.read_stack(names) if hasattr(xf, "read_stack") else np.stack([xf.load(n) for n in names])
 
     def stack_norm(name_fmt: str) -> jax.Array:
-        vals = []
-        for l in range(cfg.n_layers):
-            v, _ = _load_qweight(xf, name_fmt.format(l), (cfg.dim,))
-            vals.append(np.asarray(v, dtype=np.float32))
-            _tick()
-        return put(np.stack(vals))
+        names = _validate(name_fmt, (cfg.dim,))
+        return put(_stack(names).astype(np.float32))
 
     d, q, kv, h = cfg.dim, cfg.q_dim, cfg.kv_dim, cfg.hidden_dim
 

@@ -26,17 +26,21 @@ _SO_PATH = os.path.join(_SRC_DIR, "libxalm_native.so")
 
 
 def _build() -> str | None:
-    src = os.path.join(_SRC_DIR, "tokenizer.cpp")
-    if not os.path.exists(src):
+    import glob
+
+    srcs = sorted(glob.glob(os.path.join(_SRC_DIR, "*.cpp")))
+    hdrs = glob.glob(os.path.join(_SRC_DIR, "*.hpp"))
+    if not srcs:
         return None
-    if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src):
+    newest = max(os.path.getmtime(p) for p in srcs + hdrs)
+    if os.path.exists(_SO_PATH) and os.path.getmtime(_SO_PATH) >= newest:
         return _SO_PATH
     try:
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", src, "-o", _SO_PATH],
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread", *srcs, "-o", _SO_PATH],
             check=True,
             capture_output=True,
-            timeout=120,
+            timeout=240,
         )
         return _SO_PATH
     except (subprocess.SubprocessError, FileNotFoundError):
@@ -73,6 +77,21 @@ def load() -> ctypes.CDLL | None:
         lib.xalm_tokenizer_eot_id.argtypes = [ctypes.c_void_p]
         lib.xalm_tokenizer_vocab_size.restype = ctypes.c_size_t
         lib.xalm_tokenizer_vocab_size.argtypes = [ctypes.c_void_p]
+        lib.xalm_map.restype = ctypes.c_void_p
+        lib.xalm_map.argtypes = [ctypes.c_char_p]
+        lib.xalm_map_data.restype = ctypes.c_void_p
+        lib.xalm_map_data.argtypes = [ctypes.c_void_p]
+        lib.xalm_map_size.restype = ctypes.c_uint64
+        lib.xalm_map_size.argtypes = [ctypes.c_void_p]
+        lib.xalm_unmap.argtypes = [ctypes.c_void_p]
+        lib.xalm_copy_batch.restype = ctypes.c_int32
+        lib.xalm_copy_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.xalm_prefault.restype = ctypes.c_uint64
+        lib.xalm_prefault.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         _LIB = lib
         return _LIB
 
@@ -101,3 +120,57 @@ class NativeTrie:
         if getattr(self, "_handle", None):
             self._lib.xalm_tokenizer_destroy(self._handle)
             self._handle = None
+
+
+class NativeMap:
+    """A native mmap of a container file with a thread-pool copy engine
+    (native/loader.cpp; reference xalm.h:26-47 / buffer.h / task_pool.h)."""
+
+    def __init__(self, path: str):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._handle = lib.xalm_map(os.fsencode(path))
+        if not self._handle:
+            raise RuntimeError(f"xalm_map failed for {path}")
+        self.size = int(lib.xalm_map_size(self._handle))
+
+    def copy_batch(self, offsets, sizes, dests, n_threads: int = 0) -> None:
+        """Parallel-copy blobs at (offset, size) into numpy arrays `dests`.
+
+        Each dest must be C-contiguous, writable, and >= size bytes.
+        """
+        import numpy as np
+
+        n = len(offsets)
+        if not (n == len(sizes) == len(dests)):
+            raise ValueError("offsets/sizes/dests length mismatch")
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 1, 16)
+        off = (ctypes.c_uint64 * n)(*offsets)
+        sz = (ctypes.c_uint64 * n)(*sizes)
+        ptrs = (ctypes.c_void_p * n)()
+        for i, d in enumerate(dests):
+            a = np.ascontiguousarray(d)
+            if a is not d:
+                raise ValueError("dest arrays must be C-contiguous")
+            if d.nbytes < sizes[i]:
+                raise ValueError(f"dest {i} too small: {d.nbytes} < {sizes[i]}")
+            ptrs[i] = d.ctypes.data_as(ctypes.c_void_p)
+        rc = self._lib.xalm_copy_batch(self._handle, off, sz, ptrs, n, n_threads)
+        if rc != 0:
+            raise ValueError("xalm_copy_batch: offset/size out of bounds")
+
+    def prefault(self, n_threads: int = 0) -> int:
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 1, 16)
+        return int(self._lib.xalm_prefault(self._handle, n_threads))
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.xalm_unmap(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        self.close()

@@ -155,6 +155,7 @@ class Engine:
 
         xf = XalmFile(path)
         cfg = ModelConfig.from_metadata(xf.config, context)
+        xf.prefault()  # parallel cold-cache readahead (native/loader.cpp)
         if progress:
             # layer-loading progress with wall/user/sys summary
             # (reference model.cpp:87-108 / console.h:86-238)
