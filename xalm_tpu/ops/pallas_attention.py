@@ -68,6 +68,7 @@ def _kernel(
     *, s: int, hd: int, g: int,
 ):
     b = pl.program_id(0)
+    j = pl.program_id(1)
     kvp = kv_pos_ref[b]
     kvl = kv_len_ref[b]
     rot = rotate_ref[b]
@@ -77,8 +78,12 @@ def _kernel(
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
     is_new = row_ids == kvp  # out-of-bounds sentinel (kvp==S) matches nothing
-    kv = jnp.where(is_new, knew_ref[0, 0][None, :], kv)
-    vv = jnp.where(is_new, vnew_ref[0, 0][None, :], vv)
+    # knew/vnew blocks carry all K heads (Mosaic needs the 2nd-minor dim
+    # whole); select this grid cell's head with a dynamic row slice
+    knew_row = knew_ref[0, pl.ds(j, 1), :]  # (1, hd)
+    vnew_row = vnew_ref[0, pl.ds(j, 1), :]
+    kv = jnp.where(is_new, knew_row, kv)
+    vv = jnp.where(is_new, vnew_row, vv)
 
     # sink re-rotation (+1 position) on rows < KV_SINKS of K when wrapped
     lane = jax.lax.broadcasted_iota(jnp.int32, (s, hd), 1)
@@ -130,8 +135,8 @@ def fused_decode_attention(
         grid=(b, kh),
         in_specs=[
             pl.BlockSpec((1, 1, g, hd), lambda i, j, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, j, *sp: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, j, *sp: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, hd), lambda i, j, *sp: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kh, hd), lambda i, j, *sp: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hd), lambda i, j, *sp: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hd), lambda i, j, *sp: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, lr, *sp: (lr[0], i, j, 0, 0), memory_space=pltpu.VMEM),
