@@ -64,3 +64,26 @@ def test_profiler():
 
     total, calls = get("inner")
     assert calls == 2 and total >= 0
+
+
+def test_uniform_fixture_deterministic():
+    from xalm_tpu.obs.inspect import uniform
+
+    a = uniform((4, 8))
+    b = uniform((4, 8))
+    np.testing.assert_array_equal(a, b)  # fixed seed 42 (reference tensor.cpp:94)
+    assert a.min() >= -1.0 and a.max() <= 1.0 and a.dtype == np.float32
+
+
+def test_save_csv_roundtrip(tmp_path):
+    from xalm_tpu.obs.inspect import save_csv, uniform
+
+    x = uniform((3, 5))
+    p = tmp_path / "t.csv"
+    save_csv(x, str(p))
+    back = np.loadtxt(p, delimiter=",")
+    np.testing.assert_allclose(back, x, rtol=1e-6)
+
+    x3 = uniform((2, 3, 4))
+    save_csv(x3, str(p))
+    assert np.loadtxt(p, delimiter=",").shape == (2, 12)

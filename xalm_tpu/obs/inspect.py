@@ -12,7 +12,29 @@ import numpy as np
 from xalm_tpu.obs.stats import Histogram
 from xalm_tpu.obs.table import Table
 
-__all__ = ["format_tensor", "container_cli"]
+__all__ = ["format_tensor", "save_csv", "uniform", "container_cli"]
+
+
+def uniform(shape, low: float = -1.0, high: float = 1.0, seed: int = 42) -> np.ndarray:
+    """Deterministic uniform test fixture — fixed seed 42 like the
+    reference's Tensor::uniform (tensor.cpp:94), the reproducible source of
+    bench/test inputs (SURVEY.md §4 item 4)."""
+    rng = np.random.default_rng(seed)
+    return rng.uniform(low, high, size=shape).astype(np.float32)
+
+
+def save_csv(arr: np.ndarray, path: str, fmt: str = "%.8g") -> None:
+    """Dump a tensor (rank<=2 as-is, higher ranks flattened to 2-D) to CSV
+    (reference Tensor::save_to_csv, tensor.cpp:298-330)."""
+    a = np.asarray(arr)
+    a = a.astype(np.float32) if a.dtype.kind not in "fiu" else a
+    if a.ndim == 0:
+        a = a.reshape(1, 1)
+    elif a.ndim == 1:
+        a = a.reshape(1, -1)
+    elif a.ndim > 2:
+        a = a.reshape(a.shape[0], -1)
+    np.savetxt(path, a, fmt=fmt, delimiter=",")
 
 
 def format_tensor(arr: np.ndarray, name: str = "", max_rows: int = 16) -> str:
