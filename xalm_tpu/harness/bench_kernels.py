@@ -28,18 +28,22 @@ import numpy as np
 V5E_HBM_GB_S = 819.0
 
 
-def _slope_time(make_chain, n1: int = 8, n2: int = 40, reps: int = 4) -> float:
-    """Seconds per chain iteration, by slope between two chain lengths."""
+def _slope_time(make_chain, args=(), n1: int = 8, n2: int = 40, reps: int = 4) -> float:
+    """Seconds per chain iteration, by slope between two chain lengths.
+
+    Large operands must ride in ``args`` (jit arguments), NOT closures —
+    captured constants are serialized into the remote-compile request on
+    this host and blow its size limit."""
     times = {}
     for n in (n1, n2):
         f = jax.jit(make_chain(n))
         x0 = jnp.ones((8, 4096), jnp.float32)
-        np.asarray(f(x0))  # compile
+        np.asarray(f(x0, *args))  # compile
         best = float("inf")
         for rep in range(reps):
             xr = x0 + rep + 1  # fresh buffer defeats result memoization
             t0 = time.perf_counter()
-            np.asarray(f(xr))
+            np.asarray(f(xr, *args))
             best = min(best, time.perf_counter() - t0)
         times[n] = best
     return max((times[n2] - times[n1]) / (n2 - n1), 1e-9)
@@ -53,7 +57,7 @@ def bench_bandwidth() -> None:
     jax.block_until_ready(w)
 
     def make_chain(n):
-        def chain(x):
+        def chain(x, w):
             def body(c, i):
                 y = jax.lax.dot_general(
                     c.astype(jnp.bfloat16), w[i % 32], (((1,), (1,)), ((), ())),
@@ -64,7 +68,7 @@ def bench_bandwidth() -> None:
             return c
         return chain
 
-    per = _slope_time(make_chain)
+    per = _slope_time(make_chain, (w,))
     gb_s = w[0].nbytes / per / 1e9
     print(f"-b HBM read probe: {per*1e3:.3f} ms / 117MB sweep -> "
           f"{gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% of v5e SOL)")
@@ -86,8 +90,8 @@ def bench_matmul() -> None:
 
         use_pallas = supported_weight_dtype(wdt)
 
-        def make_chain(n, w=w, scale=scale, use_pallas=use_pallas):
-            def chain(x):
+        def make_chain(n, scale=scale, use_pallas=use_pallas):
+            def chain(x, w):
                 def body(c, i):
                     if use_pallas:
                         y = pallas_qmatmul_stacked_full(c, w, scale, i % 8)
@@ -102,7 +106,7 @@ def bench_matmul() -> None:
                 return c
             return chain
 
-        per = _slope_time(make_chain)
+        per = _slope_time(make_chain, (w,))
         gb_s = w[0].nbytes / per / 1e9
         impl = "pallas" if use_pallas else "xla"
         print(f"-k matmul [{name:>12}] ({impl}): {per*1e3:.3f} ms/matvec "
@@ -124,7 +128,7 @@ def bench_mha() -> None:
     jax.block_until_ready((k, v))
 
     def make_chain(n):
-        def chain(x):
+        def chain(x, k, v):
             q0 = x[:1, :cfg.q_dim].reshape(1, 1, cfg.n_heads, cfg.head_dim)
             def body(c, i):
                 kl = k[i % L]
@@ -135,7 +139,7 @@ def bench_mha() -> None:
             return jnp.zeros((8, 4096)) + c.sum()
         return chain
 
-    per = _slope_time(make_chain)
+    per = _slope_time(make_chain, (k, v))
     bytes_per = k[0].nbytes + v[0].nbytes
     gb_s = bytes_per / per / 1e9
     print(f"-k mha: {per*1e3:.3f} ms/layer-step (4k fp16 cache, "
@@ -156,7 +160,7 @@ def bench_ffn() -> None:
     jax.block_until_ready((w13, w2))
 
     def make_chain(n):
-        def chain(x):
+        def chain(x, w13, w2):
             def body(c, i):
                 l = i % L
                 g = pallas_qmatmul_stacked_full(c, w13, s13, l)
@@ -167,7 +171,7 @@ def bench_ffn() -> None:
             return c
         return chain
 
-    per = _slope_time(make_chain, n1=4, n2=20)
+    per = _slope_time(make_chain, (w13, w2), n1=4, n2=20)
     bytes_per = 3 * w13[0].nbytes
     gb_s = bytes_per / per / 1e9
     print(f"-k ffn: {per*1e3:.3f} ms/ffn (3x 14336x4096 i8, {bytes_per/1e6:.0f} MB)"

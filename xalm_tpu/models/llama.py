@@ -39,7 +39,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from xalm_tpu.models.config import KV_SINKS, ModelConfig
-from xalm_tpu.models.params import ModelParams, Q8_FIXED_SCALE, QWeight
+from xalm_tpu.models.params import (
+    ModelParams,
+    Q8_FIXED_SCALE,
+    QWeight,
+    ffn_chunk,
+    split_qkv_rows,
+    split_w13_rows,
+)
 from xalm_tpu.ops.linear import qmatmul
 from xalm_tpu.runtime.cache import KVCache, ring_indices
 
@@ -254,9 +261,10 @@ def forward(
 
         # --- attention ---
         xb = rmsnorm(x, _index(lp.attn_norm, layer), cfg.norm_eps)
-        q = mm(xb, lp.wq, layer)
-        k = mm(xb, lp.wk, layer)
-        v = mm(xb, lp.wv, layer)
+        # one fused weight stream for q/k/v (see params.LayerParams.wqkv);
+        # the split is a reshape+slice of the small activation output
+        g = cfg.n_heads // cfg.n_kv_heads
+        q, k, v = split_qkv_rows(mm(xb, lp.wqkv, layer), -1, g, cfg.head_dim)
         if clip is not None:
             q = jnp.clip(q, -clip, clip)
             k = jnp.clip(k, -clip, clip)
@@ -317,8 +325,8 @@ def forward(
 
         # --- GLU FFN ---
         xb = rmsnorm(x, _index(lp.mlp_norm, layer), cfg.norm_eps)
-        gate = mm(xb, lp.w1, layer)
-        up = mm(xb, lp.w3, layer)
+        # fused gate/up stream, chunk-interleaved (params.LayerParams.w13)
+        gate, up = split_w13_rows(mm(xb, lp.w13, layer), ffn_chunk(cfg.hidden_dim))
         if cfg.act == "silu":
             act = jax.nn.silu(gate)
         else:

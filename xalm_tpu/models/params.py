@@ -30,9 +30,31 @@ import numpy as np
 from xalm_tpu import dtypes as xdt
 from xalm_tpu.models.config import ModelConfig
 
-__all__ = ["QWeight", "LayerParams", "ModelParams", "load_params", "Q8_FIXED_SCALE"]
+__all__ = [
+    "QWeight",
+    "LayerParams",
+    "ModelParams",
+    "load_params",
+    "Q8_FIXED_SCALE",
+    "ffn_chunk",
+    "fuse_qkv",
+    "fuse_w13",
+    "split_qkv_rows",
+    "split_w13_rows",
+]
 
 Q8_FIXED_SCALE = 1.0 / 100.0
+
+
+def ffn_chunk(hidden_dim: int) -> int:
+    """Interleave chunk for the fused gate/up weight: largest power of two
+    <= 128 lanes that divides the hidden dim into at least 8 chunks (so
+    splits stay tile-aligned and tensor parallelism up to 8 ways always
+    lands on chunk-pair boundaries)."""
+    c = 128
+    while c > 1 and (hidden_dim % c != 0 or hidden_dim // c < 8):
+        c //= 2
+    return c
 
 
 @functools.partial(
@@ -67,23 +89,35 @@ class QWeight:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["attn_norm", "wq", "wk", "wv", "wo", "mlp_norm", "w1", "w2", "w3"],
+    data_fields=["attn_norm", "wqkv", "wo", "mlp_norm", "w13", "w2"],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class LayerParams:
-    """Per-layer weights, stacked with leading dim L (canonical names per
-    reference model.cpp:89-106; w1=mlp.gate, w2=mlp.down, w3=mlp.up)."""
+    """Per-layer weights, stacked with leading dim L.
+
+    The container keeps the reference's separate canonical tensors
+    (model.cpp:89-106: attn.{q,k,v,down}, mlp.{gate,down,up}); in device
+    memory they are **fused** so decode issues one weight stream per matmul
+    group instead of paying per-kernel launch latency seven times per layer
+    (measured ~10-17 us fixed cost per call — ~1.5 ms/step at 32 layers):
+
+    - ``wqkv`` (L, KH*(G+2)*hd, dim): per kv-head group j the rows are
+      [q rows of group j | k row-block j | v row-block j]. Query heads are
+      grouped contiguously (GQA head mapping h -> h//G, reference
+      infer.cpp:435-441), so the q sub-rows keep their original order and
+      the layout shards cleanly along KH for tensor parallelism.
+    - ``w13`` (L, 2*hidden, dim): gate/up interleaved in ``ffn_chunk``-row
+      chunks [gate_c0 | up_c0 | gate_c1 | ...] — splits are lane-aligned
+      and any tp that divides the chunk count shards evenly.
+    """
 
     attn_norm: Any  # (L, dim)
-    wq: QWeight  # (L, q_dim, dim)
-    wk: QWeight  # (L, kv_dim, dim)
-    wv: QWeight  # (L, kv_dim, dim)
+    wqkv: QWeight  # (L, kh*(g+2)*hd, dim) — fused q/k/v, grouped by kv head
     wo: QWeight  # (L, dim, q_dim)
     mlp_norm: Any  # (L, dim)
-    w1: QWeight  # (L, hidden_dim, dim)
+    w13: QWeight  # (L, 2*hidden_dim, dim) — fused gate/up, chunk-interleaved
     w2: QWeight  # (L, dim, hidden_dim)
-    w3: QWeight  # (L, hidden_dim, dim)
 
 
 @functools.partial(
@@ -125,6 +159,57 @@ def _load_qweight(xf, name: str, expect_shape: tuple[int, ...]) -> tuple[np.ndar
             raise ValueError(f"FATAL: i8 tensor {name} missing {sname}")
         scale = xf.load(sname)
     return values, scale
+
+
+def _fuse_rows(parts: list[np.ndarray], groups: int) -> np.ndarray:
+    """Interleave row blocks: each part (L, groups, rows_i, ...) slices are
+    concatenated per group. Parts must already carry the group axis."""
+    return np.ascontiguousarray(np.concatenate(parts, axis=2)).reshape(
+        parts[0].shape[0], -1, *parts[0].shape[3:]
+    )
+
+
+def fuse_qkv(
+    wq: np.ndarray, wk: np.ndarray, wv: np.ndarray, kh: int
+) -> np.ndarray:
+    """(L, q_dim, d) + 2x (L, kv_dim, d) -> (L, kh*(g+2)*hd, d) grouped by
+    kv head; also fuses (L, rows) scale planes (pass 2-D arrays)."""
+    l = wq.shape[0]
+    tail = wq.shape[2:]
+    q4 = wq.reshape(l, kh, -1, *tail)
+    k4 = wk.reshape(l, kh, -1, *tail)
+    v4 = wv.reshape(l, kh, -1, *tail)
+    return _fuse_rows([q4, k4, v4], kh)
+
+
+def split_qkv_rows(y, kh: int, g: int, hd: int):
+    """Inverse of fuse_qkv on the *output* side: y (..., kh*(g+2)*hd) ->
+    (q (..., kh*g*hd), k (..., kh*hd), v (..., kh*hd)). Pass kh=-1 to infer
+    the (possibly tensor-parallel-local) kv-head count from the row count."""
+    lead = y.shape[:-1]
+    y4 = y.reshape(*lead, kh, g + 2, hd)
+    q = y4[..., :g, :].reshape(*lead, -1)
+    k = y4[..., g, :].reshape(*lead, -1)
+    v = y4[..., g + 1, :].reshape(*lead, -1)
+    return q, k, v
+
+
+def fuse_w13(w1: np.ndarray, w3: np.ndarray, chunk: int) -> np.ndarray:
+    """(L, hidden, d) x2 -> (L, 2*hidden, d), chunk-interleaved."""
+    l = w1.shape[0]
+    tail = w1.shape[2:]
+    a = w1.reshape(l, -1, 1, chunk, *tail)
+    b = w3.reshape(l, -1, 1, chunk, *tail)
+    return np.ascontiguousarray(np.concatenate([a, b], axis=2)).reshape(l, -1, *tail)
+
+
+def split_w13_rows(y, chunk: int):
+    """y (..., 2*hidden) -> (gate (..., hidden), up (..., hidden))."""
+    lead = y.shape[:-1]
+    y4 = y.reshape(*lead, -1, 2, chunk)
+    gate = y4[..., 0, :].reshape(*lead, -1)
+    up = y4[..., 1, :].reshape(*lead, -1)
+    return gate, up
 
 
 def load_units(cfg: ModelConfig) -> int:
@@ -177,7 +262,11 @@ def load_params(
             _tick()
         return out
 
-    def stack_qw(name_fmt: str, expect_shape) -> QWeight:
+    def _stack_noprogress(names: list[str]) -> np.ndarray:
+        return xf.read_stack(names) if hasattr(xf, "read_stack") else np.stack([xf.load(n) for n in names])
+
+    def stack_host(name_fmt: str, expect_shape) -> tuple[np.ndarray, np.ndarray | None]:
+        """Host-side (numpy) stacked values + scales for one weight kind."""
         names = _validate(name_fmt, expect_shape)
         first = xf.tensors[names[0]]
         scale = None
@@ -187,27 +276,50 @@ def load_params(
                 raise ValueError(f"FATAL: i8 tensors for {name_fmt} missing scales")
             scale = _stack_noprogress(snames)
         vals = _stack(names)
-        return QWeight(put(vals), put(scale) if scale is not None else None)
+        return vals, scale
 
-    def _stack_noprogress(names: list[str]) -> np.ndarray:
-        return xf.read_stack(names) if hasattr(xf, "read_stack") else np.stack([xf.load(n) for n in names])
+    def stack_qw(name_fmt: str, expect_shape) -> QWeight:
+        vals, scale = stack_host(name_fmt, expect_shape)
+        return QWeight(put(vals), put(scale) if scale is not None else None)
 
     def stack_norm(name_fmt: str) -> jax.Array:
         names = _validate(name_fmt, (cfg.dim,))
         return put(_stack(names).astype(np.float32))
 
+    def _fused(parts, fuse, *fargs) -> QWeight:
+        vals = fuse(*[p[0] for p in parts], *fargs)
+        has_scale = parts[0][1] is not None
+        if any((p[1] is not None) != has_scale for p in parts):
+            raise ValueError("FATAL: mixed quantization across fused weights")
+        scale = fuse(*[p[1] for p in parts], *fargs) if has_scale else None
+        return QWeight(put(vals), put(scale) if scale is not None else None)
+
     d, q, kv, h = cfg.dim, cfg.q_dim, cfg.kv_dim, cfg.hidden_dim
 
     layers = LayerParams(
         attn_norm=stack_norm("l.{}.attn.norm.weight"),
-        wq=stack_qw("l.{}.attn.q.weight", (q, d)),
-        wk=stack_qw("l.{}.attn.k.weight", (kv, d)),
-        wv=stack_qw("l.{}.attn.v.weight", (kv, d)),
+        # container keeps the reference's separate q/k/v and gate/up tensors;
+        # they fuse host-side into the device layout (see LayerParams)
+        wqkv=_fused(
+            [
+                stack_host("l.{}.attn.q.weight", (q, d)),
+                stack_host("l.{}.attn.k.weight", (kv, d)),
+                stack_host("l.{}.attn.v.weight", (kv, d)),
+            ],
+            fuse_qkv,
+            cfg.n_kv_heads,
+        ),
         wo=stack_qw("l.{}.attn.down.weight", (d, q)),
         mlp_norm=stack_norm("l.{}.mlp.norm.weight"),
-        w1=stack_qw("l.{}.mlp.gate.weight", (h, d)),
+        w13=_fused(
+            [
+                stack_host("l.{}.mlp.gate.weight", (h, d)),
+                stack_host("l.{}.mlp.up.weight", (h, d)),
+            ],
+            fuse_w13,
+            ffn_chunk(h),
+        ),
         w2=stack_qw("l.{}.mlp.down.weight", (d, h)),
-        w3=stack_qw("l.{}.mlp.up.weight", (h, d)),
     )
 
     ev, es = _load_qweight(xf, "embed.weight", (cfg.vocab_size, cfg.dim))

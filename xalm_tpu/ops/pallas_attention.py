@@ -61,40 +61,59 @@ def rope_cos_sin_plus1(freqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return cexp[None, :], sexp[None, :]  # (1, hd) — 2D for SMEM/VMEM tiling
 
 
-def _kernel(
-    layer_ref, kv_pos_ref, kv_len_ref, rotate_ref,  # scalar prefetch
-    q_ref, knew_ref, vnew_ref, cexp_ref, sexp_ref, kin_ref, vin_ref,  # inputs
-    out_ref, kout_ref, vout_ref,  # outputs
-    *, s: int, hd: int, g: int,
+_ROWBLK = 8  # Mosaic's minimal second-to-last tile — the RMW window height
+
+
+def _insert_kernel(
+    layer_ref, blk_ref, kv_pos_ref,  # scalar prefetch
+    knew_ref, vnew_ref, kin_ref, vin_ref,  # inputs (kin/vin aliased to outs)
+    kout_ref, vout_ref,  # outputs: the 8-row windows holding kv_pos
+    *, hd: int,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
     kvp = kv_pos_ref[b]
-    kvl = kv_len_ref[b]
-    rot = rotate_ref[b]
+    base = blk_ref[b] * _ROWBLK
 
-    kv = kin_ref[0, 0, 0].astype(jnp.float32)  # (S, hd)
-    vv = vin_ref[0, 0, 0].astype(jnp.float32)
-
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
-    is_new = row_ids == kvp  # out-of-bounds sentinel (kvp==S) matches nothing
+    rows = base + jax.lax.broadcasted_iota(jnp.int32, (_ROWBLK, 1), 0)
+    is_new = rows == kvp  # out-of-bounds sentinel (kvp==S) matches nothing
     # knew/vnew blocks carry all K heads (Mosaic needs the 2nd-minor dim
     # whole); select this grid cell's head with a dynamic row slice
-    knew_row = knew_ref[0, pl.ds(j, 1), :]  # (1, hd)
-    vnew_row = vnew_ref[0, pl.ds(j, 1), :]
-    kv = jnp.where(is_new, knew_row, kv)
-    vv = jnp.where(is_new, vnew_row, vv)
+    kwin = kin_ref[0, 0, 0]  # (_ROWBLK, hd)
+    vwin = vin_ref[0, 0, 0]
+    kout_ref[0, 0, 0] = jnp.where(is_new, knew_ref[0, pl.ds(j, 1), :].astype(kwin.dtype), kwin)
+    vout_ref[0, 0, 0] = jnp.where(is_new, vnew_ref[0, pl.ds(j, 1), :].astype(vwin.dtype), vwin)
 
-    # sink re-rotation (+1 position) on rows < KV_SINKS of K when wrapped
-    lane = jax.lax.broadcasted_iota(jnp.int32, (s, hd), 1)
+
+def _sink_kernel(
+    layer_ref, rotate_ref,  # scalar prefetch
+    cexp_ref, sexp_ref, kin_ref,  # inputs (kin aliased to kout)
+    kout_ref,  # output: the first 8 rows (sinks live in rows < KV_SINKS)
+    *, hd: int,
+):
+    b = pl.program_id(0)
+    rot = rotate_ref[b]
+    kv = kin_ref[0, 0, 0].astype(jnp.float32)  # (_ROWBLK, hd)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_ROWBLK, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWBLK, hd), 1)
     even = (lane % 2) == 0
     # pltpu.roll wants non-negative shifts: roll by -1 == roll by hd-1
     swapped = jnp.where(even, -pltpu.roll(kv, hd - 1, 1), pltpu.roll(kv, 1, 1))
     rotated = kv * cexp_ref[0][None, :] + swapped * sexp_ref[0][None, :]
     kv = jnp.where((row_ids < KV_SINKS) & (rot != 0), rotated, kv)
-
     kout_ref[0, 0, 0] = kv.astype(kout_ref.dtype)
-    vout_ref[0, 0, 0] = vv.astype(vout_ref.dtype)
+
+
+def _attn_kernel(
+    layer_ref, kv_len_ref,  # scalar prefetch
+    q_ref, kin_ref, vin_ref,  # inputs (read-only cache stripes)
+    out_ref,  # output
+    *, s: int, hd: int, g: int,
+):
+    b = pl.program_id(0)
+    kvl = kv_len_ref[b]
+    kv = kin_ref[0, 0, 0].astype(jnp.float32)  # (S, hd)
+    vv = vin_ref[0, 0, 0].astype(jnp.float32)
 
     q = q_ref[0, 0].astype(jnp.float32) * (1.0 / math.sqrt(hd))  # (G, hd)
     scores = jax.lax.dot_general(
@@ -124,49 +143,90 @@ def fused_decode_attention(
     cexp: jax.Array,  # (1, hd) f32
     sexp: jax.Array,  # (1, hd) f32
 ):
-    """Returns (attn_out (B, H*hd) f32, cache_k', cache_v')."""
+    """Returns (attn_out (B, H*hd) f32, cache_k', cache_v').
+
+    Three kernels, not one: an 8-row in-place insert (K and V), an 8-row
+    in-place sink re-rotation (K only), then a read-only attention pass.
+    The old single-kernel design wrote the full (S, hd) stripes back every
+    step — ~0.5 GB/token of pure write traffic for a 7B model at a 4k
+    window; splitting the writes into 8-row windows removes it while the
+    aliased outputs keep the cache update copy-free.
+    """
     l, b, kh, s, hd = cache_k.shape
     h = q.shape[1]
     g = h // kh
     qg = q.reshape(b, kh, g, hd)
+    interp = jax.default_backend() != "tpu"
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b, kh),
-        in_specs=[
-            pl.BlockSpec((1, 1, g, hd), lambda i, j, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kh, hd), lambda i, j, *sp: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kh, hd), lambda i, j, *sp: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), lambda i, j, *sp: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), lambda i, j, *sp: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, lr, *sp: (lr[0], i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, lr, *sp: (lr[0], i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, g, hd), lambda i, j, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, lr, *sp: (lr[0], i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, lr, *sp: (lr[0], i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
+    layer1 = jnp.asarray(layer, jnp.int32).reshape(1)
+    kv_pos = jnp.asarray(kv_pos, jnp.int32)
+    # row-block holding kv_pos; the kvp==S dropped-write sentinel clamps to
+    # the last block and then matches no row inside the kernel
+    blk = jnp.minimum(kv_pos, s - 1) // _ROWBLK
+
+    win_spec = pl.BlockSpec(
+        (1, 1, 1, _ROWBLK, hd),
+        lambda i, j, lr, br, *sp: (lr[0], i, j, br[i], 0),
+        memory_space=pltpu.VMEM,
     )
-    kern = functools.partial(_kernel, s=s, hd=hd, g=g)
-    out, ck, cv = pl.pallas_call(
-        kern,
+    ck, cv = pl.pallas_call(
+        functools.partial(_insert_kernel, hd=hd),
         out_shape=(
-            jax.ShapeDtypeStruct((b, kh, g, hd), jnp.float32),
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
             jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
         ),
-        grid_spec=grid_spec,
-        # inputs counted including the 4 scalar-prefetch args:
-        # 9 = cache_k -> output 1, 10 = cache_v -> output 2 (in place)
-        input_output_aliases={9: 1, 10: 2},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
-        interpret=jax.default_backend() != "tpu",
-    )(
-        jnp.asarray(layer, jnp.int32).reshape(1),
-        jnp.asarray(kv_pos, jnp.int32),
-        jnp.asarray(kv_len, jnp.int32),
-        jnp.asarray(rotate, jnp.int32),
-        qg, k_new, v_new, cexp, sexp, cache_k, cache_v,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, kh),
+            in_specs=[
+                pl.BlockSpec((1, kh, hd), lambda i, j, *sp: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kh, hd), lambda i, j, *sp: (i, 0, 0), memory_space=pltpu.VMEM),
+                win_spec,
+                win_spec,
+            ],
+            out_specs=[win_spec, win_spec],
+        ),
+        # inputs counted incl. 3 scalar-prefetch args: 5=cache_k, 6=cache_v
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interp,
+    )(layer1, blk, kv_pos, k_new, v_new, cache_k, cache_v)
+
+    sink_spec = pl.BlockSpec(
+        (1, 1, 1, _ROWBLK, hd),
+        lambda i, j, lr, *sp: (lr[0], i, j, 0, 0),
+        memory_space=pltpu.VMEM,
     )
+    ck = pl.pallas_call(
+        functools.partial(_sink_kernel, hd=hd),
+        out_shape=jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, kh),
+            in_specs=[
+                pl.BlockSpec((1, hd), lambda i, j, *sp: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hd), lambda i, j, *sp: (0, 0), memory_space=pltpu.VMEM),
+                sink_spec,
+            ],
+            out_specs=sink_spec,
+        ),
+        input_output_aliases={4: 0},  # 2 prefetch + cexp + sexp, then kin
+        interpret=interp,
+    )(layer1, jnp.asarray(rotate, jnp.int32), cexp, sexp, ck)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, s=s, hd=hd, g=g),
+        out_shape=jax.ShapeDtypeStruct((b, kh, g, hd), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, kh),
+            in_specs=[
+                pl.BlockSpec((1, 1, g, hd), lambda i, j, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, lr, *sp: (lr[0], i, j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, lr, *sp: (lr[0], i, j, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interp,
+    )(layer1, jnp.asarray(kv_len, jnp.int32), qg, ck, cv)
     return out.reshape(b, h * hd), ck, cv

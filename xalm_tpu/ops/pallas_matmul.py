@@ -35,8 +35,8 @@ __all__ = ["pallas_qmatmul_stacked", "pallas_qmatmul", "supported_weight_dtype"]
 
 # Per-block VMEM budget for the weight tile (double-buffered by the pipeline;
 # the bf16 dequant copy lives alongside, so real usage is ~3x this).
-_WEIGHT_BLOCK_BYTES = 2 * 1024 * 1024
-_MAX_TD = 1024
+_WEIGHT_BLOCK_BYTES = 512 * 1024
+_MAX_TD = 2048
 # v5e has 128 MiB of VMEM; XLA's default 16 MiB scoped limit is far below
 # what a double-buffered weight stream wants.
 _VMEM_LIMIT = 64 * 1024 * 1024
@@ -66,14 +66,16 @@ def _tile_d(d: int, n: int, itemsize: int) -> int:
     return min(td, pl.cdiv(d, 128) * 128)
 
 
-def _dequant_cast(w, out_dtype):
-    """Storage dtype -> MXU input dtype, in VMEM."""
-    return w.astype(out_dtype)
-
-
 def _kernel(l_ref, x_ref, w_ref, o_ref, *, compute_dtype):
     del l_ref  # consumed by the index_map
-    w = _dequant_cast(w_ref[0], compute_dtype)
+    w = w_ref[0]
+    if w.dtype != jnp.int8:
+        # f32/bf16 weights: cast once in VMEM and hit the MXU
+        w = w.astype(compute_dtype)
+    # int8 weights feed the MXU directly (v5e has a native s8 systolic
+    # path); routing them through a VPU int8->bf16 cast first costs more
+    # cycles than the DMA of the tile and caps the stream well below HBM
+    # speed-of-light (measured).
     x = x_ref[:].astype(compute_dtype)
     o_ref[:] = jax.lax.dot_general(
         x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32

@@ -30,6 +30,8 @@ __all__ = ["param_pspecs", "cache_pspecs", "shard_params", "shard_cache", "valid
 
 
 def validate_tp(cfg: ModelConfig, tp: int) -> None:
+    from xalm_tpu.models.params import ffn_chunk
+
     if cfg.n_kv_heads % tp != 0:
         raise ValueError(
             f"tp={tp} must divide n_kv_heads={cfg.n_kv_heads} so GQA decode "
@@ -37,6 +39,12 @@ def validate_tp(cfg: ModelConfig, tp: int) -> None:
         )
     if cfg.hidden_dim % tp != 0 or cfg.vocab_size % tp != 0:
         raise ValueError(f"tp={tp} must divide hidden_dim and vocab_size")
+    chunks = cfg.hidden_dim // ffn_chunk(cfg.hidden_dim)
+    if chunks % tp != 0:
+        raise ValueError(
+            f"tp={tp} must divide the fused gate/up chunk count {chunks} "
+            f"(hidden_dim {cfg.hidden_dim} / chunk {ffn_chunk(cfg.hidden_dim)})"
+        )
 
 
 def _qw(col: P, scale: P) -> QWeight:
@@ -47,16 +55,16 @@ def param_pspecs(cfg: ModelConfig) -> ModelParams:
     """A ModelParams-shaped tree of PartitionSpecs (stacked layer dim first)."""
     col = _qw(P(None, AXIS_TP, None), P(None, AXIS_TP))  # output-dim sharded
     row = _qw(P(None, None, AXIS_TP), P(None, None))  # input-dim sharded
+    # fused wqkv shards along kv-head groups, fused w13 along gate/up chunk
+    # pairs — both land exactly on the column-parallel megatron layout
+    # because the interleaves are per-kv-head / per-chunk (validate_tp)
     layers = LayerParams(
         attn_norm=P(None, None),
-        wq=col,
-        wk=col,
-        wv=col,
+        wqkv=col,
         wo=row,
         mlp_norm=P(None, None),
-        w1=col,
+        w13=col,
         w2=row,
-        w3=col,
     )
     return ModelParams(
         embed=_qw(P(None, None), P(None)),  # replicated

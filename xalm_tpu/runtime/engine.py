@@ -363,9 +363,7 @@ class Engine:
             return b
 
         lw = p.layers
-        weight_bytes = sum(
-            qbytes(w) for w in (lw.wq, lw.wk, lw.wv, lw.wo, lw.w1, lw.w2, lw.w3)
-        )
+        weight_bytes = sum(qbytes(w) for w in (lw.wqkv, lw.wo, lw.w13, lw.w2))
         weight_bytes += lw.attn_norm.nbytes + lw.mlp_norm.nbytes
         # one embedding row read
         weight_bytes += qbytes(p.embed) // cfg.vocab_size

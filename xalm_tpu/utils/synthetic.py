@@ -70,14 +70,13 @@ def synthetic_params(
     )
     layers = LayerParams(
         attn_norm=jnp.ones((L, d), jnp.float32),
-        wq=_synth_qweight(keys[0], (L, q, d), weight_dtype),
-        wk=_synth_qweight(keys[1], (L, kv, d), weight_dtype),
-        wv=_synth_qweight(keys[2], (L, kv, d), weight_dtype),
+        # random weights need no interleave pass — draw the fused layouts
+        # (see models/params.LayerParams) at their fused shapes directly
+        wqkv=_synth_qweight(keys[0], (L, q + 2 * kv, d), weight_dtype),
         wo=_synth_qweight(keys[3], (L, d, q), weight_dtype),
         mlp_norm=jnp.ones((L, d), jnp.float32),
-        w1=_synth_qweight(keys[4], (L, h, d), weight_dtype),
+        w13=_synth_qweight(keys[4], (L, 2 * h, d), weight_dtype),
         w2=_synth_qweight(keys[5], (L, d, h), weight_dtype),
-        w3=_synth_qweight(keys[6], (L, h, d), weight_dtype),
     )
     embed = _synth_qweight(keys[7], (v, d), embed_dtype, scale_mag=0.05)
     wcls = embed if cfg.tie_word_embeddings else _synth_qweight(keys[8], (v, d), embed_dtype, scale_mag=0.05)
