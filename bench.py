@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Headline benchmark: Mistral-7B FP8 weight-only single-chip decode tok/s.
+"""Headline benchmark: Mistral-7B int8 weight-only single-chip decode tok/s.
+
+int8 (per-row scales) is the performance-representative 8-bit weight format
+on v5e: the MXU consumes s8 natively, while fp8 has no hardware path and
+dequantizes through XLA (see ops/pallas_matmul.supported_weight_dtype).
+The reference ships int8 too (its fixed-scale Q8, types.h:423-424).
 
 Matches the reference's measurement regime (reference README.md:7-14 /
 main.cpp:105-127): greedy decode throughput at 4k sliding-window context,
@@ -41,7 +46,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=96, help="decode steps to time")
     ap.add_argument("--warmup", type=int, default=16)
-    ap.add_argument("--dtype", default="f8_e4m3", choices=["f8_e4m3", "f8_e5m2", "i8", "bf16", "f16"])
+    ap.add_argument("--dtype", default="i8", choices=["f8_e4m3", "f8_e5m2", "i8", "bf16", "f16"])
     ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
     args = ap.parse_args()
 

@@ -71,8 +71,8 @@ def test_uneven_d_blocks():
 def test_supported_dtypes():
     assert supported_weight_dtype(jnp.int8)
     assert supported_weight_dtype(jnp.bfloat16)
-    # fp8 deliberately routes to XLA's fused convert+dot: Mosaic's f8 cast
-    # measured ~78 GB/s on v5e vs ~313 GB/s for the XLA fusion
+    # fp8 routes to XLA's fused convert+dot — every Pallas VPU dequant
+    # strategy measured slower on v5e (see supported_weight_dtype)
     assert not supported_weight_dtype(jnp.float8_e4m3fn)
     assert not supported_weight_dtype(jnp.uint8)
 
@@ -94,3 +94,29 @@ def test_engine_pallas_impl_matches_xla(tmp_path):
     # prefill chunk of 6 tokens is small enough for the pallas path (M<=64)
     np.testing.assert_allclose(lp, lx, rtol=5e-2, atol=1e-2)
     assert np.all(np.argmax(lp, -1) == np.argmax(lx, -1))
+
+
+@pytest.mark.parametrize("dt", [jnp.float8_e4m3fn, jnp.float8_e5m2])
+def test_f8_bit_dequant_all_codes(dt):
+    # every f8 bit pattern must decode exactly like the reference cast
+    # (NaN/Inf payloads excluded — weights are finite by construction)
+    from xalm_tpu.ops.pallas_matmul import _f8_to_bf16
+
+    codes = np.arange(256, dtype=np.uint8)
+    w = jax.lax.bitcast_convert_type(jnp.asarray(codes), dt)
+    want = np.asarray(w.astype(jnp.float32))
+    got = np.asarray(_f8_to_bf16(w).astype(jnp.float32))
+    finite = np.isfinite(want)
+    np.testing.assert_array_equal(got[finite], want[finite])
+
+
+@pytest.mark.parametrize("dt", [jnp.float8_e4m3fn, jnp.float8_e5m2])
+def test_pallas_matmul_f8_matches_xla(dt):
+    key = jax.random.PRNGKey(3)
+    w = (jax.random.normal(key, (2, 256, 128)) * 0.1).astype(dt)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 128), jnp.float32)
+    from xalm_tpu.ops.pallas_matmul import pallas_qmatmul_stacked
+
+    got = pallas_qmatmul_stacked(x, w, jnp.int32(1))
+    want = x.astype(jnp.bfloat16) @ w[1].astype(jnp.bfloat16).T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want, np.float32), rtol=2e-2, atol=2e-3)

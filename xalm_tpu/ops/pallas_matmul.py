@@ -35,7 +35,8 @@ __all__ = ["pallas_qmatmul_stacked", "pallas_qmatmul", "supported_weight_dtype"]
 
 # Per-block VMEM budget for the weight tile (double-buffered by the pipeline;
 # the bf16 dequant copy lives alongside, so real usage is ~3x this).
-_WEIGHT_BLOCK_BYTES = 512 * 1024
+# 1 MiB won the 512K/1M/2M/4M decode sweep on v5e.
+_WEIGHT_BLOCK_BYTES = 1024 * 1024
 _MAX_TD = 2048
 # v5e has 128 MiB of VMEM; XLA's default 16 MiB scoped limit is far below
 # what a double-buffered weight stream wants.
@@ -47,17 +48,44 @@ def supported_weight_dtype(dtype) -> bool:
     # mosaic dialect: f16") — the loader converts f16 checkpoints to bf16 on
     # TPU instead (see models/params.load_params f16_mode).
     #
-    # fp8 is absent for a different reason: v5e has no native fp8 MXU path
-    # and Mosaic's f8->bf16 cast lowers to ~78 GB/s of VPU work (measured),
-    # drowning the 819 GB/s HBM stream. XLA's convert+dot fusion does the
-    # same dequant at ~313 GB/s, so fp8 weights take the XLA path (see
-    # ops/linear.qmatmul); int8 casts are hardware-native and free, which is
-    # why `i8` is the performance-representative 8-bit format on v5e.
+    # fp8 is absent because v5e has no fp8 MXU path and every VPU dequant
+    # strategy measured slower than XLA's fused convert+dot (~300 GB/s):
+    # Mosaic's native f8->bf16 convert ~78 GB/s; int32 bit surgery
+    # (_f8_to_bf16, kept below with an exactness test) ~266 GB/s end to end.
+    # fp8 checkpoints therefore route to the XLA path; int8 feeds the MXU
+    # natively and is the performance-representative 8-bit format on v5e.
     return jnp.dtype(dtype) in (
         jnp.dtype(jnp.int8),
         jnp.dtype(jnp.bfloat16),
         jnp.dtype(jnp.float32),
     )
+
+
+_F8_LAYOUT = {
+    # dtype -> (mantissa bits, exponent bias)
+    jnp.dtype(jnp.float8_e4m3fn): (3, 7),
+    jnp.dtype(jnp.float8_e5m2): (2, 15),
+}
+
+
+def _f8_to_bf16(w):
+    """f8 -> bf16 by integer bit surgery: assemble f32 bits in int32 lanes
+    (Mosaic's native integer width — 8/16-bit vector shifts don't legalize),
+    bitcast, and downcast. Exact for all finite codes: both formats store
+    round mantissas, so widening just re-biases the exponent and top-aligns
+    the mantissa. Denormals decode as mantissa * 2^(1-bias-M); f8 NaN/Inf
+    payloads are not special-cased (quantized weights are finite by
+    construction — the converter saturates, xalm_tpu/quant.py)."""
+    m_bits, bias = _F8_LAYOUT[jnp.dtype(w.dtype)]
+    u = jax.lax.bitcast_convert_type(w, jnp.uint8).astype(jnp.int32)
+    sign31 = (u & 0x80) << 24
+    e = (u >> m_bits) & ((1 << (7 - m_bits)) - 1)
+    mant = u & ((1 << m_bits) - 1)
+    normal_bits = sign31 | ((e + (127 - bias)) << 23) | (mant << (23 - m_bits))
+    normal = jax.lax.bitcast_convert_type(normal_bits, jnp.float32)
+    denorm_mag = mant.astype(jnp.float32) * (2.0 ** (1 - bias - m_bits))
+    denorm = jnp.where(sign31 != 0, -denorm_mag, denorm_mag)
+    return jnp.where(e == 0, denorm, normal).astype(jnp.bfloat16)
 
 
 def _tile_d(d: int, n: int, itemsize: int) -> int:
@@ -69,7 +97,9 @@ def _tile_d(d: int, n: int, itemsize: int) -> int:
 def _kernel(l_ref, x_ref, w_ref, o_ref, *, compute_dtype):
     del l_ref  # consumed by the index_map
     w = w_ref[0]
-    if w.dtype != jnp.int8:
+    if jnp.dtype(w.dtype) in _F8_LAYOUT:
+        w = _f8_to_bf16(w)
+    elif w.dtype != jnp.int8:
         # f32/bf16 weights: cast once in VMEM and hit the MXU
         w = w.astype(compute_dtype)
     # int8 weights feed the MXU directly (v5e has a native s8 systolic
