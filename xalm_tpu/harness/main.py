@@ -28,6 +28,7 @@ stderr (main.cpp:257-267).
 from __future__ import annotations
 
 import argparse
+import os
 import random
 import sys
 import time
@@ -57,6 +58,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matmul", default="auto", choices=["auto", "xla", "pallas"], help="matmul kernel impl")
     p.add_argument("--profile", action="store_true", help="print profiler report at exit")
     p.add_argument("--seed", type=int, default=None, help="seed for passkey randomness")
+    p.add_argument(
+        "--session", default=None, metavar="PATH",
+        help="completion: resume from PATH if it exists, save the KV cache + "
+        "token history there afterwards (xalm v2 block store)",
+    )
     return p
 
 
@@ -119,6 +125,15 @@ def run_completion(args) -> int:
         f"latency: {enc_s/max(len(ids),1):.4g} s/tok, total: {enc_s:.4g}s)"
     )
 
+    resume = None
+    if args.session and os.path.exists(args.session):
+        from xalm_tpu.runtime.session import load_session
+
+        resume = load_session(args.session, eng.cfg)
+        print(f"resumed session {args.session}: {len(resume.tokens[0])} tokens at pos {int(resume.pos[0])}")
+        # continuation: no BOS, context is already in the cache
+        ids = tok.encode(prompt, bos=False)
+
     prev = ids[0] if ids else tok.bos_id
     printed = [prev]
 
@@ -129,7 +144,14 @@ def run_completion(args) -> int:
         prev = t
 
     sys.stdout.write(prompt)
-    out, stats = eng.generate(ids, num_steps, on_token=on_token)
+    if args.session:
+        out, stats, sess = eng.generate(ids, num_steps, on_token=on_token, resume=resume, return_session=True)
+        from xalm_tpu.runtime.session import save_session
+
+        save_session(args.session, eng.cfg, sess)
+        print(f"\nsaved session to {args.session} ({len(sess.tokens[0])} tokens)", end="")
+    else:
+        out, stats = eng.generate(ids, num_steps, on_token=on_token)
     print()
     print(
         f"Generation stats:\n"

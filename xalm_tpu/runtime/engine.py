@@ -201,16 +201,17 @@ class Engine:
         tokens = jnp.asarray(tokens, jnp.int32)[:, None]
         return self.step(tokens, pos, cache, logits_mode="last")
 
-    def prefill(self, token_ids: list[int], cache: KVCache, logits_mode="last"):
+    def prefill(self, token_ids: list[int], cache: KVCache, logits_mode="last", start_pos: int = 0):
         """Feed a single prompt (batch 1) through chunked prefill.
 
         Returns (logits-for-last-token | per-token logits list, cache, pos).
         Uses bucketed chunk shapes (bounded compile count) with masked
         padding; switches to T=1 stepping once the ring would wrap.
+        ``start_pos`` continues an existing sequence (session resume).
         """
         s = self.cfg.max_seq_len
-        n = len(token_ids)
-        pos = 0
+        n = start_pos + len(token_ids)
+        pos = start_pos
         logits = None
         all_logits = []
         while pos < n:
@@ -224,7 +225,7 @@ class Engine:
             if t > 1 and pos + bucket > s:
                 bucket = t
             padded = np.zeros((1, bucket), np.int32)
-            padded[0, :t] = token_ids[pos : pos + t]
+            padded[0, :t] = token_ids[pos - start_pos : pos - start_pos + t]
             valid = np.zeros((1, bucket), bool)
             valid[0, :t] = True
             is_last = pos + t >= n
@@ -262,19 +263,37 @@ class Engine:
         on_token=None,
         stop_on_eos: bool = True,
         segment: int | None = None,
-    ) -> tuple[list[int], GenerationStats]:
+        resume=None,
+        return_session: bool = False,
+    ):
         """Greedy completion (reference run_completion, main.cpp:44-128).
 
         On TPU, tokens are generated in device-side scan segments (default
         32) so per-call dispatch latency amortizes; EOS is checked between
-        segments (greedy output is identical to per-token stepping)."""
+        segments (greedy output is identical to per-token stepping).
+
+        ``resume``: a runtime.session.Session to continue (its pending last
+        token is re-hydrated ahead of ``prompt_ids``). With
+        ``return_session=True`` returns (out, stats, Session) for saving.
+        """
         if segment is None:
             segment = 32 if jax.default_backend() == "tpu" else 1
         stats = GenerationStats(prompt_tokens=len(prompt_ids))
-        cache = self.new_cache(1)
+        if resume is None:
+            cache = self.new_cache(1)
+            start, history = 0, []
+            new_tokens = list(prompt_ids)
+        else:
+            cache = resume.cache
+            start = int(np.asarray(resume.pos)[0])
+            history = list(resume.tokens[0])
+            new_tokens = list(prompt_ids)
+            # the saved pending token's KV was never written — hydrate it
+            # ahead of the new prompt (see Session docstring)
+            prompt_ids = [history[-1]] + new_tokens
 
         t0 = time.perf_counter()
-        logits, cache, pos = self.prefill(prompt_ids, cache, logits_mode="last")
+        logits, cache, pos = self.prefill(prompt_ids, cache, logits_mode="last", start_pos=start)
         token = int(np.asarray(sample_argmax(logits))[0])
         stats.prefill_s = time.perf_counter() - t0
 
@@ -310,6 +329,18 @@ class Engine:
             token = seg[-1]
         stats.decode_s = time.perf_counter() - t0
         stats.generated_tokens = len(out)
+        if return_session:
+            from xalm_tpu.runtime.session import Session
+
+            # position of the pending (emitted, not yet cache-written) token;
+            # everything past it in the ring is masked by kv_len on resume
+            pend = start + len(prompt_ids) + len(out) - 1
+            sess = Session(
+                cache=cache,
+                pos=np.array([pend], np.int32),
+                tokens=[history + new_tokens + out],
+            )
+            return out, stats, sess
         return out, stats
 
     def perplexity(self, token_ids: list[int]) -> tuple[float, float, int]:

@@ -1,0 +1,88 @@
+"""Decode-session persistence: save/resume the KV cache mid-generation.
+
+A capability gap called out in SURVEY.md §5.4 — the reference has "no
+KV-cache persistence, no session resume"; its planned v2 container
+(XalmFile.h) pointed here. Built on the xalm v2 block store
+(io/blockstore.py): one block per cache plane plus a metadata record tying
+the session to its model config so a resume against the wrong checkpoint
+fails loudly instead of decoding garbage.
+
+Saved state: K/V planes (in their storage dtype), per-sequence absolute
+positions, and the token history already emitted (so the harness can
+re-print context and keep feeding the sampler).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from xalm_tpu.models.config import ModelConfig
+from xalm_tpu.io.blockstore import BlockStore, write_blocks
+from xalm_tpu.runtime.cache import KVCache
+
+__all__ = ["Session", "save_session", "load_session"]
+
+_FINGERPRINT_KEYS = (
+    "dim",
+    "hidden_dim",
+    "head_dim",
+    "n_layers",
+    "n_heads",
+    "n_kv_heads",
+    "vocab_size",
+    "max_seq_len",
+)
+
+
+def _fingerprint(cfg: ModelConfig) -> dict:
+    return {k: int(getattr(cfg, k)) for k in _FINGERPRINT_KEYS}
+
+
+@dataclasses.dataclass
+class Session:
+    cache: KVCache
+    pos: np.ndarray  # (B,) absolute next position per sequence
+    tokens: list[list[int]]  # emitted token ids per sequence
+
+
+def save_session(path: str, cfg: ModelConfig, session: Session) -> None:
+    k = np.asarray(session.cache.k)
+    v = np.asarray(session.cache.v)
+    tok_lens = np.array([len(t) for t in session.tokens], np.int32)
+    flat = np.array([t for seq in session.tokens for t in seq], np.int32)
+    write_blocks(
+        path,
+        {
+            "kv.k": k,
+            "kv.v": v,
+            "pos": np.asarray(session.pos, np.int32),
+            "tokens.lens": tok_lens,
+            "tokens.flat": flat,
+        },
+        meta={"kind": "xalm-session", "config": _fingerprint(cfg)},
+    )
+
+
+def load_session(path: str, cfg: ModelConfig) -> Session:
+    with BlockStore(path) as bs:
+        if bs.meta.get("kind") != "xalm-session":
+            raise ValueError(f"{path}: not a session file")
+        fp = bs.meta.get("config", {})
+        want = _fingerprint(cfg)
+        if fp != want:
+            diff = {k: (fp.get(k), want[k]) for k in want if fp.get(k) != want[k]}
+            raise ValueError(f"{path}: session/model config mismatch: {diff}")
+        k = np.copy(bs.get("kv.k"))
+        v = np.copy(bs.get("kv.v"))
+        pos = np.copy(bs.get("pos"))
+        lens = bs.get("tokens.lens")
+        flat = bs.get("tokens.flat")
+        tokens, at = [], 0
+        for n in lens:
+            tokens.append([int(t) for t in flat[at : at + n]])
+            at += int(n)
+    cache = KVCache(k=jnp.asarray(k), v=jnp.asarray(v))
+    return Session(cache=cache, pos=pos, tokens=tokens)
