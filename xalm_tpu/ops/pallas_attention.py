@@ -105,29 +105,50 @@ def _sink_kernel(
 
 
 def _attn_kernel(
-    layer_ref, kv_len_ref,  # scalar prefetch
-    q_ref, kin_ref, vin_ref,  # inputs (read-only cache stripes)
+    layer_ref, blkmax_ref, kv_len_ref,  # scalar prefetch
+    q_ref, kin_ref, vin_ref,  # inputs (read-only cache sequence blocks)
     out_ref,  # output
-    *, s: int, hd: int, g: int,
+    acc_ref, m_ref, l_ref,  # VMEM scratch, persistent across the t axis
+    *, sb: int, nsb: int, hd: int, g: int,
 ):
+    """Flash-decoding: the sequence axis is grid dimension t over ``sb``-row
+    blocks with a running max/denominator, so HBM traffic scales with
+    ``kv_len`` instead of the window. Blocks past kv_len are clamped by the
+    index_map to the last live block (the pipeline skips re-fetching an
+    unchanged block) and their compute is skipped with pl.when."""
     b = pl.program_id(0)
+    t = pl.program_id(2)
     kvl = kv_len_ref[b]
-    kv = kin_ref[0, 0, 0].astype(jnp.float32)  # (S, hd)
-    vv = vin_ref[0, 0, 0].astype(jnp.float32)
 
-    q = q_ref[0, 0].astype(jnp.float32) * (1.0 / math.sqrt(hd))  # (G, hd)
-    scores = jax.lax.dot_general(
-        q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (G, S)
-    mask = (jax.lax.broadcasted_iota(jnp.int32, (1, s), 1) < kvl)
-    scores = jnp.where(mask, scores, _NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    att = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        att, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (G, hd)
-    out_ref[0, 0] = out
+    @pl.when(t == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(t * sb < kvl)
+    def _block():
+        kv = kin_ref[0, 0, 0].astype(jnp.float32)  # (sb, hd)
+        vv = vin_ref[0, 0, 0].astype(jnp.float32)
+        q = q_ref[0, 0].astype(jnp.float32) * (1.0 / math.sqrt(hd))  # (G, hd)
+        scores = jax.lax.dot_general(
+            q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (G, sb)
+        rows = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+        scores = jnp.where(rows < kvl, scores, _NEG_INF)
+        m_old = m_ref[:g, :1]  # (G, 1)
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        m_ref[:g, :1] = m_new
+        l_ref[:g, :1] = l_ref[:g, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:g, :] = acc_ref[:g, :] * alpha + jax.lax.dot_general(
+            p, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(t == nsb - 1)
+    def _finish():
+        out_ref[0, 0] = acc_ref[:g, :] / l_ref[:g, :1]
 
 
 def fused_decode_attention(
@@ -213,20 +234,44 @@ def fused_decode_attention(
         interpret=interp,
     )(layer1, jnp.asarray(rotate, jnp.int32), cexp, sexp, ck)
 
+    # flash-decoding sequence blocking: pick the largest power-of-two block
+    # <= 512 rows dividing the window
+    sb = 512
+    while sb > _ROWBLK and s % sb != 0:
+        sb //= 2
+    sb = min(sb, s)
+    nsb = s // sb
+    kv_len = jnp.asarray(kv_len, jnp.int32)
+    blkmax = jnp.maximum(kv_len - 1, 0) // sb  # last live block per batch row
+
+    gp = max(g, 8)  # scratch rows padded to the sublane tile
+    seq_spec = pl.BlockSpec(
+        (1, 1, 1, sb, hd),
+        lambda i, j, t, lr, bm, *sp: (lr[0], i, j, jnp.minimum(t, bm[i]), 0),
+        memory_space=pltpu.VMEM,
+    )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, s=s, hd=hd, g=g),
+        functools.partial(_attn_kernel, sb=sb, nsb=nsb, hd=hd, g=g),
         out_shape=jax.ShapeDtypeStruct((b, kh, g, hd), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(b, kh),
+            num_scalar_prefetch=3,
+            grid=(b, kh, nsb),
             in_specs=[
-                pl.BlockSpec((1, 1, g, hd), lambda i, j, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, lr, *sp: (lr[0], i, j, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, s, hd), lambda i, j, lr, *sp: (lr[0], i, j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, g, hd), lambda i, j, t, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+                seq_spec,
+                seq_spec,
             ],
-            out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, t, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((gp, hd), jnp.float32),
+                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((gp, 128), jnp.float32),
+            ],
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
         interpret=interp,
-    )(layer1, jnp.asarray(kv_len, jnp.int32), qg, ck, cv)
+    )(layer1, blkmax, kv_len, qg, ck, cv)
     return out.reshape(b, h * hd), ck, cv
