@@ -48,6 +48,8 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=16)
     ap.add_argument("--dtype", default="i8", choices=["f8_e4m3", "f8_e5m2", "i8", "bf16", "f16"])
     ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="decode batch size (serving-throughput mode; tok/s is aggregate)")
     args = ap.parse_args()
 
     dt = {
@@ -74,22 +76,26 @@ def main() -> int:
     weight_gb = params.nbytes() / 1e9
     log(f"params resident: {weight_gb:.2f} GB (built in {time.time() - t0:.1f}s)")
 
-    cache = eng.new_cache(1)
-    log(f"kv cache: {cache.nbytes() / 1e9:.2f} GB f16 @ {cfg.max_seq_len} window")
+    b = max(args.batch, 1)
+    cache = eng.new_cache(b)
+    log(f"kv cache: {cache.nbytes() / 1e9:.2f} GB f16 @ {cfg.max_seq_len} window x batch {b}")
 
-    # short prompt hydrate (reference benches ~120-token generations from
-    # short prompts, README.md:9)
-    prompt = list(range(1, 17))
+    # short prompt hydrate per sequence (reference benches ~120-token
+    # generations from short prompts, README.md:9); batched sequences step
+    # through the same chunked path via eng.step
+    prompt = np.tile(np.arange(1, 17, dtype=np.int32)[None], (b, 1))
     t0 = time.time()
-    logits, cache, pos = eng.prefill(prompt, cache, logits_mode="last")
+    logits, cache = eng.step(prompt, np.zeros((b,), np.int32), cache, logits_mode="last")
     tok0 = jnp.argmax(logits, -1).astype(jnp.int32)
     jax.block_until_ready(tok0)
-    log(f"prefill({len(prompt)} tokens): {time.time() - t0:.1f}s (incl. compile)")
+    pos = prompt.shape[1]
+    log(f"prefill({prompt.shape[1]} tokens x{b}): {time.time() - t0:.1f}s (incl. compile)")
 
     # warmup: compile the scan-decode graph (same step count as the timed run
     # so exactly one program is compiled)
     t0 = time.time()
-    toks, cache = eng.decode_scan(tok0, np.array([pos]), cache, args.steps)
+    posv = np.full((b,), pos, np.int32)
+    toks, cache = eng.decode_scan(tok0, posv, cache, args.steps)
     toks = np.asarray(toks)
     log(f"decode compile+warmup({args.steps} steps): {time.time() - t0:.1f}s")
     pos += args.steps
@@ -97,14 +103,18 @@ def main() -> int:
     # timed run (np.asarray forces a real host readback — block_until_ready
     # alone is unreliable through the axon tunnel)
     t0 = time.perf_counter()
-    toks, cache = eng.decode_scan(toks[:, -1].copy(), np.array([pos]), cache, args.steps)
+    toks, cache = eng.decode_scan(toks[:, -1].copy(), np.full((b,), pos, np.int32), cache, args.steps)
     toks = np.asarray(toks)
     dt_s = time.perf_counter() - t0
-    tok_s = args.steps / dt_s
+    tok_s = args.steps * b / dt_s
 
-    active = eng.active_bytes(pos + args.steps // 2)
-    achieved_gb_s = active * tok_s / 1e9
-    roofline_tok_s = V5E_HBM_GB_S * 1e9 / active
+    # per-STEP bytes: weights stream once per step regardless of batch; KV
+    # traffic scales with the batch
+    per_seq = eng.active_bytes(pos + args.steps // 2)
+    kv_part = per_seq - eng._per_token_weight_bytes
+    active = eng._per_token_weight_bytes + b * kv_part
+    achieved_gb_s = active * (tok_s / b) / 1e9
+    roofline_tok_s = b * V5E_HBM_GB_S * 1e9 / active
     log(
         f"decode: {args.steps} steps in {dt_s:.3f}s -> {tok_s:.2f} tok/s | "
         f"active bytes/tok {active / 1e9:.2f} GB -> achieved {achieved_gb_s:.0f} GB/s "
@@ -115,7 +125,8 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": f"mistral7b_{args.dtype}_decode_tok_s_per_chip",
+                "metric": f"mistral7b_{args.dtype}_decode_tok_s_per_chip"
+                + (f"_b{args.batch}" if args.batch > 1 else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
