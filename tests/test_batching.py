@@ -63,3 +63,21 @@ def test_streaming_callback(engine):
     b.submit(r)
     b.run()
     assert got == r.out_tokens and len(got) == 4
+
+
+def test_segmented_batcher_equals_solo(engine):
+    # segment>1 runs device-side scans between scheduler ticks; greedy
+    # output must be identical, including mid-segment retirement
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(3, 350, size=l).tolist() for l in (5, 11, 7)]
+    n_new = [7, 4, 9]
+    solo = [_solo(engine, p, n) for p, n in zip(prompts, n_new)]
+
+    b = ContinuousBatcher(engine, max_batch=2, segment=4)
+    for p, n in zip(prompts, n_new):
+        b.submit(Request(prompt_ids=p, max_new_tokens=n, stop_on_eos=False))
+    done = b.run()
+    assert len(done) == len(prompts)
+    by_id = {r.id: r for r in done}
+    for i, want in enumerate(solo):
+        assert by_id[i].out_tokens == want, f"request {i}"
