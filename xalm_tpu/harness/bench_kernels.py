@@ -10,6 +10,10 @@ Methodology notes (hard-won on this host):
   the axon tunnel, and identical calls may be memoized — so every probe
   measures the *slope* between two chained-iteration counts with a fresh
   input buffer per call, not single-call wall time.
+- Even so, slope readings through the tunnel can exceed physical HBM
+  bandwidth (execution pipelining across the timed boundary). Readings above
+  ~100% SOL are flagged; treat bench.py's end-to-end decode (which threads a
+  donated KV cache through every call) as the ground truth.
 
 Usage: python -m xalm_tpu.harness.bench_kernels [-k matmul|mha|ffn|all] [-b]
 """
@@ -26,6 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 
 V5E_HBM_GB_S = 819.0
+
+
+def _flag(gb_s: float) -> str:
+    return "  [!] exceeds SOL — tunnel artifact, distrust" if gb_s > V5E_HBM_GB_S else ""
 
 
 def _slope_time(make_chain, args=(), n1: int = 8, n2: int = 40, reps: int = 4) -> float:
@@ -71,7 +79,7 @@ def bench_bandwidth() -> None:
     per = _slope_time(make_chain, (w,))
     gb_s = w[0].nbytes / per / 1e9
     print(f"-b HBM read probe: {per*1e3:.3f} ms / 117MB sweep -> "
-          f"{gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% of v5e SOL)")
+          f"{gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% of v5e SOL){_flag(gb_s)}")
 
 
 def bench_matmul() -> None:
@@ -110,7 +118,7 @@ def bench_matmul() -> None:
         gb_s = w[0].nbytes / per / 1e9
         impl = "pallas" if use_pallas else "xla"
         print(f"-k matmul [{name:>12}] ({impl}): {per*1e3:.3f} ms/matvec "
-              f"(14336x4096) -> {gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% SOL)")
+              f"(14336x4096) -> {gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% SOL){_flag(gb_s)}")
 
 
 def bench_mha() -> None:
@@ -122,7 +130,8 @@ def bench_mha() -> None:
     cfg = MISTRAL_7B
     key = jax.random.PRNGKey(42)
     L = 8
-    k = jax.random.normal(key, (L, 1, cfg.max_seq_len, cfg.n_kv_heads, cfg.head_dim), jnp.float16)
+    # head-major cache layout: (L, B, K, S, hd) — see runtime/cache.py
+    k = jax.random.normal(key, (L, 1, cfg.n_kv_heads, cfg.max_seq_len, cfg.head_dim), jnp.float16)
     v = k + 1
     kv_len = jnp.full((1, 1), cfg.max_seq_len, jnp.int32)
     jax.block_until_ready((k, v))
@@ -143,7 +152,7 @@ def bench_mha() -> None:
     bytes_per = k[0].nbytes + v[0].nbytes
     gb_s = bytes_per / per / 1e9
     print(f"-k mha: {per*1e3:.3f} ms/layer-step (4k fp16 cache, "
-          f"{bytes_per/1e6:.0f} MB) -> {gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% SOL)")
+          f"{bytes_per/1e6:.0f} MB) -> {gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% SOL){_flag(gb_s)}")
 
 
 def bench_ffn() -> None:
@@ -175,7 +184,7 @@ def bench_ffn() -> None:
     bytes_per = 3 * w13[0].nbytes
     gb_s = bytes_per / per / 1e9
     print(f"-k ffn: {per*1e3:.3f} ms/ffn (3x 14336x4096 i8, {bytes_per/1e6:.0f} MB)"
-          f" -> {gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% SOL)")
+          f" -> {gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% SOL){_flag(gb_s)}")
 
 
 def main(argv=None) -> int:
