@@ -50,6 +50,8 @@ def main() -> int:
     ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
     ap.add_argument("--batch", type=int, default=1,
                     help="decode batch size (serving-throughput mode; tok/s is aggregate)")
+    ap.add_argument("--prefill", type=int, default=0,
+                    help="measure prefill instead: hydrate N prompt tokens, report tok/s")
     args = ap.parse_args()
 
     dt = {
@@ -75,6 +77,33 @@ def main() -> int:
     eng = Engine(cfg, params, None)
     weight_gb = params.nbytes() / 1e9
     log(f"params resident: {weight_gb:.2f} GB (built in {time.time() - t0:.1f}s)")
+
+    if args.prefill:
+        n = args.prefill
+        ids = [1 + (i % (cfg.vocab_size - 2)) for i in range(n)]
+        cache = eng.new_cache(1)
+        def force(c):
+            # tiny real readback — block_until_ready alone is unreliable
+            # through the axon tunnel
+            return np.asarray(c.k[0, 0, 0, :2, :2])
+
+        t0 = time.time()
+        _, cache, _ = eng.prefill(ids, cache, logits_mode="none")
+        force(cache)
+        log(f"prefill warmup+compile({n} tokens): {time.time() - t0:.1f}s")
+        t0 = time.perf_counter()
+        _, cache, _ = eng.prefill(ids, eng.new_cache(1), logits_mode="none")
+        force(cache)
+        dt_s = time.perf_counter() - t0
+        tok_s = n / dt_s
+        log(f"prefill: {n} tokens in {dt_s:.3f}s -> {tok_s:.1f} tok/s (MXU-bound hydrate)")
+        print(json.dumps({
+            "metric": f"mistral7b_{args.dtype}_prefill_tok_s_per_chip",
+            "value": round(tok_s, 1),
+            "unit": "tok/s",
+            "vs_baseline": None,
+        }))
+        return 0
 
     b = max(args.batch, 1)
     cache = eng.new_cache(b)
