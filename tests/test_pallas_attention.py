@@ -66,3 +66,50 @@ def test_fused_batch_with_inactive_slot(engines):
     np.testing.assert_allclose(
         np.asarray(logits)[0], np.asarray(l2)[0], rtol=1e-4, atol=1e-5
     )
+
+
+def test_flash_multiblock_matches_oracle():
+    """nsb > 1: running-softmax accumulation across sequence blocks, with
+    kv_len landing inside / at / across block boundaries (s=1024, sb=512)."""
+    from xalm_tpu.ops.pallas_attention import fused_decode_attention, rope_cos_sin_plus1
+
+    s, hd, kh, g, b = 1024, 128, 2, 2, 2
+    h = kh * g
+    rng = np.random.default_rng(3)
+    ck = jnp.asarray(rng.standard_normal((1, b, kh, s, hd)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((1, b, kh, s, hd)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, h, hd)), jnp.float32)
+    knew = jnp.asarray(rng.standard_normal((b, kh, hd)), jnp.float32)
+    vnew = jnp.asarray(rng.standard_normal((b, kh, hd)), jnp.float32)
+    freqs = np.zeros(hd // 2, np.float32)
+    cexp, sexp = rope_cos_sin_plus1(freqs)
+    layer = jnp.int32(0)
+    rot = jnp.zeros((b,), jnp.int32)
+
+    for kvl_a, kvl_b in [(3, 100), (512, 513), (700, 1024), (511, 1)]:
+        kv_pos = jnp.asarray([kvl_a - 1, kvl_b - 1], jnp.int32)
+        kv_len = jnp.asarray([kvl_a, kvl_b], jnp.int32)
+        out, ck2, cv2 = fused_decode_attention(
+            q, knew, vnew, ck, cv, layer, kv_pos, kv_len, rot,
+            jnp.asarray(cexp), jnp.asarray(sexp),
+        )
+        out = np.asarray(out).reshape(b, kh, g, hd)
+        k2 = np.asarray(ck2[0])
+        v2 = np.asarray(cv2[0])
+        for bi, kvl in enumerate([kvl_a, kvl_b]):
+            # oracle over the post-insert cache
+            for j in range(kh):
+                for gi in range(g):
+                    qv = np.asarray(q)[bi, j * g + gi] / np.sqrt(hd)
+                    sc = k2[bi, j, :kvl] @ qv
+                    w = np.exp(sc - sc.max())
+                    w /= w.sum()
+                    want = w @ v2[bi, j, :kvl]
+                    np.testing.assert_allclose(
+                        out[bi, j, gi], want, rtol=1e-4, atol=1e-4,
+                        err_msg=f"kvl={kvl} head={j} g={gi}",
+                    )
+            # the insert landed
+            np.testing.assert_allclose(
+                k2[bi, :, kvl - 1], np.asarray(knew)[bi], rtol=1e-6
+            )

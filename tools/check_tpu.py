@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Hardware numerics smoke check: tiny-model decode on the real TPU vs CPU.
+
+pytest pins the CPU backend (tests/conftest.py), so kernel lowering bugs
+that only appear on real hardware (tiling, aliasing, revisiting semantics)
+escape the suite. This script runs the same greedy decode through ring
+wraps on both backends (separate subprocesses — the jax platform latches
+once per process) and compares logits/argmax step by step.
+
+Usage: python tools/check_tpu.py  (exits non-zero on mismatch)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+
+STEPS, WINDOW = 40, 16  # 2.5 ring wraps
+
+
+def run(backend: str | None):
+    """Decode STEPS tokens; returns (STEPS, vocab) f32 logits."""
+    import jax
+
+    if backend:
+        jax.config.update("jax_platforms", backend)
+    import jax.numpy as jnp
+
+    from xalm_tpu.models.config import ModelConfig
+    from xalm_tpu.runtime.engine import Engine
+    from xalm_tpu.utils.synthetic import synthetic_params
+
+    cfg = ModelConfig(
+        dim=256, hidden_dim=1024, head_dim=128, n_layers=2, n_heads=4,
+        n_kv_heads=2, vocab_size=512, max_seq_len=WINDOW,
+        rope_theta=10000.0, rotary_dim=128, act="silu",
+    )
+    # seeded weights are identical across backends (drawn on-device from the
+    # same key; int8 codes are exact either way)
+    params = synthetic_params(cfg, weight_dtype=jnp.int8, embed_dtype=jnp.bfloat16)
+    eng = Engine(cfg, params, None, kv_dtype=jnp.bfloat16, compute_dtype=jnp.float32)
+    cache = eng.new_cache(1)
+    rng = np.random.default_rng(7)
+    toks = rng.integers(3, cfg.vocab_size - 2, size=STEPS)
+    logits = []
+    for i, t in enumerate(toks):
+        lg, cache = eng.decode(np.array([t]), np.array([i]), cache)
+        logits.append(np.asarray(lg)[0])
+    return np.stack(logits).astype(np.float32)
+
+
+def _subprocess_run(backend: str | None) -> np.ndarray:
+    code = (
+        "import pickle, sys; sys.path.insert(0, '.');"
+        "import tools.check_tpu as m;"
+        f"sys.stdout.buffer.write(pickle.dumps(m.run({backend!r})))"
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if p.returncode != 0:
+        sys.stderr.write(p.stderr.decode()[-2000:])
+        raise RuntimeError(f"{backend or 'default'} run crashed")
+    return pickle.loads(p.stdout)
+
+
+def main() -> int:
+    cpu = _subprocess_run("cpu")
+    tpu = _subprocess_run(None)  # default backend: TPU when present
+    agree = float((cpu.argmax(-1) == tpu.argmax(-1)).mean())
+    err = float(np.abs(cpu - tpu).max() / (np.abs(cpu).max() + 1e-9))
+    print(f"argmax agreement: {agree * 100:.1f}% | max rel logit delta: {err:.3e}")
+    if agree < 0.95 or err > 5e-2:
+        print("FAIL: TPU numerics diverge from CPU", file=sys.stderr)
+        return 1
+    print("TPU numerics OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
