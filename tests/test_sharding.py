@@ -96,3 +96,17 @@ def test_sharded_ring_wrap(tiny_xalm):
         ls, c_s = eng.decode(np.array([t]), np.array([i]), c_s)
         lr, c_r = ref.decode(np.array([t]), np.array([i]), c_r)
     np.testing.assert_allclose(np.asarray(ls), np.asarray(lr), rtol=2e-4, atol=2e-5)
+
+
+def test_dp_batch_padding(tiny_xalm):
+    """A batch smaller than dp is padded transparently (valid-masked rows /
+    padding cache slots); results must match the single-device engine."""
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    eng = ShardedEngine.from_xalm(tiny_xalm, mesh)
+    ref = Engine.from_xalm(tiny_xalm)
+
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(3, 350, size=6).tolist()
+    want, _ = ref.generate(prompt, 7, stop_on_eos=False)
+    got, _ = eng.generate(prompt, 7, stop_on_eos=False)  # batch 1 on dp=2
+    assert got == want

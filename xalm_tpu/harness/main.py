@@ -63,6 +63,8 @@ def _build_parser() -> argparse.ArgumentParser:
         help="completion: resume from PATH if it exists, save the KV cache + "
         "token history there afterwards (xalm v2 block store)",
     )
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways (device mesh)")
+    p.add_argument("--dp", type=int, default=1, help="data-parallel ways (device mesh)")
     return p
 
 
@@ -90,13 +92,28 @@ def _load_engine(args):
     dt = {"f16": jnp.float16, "bf16": jnp.bfloat16, "f32": jnp.float32}
     print(f"loading model {args.checkpoint}")
     with profile("model load"):
-        eng = Engine.from_xalm(
-            args.checkpoint,
-            context=args.context,
-            kv_dtype=dt[args.kv_dtype],
-            compute_dtype=dt[args.compute],
-            matmul_impl=args.matmul,
-        )
+        if args.tp * args.dp > 1:
+            from xalm_tpu.parallel.mesh import make_mesh
+            from xalm_tpu.parallel.sharded_engine import ShardedEngine
+
+            mesh = make_mesh(dp=args.dp, tp=args.tp)
+            print(f"mesh: dp={args.dp} x tp={args.tp} over {len(jax.devices())} devices")
+            eng = ShardedEngine.from_xalm(
+                args.checkpoint,
+                mesh,
+                context=args.context,
+                kv_dtype=dt[args.kv_dtype],
+                compute_dtype=dt[args.compute],
+                matmul_impl=args.matmul,
+            )
+        else:
+            eng = Engine.from_xalm(
+                args.checkpoint,
+                context=args.context,
+                kv_dtype=dt[args.kv_dtype],
+                compute_dtype=dt[args.compute],
+                matmul_impl=args.matmul,
+            )
     cfg = eng.cfg
     print(
         f"{cfg.n_layers} layers | dim {cfg.dim} | {cfg.n_heads} heads "

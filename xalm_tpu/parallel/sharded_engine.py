@@ -212,8 +212,51 @@ class ShardedEngine(Engine):
         xf.close()
         return cls(cfg, params, tokenizer, mesh, **kw)
 
+    # ------------------------------------------------------ batch padding
+    # dp shards the batch dimension, so every global batch must be a
+    # multiple of dp. Pad transparently: extra rows are valid=False (writes
+    # dropped) in step(); in decode_scan they decode junk into their own
+    # padding cache rows, which no real sequence ever attends.
+
+    def _pad_to(self, arr, bp: int, fill=0):
+        arr = jnp.asarray(arr)
+        b = arr.shape[0]
+        if b == bp:
+            return arr
+        pad = jnp.full((bp - b,) + arr.shape[1:], fill, arr.dtype)
+        return jnp.concatenate([arr, pad], axis=0)
+
     def new_cache(self, batch: int = 1) -> KVCache:
+        dp = self.mesh.shape[AXIS_DP]
+        batch = -(-batch // dp) * dp
         cache = KVCache.init(self.cfg, batch, self.kv_dtype)
         from xalm_tpu.parallel.shardings import shard_cache
 
         return shard_cache(cache, self.cfg, self.mesh)
+
+    def step(self, tokens, pos, cache: KVCache, valid=None, logits_mode="last"):
+        tokens = jnp.asarray(tokens, jnp.int32)
+        pos = jnp.asarray(pos, jnp.int32)
+        b, bp = tokens.shape[0], cache.batch
+        if b != bp:
+            if valid is None:
+                valid = jnp.ones(tokens.shape, bool)
+            tokens = self._pad_to(tokens, bp)
+            pos = self._pad_to(pos, bp)
+            valid = self._pad_to(jnp.asarray(valid, bool), bp, fill=False)
+        out, cache = self._fwd(self.params, tokens, pos, cache, valid, logits_mode=logits_mode)
+        if out is not None and b != bp:
+            out = out[:b]
+        return out, cache
+
+    def decode_scan(self, tokens, pos, cache: KVCache, n_steps: int):
+        tokens = jnp.asarray(tokens, jnp.int32)
+        b, bp = tokens.shape[0], cache.batch
+        toks, cache = self._decode_scan(
+            self.params,
+            self._pad_to(tokens, bp),
+            self._pad_to(jnp.asarray(pos, jnp.int32), bp),
+            cache,
+            n_steps,
+        )
+        return (toks[:b] if b != bp else toks), cache
