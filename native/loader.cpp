@@ -62,10 +62,6 @@ void* xalm_map(const char* path) {
   return mf;
 }
 
-const void* xalm_map_data(void* handle) {
-  return handle ? static_cast<MappedFile*>(handle)->base : nullptr;
-}
-
 std::uint64_t xalm_map_size(void* handle) {
   return handle ? static_cast<MappedFile*>(handle)->size : 0;
 }
@@ -125,8 +121,11 @@ std::uint64_t xalm_prefault(void* handle, std::int32_t n_threads) {
     return sum.load();
   }
   xalm::TaskPool pool(static_cast<std::size_t>(n_threads));
-  const std::uint64_t stripe =
+  // page-aligned stripes: every worker samples at page offsets 0, 4096, ...
+  // so the checksum equals "sum of byte 0 of every page" for any size/count
+  std::uint64_t stripe =
       (mf->size + static_cast<std::uint64_t>(n_threads) - 1) / n_threads;
+  stripe = (stripe + page - 1) / page * page;
   for (std::int32_t t = 0; t < n_threads; ++t) {
     const std::uint64_t from = t * stripe;
     const std::uint64_t to = std::min(mf->size, from + stripe);

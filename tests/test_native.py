@@ -129,3 +129,40 @@ def test_read_stack_matches_views(tmp_path):
             stacked[r].view(np.uint8), np.asarray(xf.load(n)).view(np.uint8)
         )
     xf.close()
+
+
+def test_native_aligned_alloc():
+    import ctypes
+
+    from xalm_tpu.native import load as load_lib
+
+    lib = load_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    for size in (1, 63, 64, 4097):
+        p = lib.xalm_alloc(size)
+        assert p and p % 64 == 0  # cache-line aligned (reference buffer.h)
+        lib.xalm_free(ctypes.c_void_p(p))
+
+
+def test_prefault_checksum_unaligned_stripes(tmp_path):
+    import numpy as np
+
+    from xalm_tpu.native import NativeMap, load as load_lib
+
+    if load_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    # size deliberately NOT divisible by threads*page: stripes must still
+    # sample at page boundaries
+    payload = np.arange(3 * 4096 + 123, dtype=np.uint64).astype(np.uint8)
+    p = tmp_path / "odd.bin"
+    p.write_bytes(payload.tobytes())
+    nm = NativeMap(str(p))
+    want = int(payload[::4096].sum())
+    for n_threads in (1, 2, 3, 4, 7):
+        assert nm.prefault(n_threads) == want, n_threads
+    nm.close()

@@ -113,3 +113,24 @@ def test_flash_multiblock_matches_oracle():
             np.testing.assert_allclose(
                 k2[bi, :, kvl - 1], np.asarray(knew)[bi], rtol=1e-6
             )
+
+
+def test_fused_with_non_multiple_of_8_window(tmp_path):
+    """-T 20: the physical cache pads to 24 rows; logits must match the XLA
+    path even once kv_len enters the final partial block (regression for the
+    flash kernel silently dropping the last s % 8 rows)."""
+    hf = make_tiny_model(str(tmp_path / "hf"))
+    out = str(tmp_path / "t.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    fused = Engine.from_xalm(out, context=20, matmul_impl="pallas", kv_dtype=jnp.float32, progress=False)
+    ref = Engine.from_xalm(out, context=20, matmul_impl="xla", kv_dtype=jnp.float32, progress=False)
+    rng = np.random.default_rng(5)
+    toks = rng.integers(3, 350, size=30).tolist()  # through the wrap
+    cf, cr = fused.new_cache(1), ref.new_cache(1)
+    assert cf.k.shape[3] == 24  # padded physical window
+    for i, t in enumerate(toks):
+        lf, cf = fused.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=2e-2, atol=2e-3, err_msg=f"pos {i}"
+        )

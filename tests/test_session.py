@@ -81,3 +81,24 @@ def test_session_config_mismatch(engine, tmp_path):
     other = dataclasses.replace(engine.cfg, n_layers=engine.cfg.n_layers + 1)
     with pytest.raises(ValueError, match="mismatch"):
         load_session(p, other)
+
+
+def test_session_resume_after_wrap_with_segments(tmp_path):
+    """Saving mid-generation after the ring wrapped, with segment>1, must
+    not leave scan-overshoot junk inside the live window (regression)."""
+    hf = make_tiny_model(str(tmp_path / "hf"))
+    out = str(tmp_path / "t.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f16"]) == 0
+    eng = Engine.from_xalm(out, context=16, progress=False)
+    prompt = eng.tokenizer.encode("a b c d e f")
+
+    full, _ = eng.generate(prompt, 30, stop_on_eos=False, segment=1)
+
+    # stop at 20 (well past the 16-slot window) with coarse segments
+    first, _, sess = eng.generate(
+        prompt, 20, stop_on_eos=False, segment=8, return_session=True
+    )
+    p = str(tmp_path / "s.xbk")
+    save_session(p, eng.cfg, sess)
+    rest, _ = eng.generate([], 10, stop_on_eos=False, segment=1, resume=load_session(p, eng.cfg))
+    assert first + rest == full

@@ -23,7 +23,8 @@ STEPS, WINDOW = 40, 16  # 2.5 ring wraps
 
 
 def run(backend: str | None):
-    """Decode STEPS tokens; returns (STEPS, vocab) f32 logits."""
+    """Decode STEPS tokens; returns (resolved backend name, (STEPS, vocab)
+    f32 logits)."""
     import jax
 
     if backend:
@@ -50,7 +51,7 @@ def run(backend: str | None):
     for i, t in enumerate(toks):
         lg, cache = eng.decode(np.array([t]), np.array([i]), cache)
         logits.append(np.asarray(lg)[0])
-    return np.stack(logits).astype(np.float32)
+    return jax.default_backend(), np.stack(logits).astype(np.float32)
 
 
 def _subprocess_run(backend: str | None) -> np.ndarray:
@@ -69,8 +70,13 @@ def _subprocess_run(backend: str | None) -> np.ndarray:
 
 
 def main() -> int:
-    cpu = _subprocess_run("cpu")
-    tpu = _subprocess_run(None)  # default backend: TPU when present
+    cpu_backend, cpu = _subprocess_run("cpu")
+    tpu_backend, tpu = _subprocess_run(None)  # default backend: TPU when present
+    if tpu_backend == "cpu":
+        # a CPU-vs-CPU comparison passes vacuously — refuse to mislead
+        print("FAIL: no TPU backend available (default run resolved to cpu)", file=sys.stderr)
+        return 2
+    print(f"backends: {cpu_backend} vs {tpu_backend}")
     agree = float((cpu.argmax(-1) == tpu.argmax(-1)).mean())
     err = float(np.abs(cpu - tpu).max() / (np.abs(cpu).max() + 1e-9))
     print(f"argmax agreement: {agree * 100:.1f}% | max rel logit delta: {err:.3e}")

@@ -164,29 +164,6 @@ class XalmFile:
             self._native = NativeMap(self.path)
         return self._native
 
-    def read_batch(self, names: list[str], n_threads: int = 0) -> dict[str, np.ndarray]:
-        """Materialize tensors into fresh arrays with the native thread-pool
-        copier (native/loader.cpp); falls back to serial numpy copies.
-
-        Unlike load() this returns owned, writable arrays — the right call
-        when the data is about to be restacked or device_put anyway.
-        """
-        infos = [self.tensors[n] for n in names]
-        out = {i.name: np.empty(i.shape, i.dtype.np_dtype) for i in infos}
-        try:
-            nm = self._native_map()
-        except (RuntimeError, ImportError):
-            for i in infos:
-                np.copyto(out[i.name].view(np.uint8).reshape(-1), self._view[i.offset : i.offset + i.size])
-            return out
-        nm.copy_batch(
-            [i.offset for i in infos],
-            [i.size for i in infos],
-            [out[i.name] for i in infos],
-            n_threads=n_threads,
-        )
-        return out
-
     def read_stack(self, names: list[str], n_threads: int = 0) -> np.ndarray:
         """Materialize same-shaped tensors directly into one stacked
         (len(names), *shape) array, rows copied by the native worker pool.

@@ -48,11 +48,12 @@ Q8_FIXED_SCALE = 1.0 / 100.0
 
 def ffn_chunk(hidden_dim: int) -> int:
     """Interleave chunk for the fused gate/up weight: largest power of two
-    <= 128 lanes that divides the hidden dim into at least 8 chunks (so
-    splits stay tile-aligned and tensor parallelism up to 8 ways always
-    lands on chunk-pair boundaries)."""
+    <= 128 lanes that divides the hidden dim into a multiple-of-8 chunk
+    count — so splits stay tile-aligned AND tensor parallelism up to 8 ways
+    always lands on chunk-pair boundaries (e.g. Llama-2's 11008 -> 32-row
+    chunks, 344 of them; Mistral's 14336 -> 128-row chunks, 112)."""
     c = 128
-    while c > 1 and (hidden_dim % c != 0 or hidden_dim // c < 8):
+    while c > 1 and (hidden_dim % c != 0 or (hidden_dim // c) % 8 != 0):
         c //= 2
     return c
 

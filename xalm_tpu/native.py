@@ -79,8 +79,6 @@ def load() -> ctypes.CDLL | None:
         lib.xalm_tokenizer_vocab_size.argtypes = [ctypes.c_void_p]
         lib.xalm_map.restype = ctypes.c_void_p
         lib.xalm_map.argtypes = [ctypes.c_char_p]
-        lib.xalm_map_data.restype = ctypes.c_void_p
-        lib.xalm_map_data.argtypes = [ctypes.c_void_p]
         lib.xalm_map_size.restype = ctypes.c_uint64
         lib.xalm_map_size.argtypes = [ctypes.c_void_p]
         lib.xalm_unmap.argtypes = [ctypes.c_void_p]
@@ -92,6 +90,9 @@ def load() -> ctypes.CDLL | None:
         ]
         lib.xalm_prefault.restype = ctypes.c_uint64
         lib.xalm_prefault.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.xalm_alloc.restype = ctypes.c_void_p
+        lib.xalm_alloc.argtypes = [ctypes.c_uint64]
+        lib.xalm_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 

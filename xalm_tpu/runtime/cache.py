@@ -58,7 +58,14 @@ class KVCache:
 
     @classmethod
     def init(cls, cfg: ModelConfig, batch: int, dtype=jnp.float16) -> "KVCache":
-        shape = (cfg.n_layers, batch, cfg.n_kv_heads, cfg.max_seq_len, cfg.head_dim)
+        # The *physical* window is padded to a multiple of 8 rows: the Pallas
+        # decode kernels tile the sequence axis in 8-row windows, and an
+        # arbitrary ``-T`` override (e.g. 20) must not silently drop the
+        # trailing rows. Logical indexing (ring, kv_len) stays at
+        # cfg.max_seq_len; rows >= it are never attended, and the kv_pos ==
+        # max_seq_len dropped-write sentinel lands in a padding row.
+        s_pad = (cfg.max_seq_len + 7) // 8 * 8
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, s_pad, cfg.head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property

@@ -308,9 +308,17 @@ class Engine:
 
         stopped = emit(token)
         while not stopped and len(out) < max_new_tokens:
-            if segment > 1:
+            # Session correctness: a segment scan overshoots past EOS/limit,
+            # writing junk KV. Pre-wrap that's harmless (resume overwrites
+            # those rows before kv_len reaches them), but once the ring wraps
+            # the overshoot clobbers the oldest *live* window rows — so step
+            # per token near/after the wrap when this state will be saved.
+            seg_n = segment
+            if return_session and pos + segment > self.cfg.max_seq_len:
+                seg_n = 1
+            if seg_n > 1:
                 seg, cache = self.decode_scan(
-                    np.array([token], np.int32), np.array([pos], np.int32), cache, segment
+                    np.array([token], np.int32), np.array([pos], np.int32), cache, seg_n
                 )
                 seg = np.asarray(seg)[0].tolist()
             else:

@@ -170,6 +170,7 @@ class ContinuousBatcher:
                 self._next_tok.copy(), self._pos.copy(), self.cache, self.segment
             )
             out = np.asarray(out)
+            delivered = 0
             for i in active:
                 req = self.slots[i]
                 stopped = False
@@ -178,6 +179,7 @@ class ContinuousBatcher:
                 for tok in out[i, :-1]:
                     tok = int(tok)
                     req.out_tokens.append(tok)
+                    delivered += 1
                     if req.on_token:
                         req.on_token(tok)
                     if (
@@ -192,8 +194,9 @@ class ContinuousBatcher:
                 else:
                     self._next_tok[i] = int(out[i, -1])
                     self._pos[i] += self.segment
+                    delivered += 1  # the pending token, emitted next tick
             self.decode_steps += self.segment
-            self.decoded_tokens += len(active) * self.segment
+            self.decoded_tokens += delivered
             return True
 
         valid = np.zeros((b, 1), bool)
