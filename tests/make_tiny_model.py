@@ -87,6 +87,8 @@ def make_weights(config: dict, seed: int = 42) -> dict[str, np.ndarray]:
         "model.norm.weight": np.abs(w(dim, scale=0.2)) + 0.8,
         "lm_head.weight": w(vocab, dim, scale=0.1),
     }
+    if config.get("tie_word_embeddings"):
+        del tensors["lm_head.weight"]  # HF omits the head when tied
     for i in range(config["num_hidden_layers"]):
         p = f"model.layers.{i}."
         tensors[p + "input_layernorm.weight"] = np.abs(w(dim, scale=0.2)) + 0.8
