@@ -53,7 +53,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", dest="num", type=int, default=None,
                    help="completion: steps (default 256; 0 = max_seq_len); passkey: junk lines (default 250)")
     p.add_argument("-l", dest="passkey_pos", type=int, default=-1, help="passkey position (-1 - random)")
-    p.add_argument("-t", dest="kv_dtype", default="f16", choices=["f16", "bf16", "f32"], help="kv cache dtype")
+    p.add_argument("-t", dest="kv_dtype", default="f16", choices=["f16", "bf16", "f32", "i8"],
+                   help="kv cache dtype (i8 = quantized with per-row scales)")
     p.add_argument("--compute", default="f32", choices=["f32", "bf16"], help="matmul compute dtype")
     p.add_argument("--matmul", default="auto", choices=["auto", "xla", "pallas"], help="matmul kernel impl")
     p.add_argument("--profile", action="store_true", help="print profiler report at exit")
@@ -89,7 +90,7 @@ def _load_engine(args):
     from xalm_tpu.obs.profiler import profile
     from xalm_tpu.runtime.engine import Engine
 
-    dt = {"f16": jnp.float16, "bf16": jnp.bfloat16, "f32": jnp.float32}
+    dt = {"f16": jnp.float16, "bf16": jnp.bfloat16, "f32": jnp.float32, "i8": jnp.int8}
     print(f"loading model {args.checkpoint}")
     with profile("model load"):
         if args.tp * args.dp > 1:

@@ -136,6 +136,26 @@ def attention(
     return out.reshape(b, t, hq * hd)
 
 
+def _quantize_rows(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(B, T, K, hd) f32 -> int8 codes + per-row f32 scale (absmax/127),
+    the `i8` weight scheme applied to the KV cache."""
+    amax = jnp.max(jnp.abs(rows), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(rows / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _write_scales(scales: jax.Array, layer, kv_pos: jax.Array, snew: jax.Array) -> jax.Array:
+    """Scatter (B, T, K) per-row scales into the (L, B, K, S) plane."""
+    b, t, kh = snew.shape
+    b_idx = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    k_idx = jnp.arange(kh, dtype=jnp.int32)[None, :, None]
+    s_idx = kv_pos[:, None, :]
+    return scales.at[layer, b_idx, k_idx, s_idx].set(
+        snew.transpose(0, 2, 1), mode="drop"
+    )
+
+
 def _write_rows(cache: jax.Array, layer, kv_pos: jax.Array, rows: jax.Array) -> jax.Array:
     """Scatter (B, T) new KV rows into cache layer ``layer``.
 
@@ -154,22 +174,42 @@ def _write_rows(cache: jax.Array, layer, kv_pos: jax.Array, rows: jax.Array) -> 
 
 
 def _rotate_sinks(
-    cache_k: jax.Array, layer, active: jax.Array, freqs, cfg: ModelConfig
-) -> jax.Array:
+    cache_k: jax.Array, layer, active: jax.Array, freqs, cfg: ModelConfig,
+    k_scale: jax.Array | None = None,
+):
     """Rotate the pinned sink keys forward by +1 position for wrapped
-    sequences (reference infer.cpp:416-431). T=1 decode only."""
+    sequences (reference infer.cpp:416-431). T=1 decode only.
+
+    Quantized caches dequantize the sink rows, rotate, and re-quantize with
+    a fresh per-row scale (rotation can change the row absmax). Returns
+    (cache_k, k_scale)."""
     _, l_b, kh, _, hd = cache_k.shape  # kh = local kv heads under tp
     sinks = jax.lax.dynamic_slice(
         cache_k,
         (layer, 0, 0, 0, 0),
         (1, l_b, kh, KV_SINKS, hd),
     )[0]  # (B, K, KV_SINKS, hd)
+    if k_scale is not None:
+        sscale = jax.lax.dynamic_slice(
+            k_scale, (layer, 0, 0, 0), (1, l_b, kh, KV_SINKS)
+        )[0]  # (B, K, KV_SINKS)
+        vals = sinks.astype(jnp.float32) * sscale[..., None]
+    else:
+        vals = sinks.astype(jnp.float32)
     ones = jnp.ones((l_b, KV_SINKS), dtype=jnp.int32)
-    rotated = apply_rope(
-        sinks.transpose(0, 2, 1, 3).astype(jnp.float32), ones, freqs
-    ).transpose(0, 2, 1, 3).astype(cache_k.dtype)
-    new = jnp.where(active[:, None, None, None], rotated, sinks)
-    return jax.lax.dynamic_update_slice(cache_k, new[None], (layer, 0, 0, 0, 0))
+    rotated = apply_rope(vals.transpose(0, 2, 1, 3), ones, freqs).transpose(0, 2, 1, 3)
+    if k_scale is not None:
+        # requantize: (B, K, KV_SINKS, hd) -> treat as (B, T=KV_SINKS, K, hd)
+        q, sc = _quantize_rows(rotated.transpose(0, 2, 1, 3))
+        q = q.transpose(0, 2, 1, 3)
+        sc = sc.transpose(0, 2, 1)
+        new = jnp.where(active[:, None, None, None], q, sinks)
+        new_sc = jnp.where(active[:, None, None], sc, sscale)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, new[None], (layer, 0, 0, 0, 0))
+        k_scale = jax.lax.dynamic_update_slice(k_scale, new_sc[None], (layer, 0, 0, 0))
+        return cache_k, k_scale
+    new = jnp.where(active[:, None, None, None], rotated.astype(cache_k.dtype), sinks)
+    return jax.lax.dynamic_update_slice(cache_k, new[None], (layer, 0, 0, 0, 0)), None
 
 
 def forward(
@@ -257,7 +297,7 @@ def forward(
         return jax.lax.dynamic_index_in_dim(arr, layer, 0, keepdims=False)
 
     def body(carry, layer):
-        x, ck, cv = carry
+        x, ck, cv, ks, vs = carry
 
         # --- attention ---
         xb = rmsnorm(x, _index(lp.attn_norm, layer), cfg.norm_eps)
@@ -276,7 +316,9 @@ def forward(
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
-        fuse_attn = t == 1 and use_pallas and _fused_cache_ok(ck)
+        # quantized (int8) KV takes the XLA path: fused-kernel support for
+        # scale planes is future work
+        fuse_attn = t == 1 and use_pallas and _fused_cache_ok(ck) and ks is None
         if fuse_attn:
             # fused kernel: in-place ring write + sink rotation + attention;
             # no cache copies exist (ops/pallas_attention.py)
@@ -304,18 +346,30 @@ def forward(
             )
             attn_out = attn_out[:, None]  # (B, 1, q_dim)
         else:
-            ck = _write_rows(ck, layer, kv_pos, k.astype(ck.dtype))
-            cv = _write_rows(cv, layer, kv_pos, v.astype(cv.dtype))
+            if ks is None:
+                ck = _write_rows(ck, layer, kv_pos, k.astype(ck.dtype))
+                cv = _write_rows(cv, layer, kv_pos, v.astype(cv.dtype))
+            else:
+                # quantized KV: store int8 codes + per-row scales
+                qk, sk = _quantize_rows(k)
+                qv, sv = _quantize_rows(v)
+                ck = _write_rows(ck, layer, kv_pos, qk)
+                cv = _write_rows(cv, layer, kv_pos, qv)
+                ks = _write_scales(ks, layer, kv_pos, sk)
+                vs = _write_scales(vs, layer, kv_pos, sv)
             if t == 1:
                 # sink re-rotation is a per-step operation; chunked (T>1)
                 # calls never have wrapped sequences by the chunk contract.
                 active = positions[:, 0] >= s
                 if valid is not None:
                     active = active & valid[:, 0]
-                ck = _rotate_sinks(ck, layer, active, freqs, cfg)
+                ck, ks = _rotate_sinks(ck, layer, active, freqs, cfg, ks)
 
             kl = jax.lax.dynamic_index_in_dim(ck, layer, axis=0, keepdims=False)
             vl = jax.lax.dynamic_index_in_dim(cv, layer, axis=0, keepdims=False)
+            if ks is not None:
+                kl = kl.astype(jnp.float32) * _index(ks, layer)[..., None]
+                vl = vl.astype(jnp.float32) * _index(vs, layer)[..., None]
             attn_out = attention(q, kl, vl, kv_len, cfg)
         attn_proj = mm(attn_out, lp.wo, layer)
         if tp_axis is not None:
@@ -336,11 +390,13 @@ def forward(
             # row-parallel w2: partial sums over the sharded hidden dim
             down = jax.lax.psum(down, tp_axis)
         x = x + down
-        return (x, ck, cv), None
+        return (x, ck, cv, ks, vs), None
 
     layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-    (x, ck, cv), _ = jax.lax.scan(body, (x, cache.k, cache.v), layer_ids)
-    new_cache = KVCache(k=ck, v=cv)
+    (x, ck, cv, ks, vs), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), layer_ids
+    )
+    new_cache = KVCache(k=ck, v=cv, k_scale=ks, v_scale=vs)
 
     if logits_mode == "none":
         return None, new_cache

@@ -104,6 +104,11 @@ class ShardedEngine(Engine):
         self.tokenizer = tokenizer
         if kv_dtype == "auto":
             kv_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float16
+        if jnp.dtype(kv_dtype) == jnp.dtype(jnp.int8):
+            raise NotImplementedError(
+                "quantized (int8) KV cache is single-chip only for now: the "
+                "sharded step does not plumb the scale planes through shard_map"
+            )
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
         self.matmul_impl = matmul_impl

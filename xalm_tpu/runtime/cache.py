@@ -49,12 +49,24 @@ def ring_indices(pos: jax.Array, max_seq_len: int):
 
 
 @functools.partial(
-    jax.tree_util.register_dataclass, data_fields=["k", "v"], meta_fields=[]
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "k_scale", "v_scale"],
+    meta_fields=[],
 )
 @dataclasses.dataclass
 class KVCache:
+    """Float KV (f16/bf16/f32) or weight-style quantized int8 KV.
+
+    int8 mode (the BASELINE north star's "quantized KV cache") stores each
+    cached row as int8 codes plus a per-row f32 scale (absmax/127), exactly
+    the `i8` weight scheme: row_f32 = codes * scale. Scales live in
+    (L, B, K, S) planes — 1/256th of the cache bytes at hd=128.
+    """
+
     k: Any  # (L, B, n_kv_heads, S, head_dim)
     v: Any  # (L, B, n_kv_heads, S, head_dim)
+    k_scale: Any = None  # (L, B, n_kv_heads, S) f32 — int8 caches only
+    v_scale: Any = None
 
     @classmethod
     def init(cls, cfg: ModelConfig, batch: int, dtype=jnp.float16) -> "KVCache":
@@ -66,7 +78,19 @@ class KVCache:
         # max_seq_len dropped-write sentinel lands in a padding row.
         s_pad = (cfg.max_seq_len + 7) // 8 * 8
         shape = (cfg.n_layers, batch, cfg.n_kv_heads, s_pad, cfg.head_dim)
+        if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+            sshape = shape[:-1]
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
+            )
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def batch(self) -> int:
@@ -77,4 +101,7 @@ class KVCache:
         return self.k.shape[3]
 
     def nbytes(self) -> int:
-        return self.k.nbytes + self.v.nbytes
+        n = self.k.nbytes + self.v.nbytes
+        if self.k_scale is not None:
+            n += self.k_scale.nbytes + self.v_scale.nbytes
+        return n

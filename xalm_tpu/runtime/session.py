@@ -49,19 +49,21 @@ class Session:
 
 
 def save_session(path: str, cfg: ModelConfig, session: Session) -> None:
-    k = np.asarray(session.cache.k)
-    v = np.asarray(session.cache.v)
     tok_lens = np.array([len(t) for t in session.tokens], np.int32)
     flat = np.array([t for seq in session.tokens for t in seq], np.int32)
+    blocks = {
+        "kv.k": np.asarray(session.cache.k),
+        "kv.v": np.asarray(session.cache.v),
+        "pos": np.asarray(session.pos, np.int32),
+        "tokens.lens": tok_lens,
+        "tokens.flat": flat,
+    }
+    if session.cache.quantized:
+        blocks["kv.k_scale"] = np.asarray(session.cache.k_scale)
+        blocks["kv.v_scale"] = np.asarray(session.cache.v_scale)
     write_blocks(
         path,
-        {
-            "kv.k": k,
-            "kv.v": v,
-            "pos": np.asarray(session.pos, np.int32),
-            "tokens.lens": tok_lens,
-            "tokens.flat": flat,
-        },
+        blocks,
         meta={"kind": "xalm-session", "config": _fingerprint(cfg)},
     )
 
@@ -77,6 +79,8 @@ def load_session(path: str, cfg: ModelConfig) -> Session:
             raise ValueError(f"{path}: session/model config mismatch: {diff}")
         k = np.copy(bs.get("kv.k"))
         v = np.copy(bs.get("kv.v"))
+        ks = np.copy(bs.get("kv.k_scale")) if "kv.k_scale" in bs else None
+        vs = np.copy(bs.get("kv.v_scale")) if "kv.v_scale" in bs else None
         pos = np.copy(bs.get("pos"))
         lens = bs.get("tokens.lens")
         flat = bs.get("tokens.flat")
@@ -84,5 +88,10 @@ def load_session(path: str, cfg: ModelConfig) -> Session:
         for n in lens:
             tokens.append([int(t) for t in flat[at : at + n]])
             at += int(n)
-    cache = KVCache(k=jnp.asarray(k), v=jnp.asarray(v))
+    cache = KVCache(
+        k=jnp.asarray(k),
+        v=jnp.asarray(v),
+        k_scale=jnp.asarray(ks) if ks is not None else None,
+        v_scale=jnp.asarray(vs) if vs is not None else None,
+    )
     return Session(cache=cache, pos=pos, tokens=tokens)
