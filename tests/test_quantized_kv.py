@@ -76,3 +76,30 @@ def test_sharded_rejects_i8_kv(model_path):
     mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
     with pytest.raises(NotImplementedError):
         ShardedEngine.from_xalm(model_path, mesh, kv_dtype=jnp.int8)
+
+
+def test_i8_kv_fused_pallas_matches_xla(model_path):
+    """The quantized fused kernel set (interpret mode) vs the XLA quantized
+    path, decoding through ring wraps with sink re-rotation."""
+    window = 16
+    xla = Engine.from_xalm(model_path, context=window, kv_dtype=jnp.int8,
+                           matmul_impl="xla", progress=False)
+    pls = Engine.from_xalm(model_path, context=window, kv_dtype=jnp.int8,
+                           matmul_impl="pallas", progress=False)
+    rng = np.random.default_rng(2)
+    toks = rng.integers(3, 350, size=2 * window + 4).tolist()
+    cx, cp = xla.new_cache(1), pls.new_cache(1)
+    for i, t in enumerate(toks):
+        lx, cx = xla.decode(np.array([t]), np.array([i]), cx)
+        lp, cp = pls.decode(np.array([t]), np.array([i]), cp)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(lx), rtol=3e-2, atol=3e-2, err_msg=f"pos {i}"
+        )
+        assert np.argmax(np.asarray(lp)) == np.argmax(np.asarray(lx)), f"pos {i}"
+    # codes may differ by one count on rounding ties: the kernel's roll-based
+    # pair rotation and apply_rope's reshape-based one differ in the last ulp
+    dk = np.abs(np.asarray(cp.k, np.int32) - np.asarray(cx.k, np.int32))
+    assert dk.max() <= 1 and (dk > 0).mean() < 0.02
+    np.testing.assert_allclose(
+        np.asarray(cp.k_scale), np.asarray(cx.k_scale), rtol=2e-3, atol=1e-7
+    )

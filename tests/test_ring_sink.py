@@ -80,9 +80,10 @@ def test_wrapped_cache_state_matches_oracle(setup):
         _, cache = eng.decode(np.array([tok]), np.array([i]), cache)
         oracle.forward(tok, i)
     cfg = oracle.cfg
-    # ours: (L, B, K, S, hd) head-major -> reference token-major (L, S, K*hd)
+    # ours: (L, B, K, S_phys, hd) head-major (physical window padded to 32
+    # rows) -> logical rows only, reference token-major (L, S, K*hd)
     ours_k = (
-        np.asarray(cache.k)[:, 0]
+        np.asarray(cache.k)[:, 0, :, : cfg.max_seq_len]
         .transpose(0, 2, 1, 3)
         .reshape(cfg.n_layers, cfg.max_seq_len, cfg.kv_dim)
     )

@@ -43,15 +43,18 @@ def run(backend: str | None):
     # seeded weights are identical across backends (drawn on-device from the
     # same key; int8 codes are exact either way)
     params = synthetic_params(cfg, weight_dtype=jnp.int8, embed_dtype=jnp.bfloat16)
-    eng = Engine(cfg, params, None, kv_dtype=jnp.bfloat16, compute_dtype=jnp.float32)
-    cache = eng.new_cache(1)
     rng = np.random.default_rng(7)
     toks = rng.integers(3, cfg.vocab_size - 2, size=STEPS)
-    logits = []
-    for i, t in enumerate(toks):
-        lg, cache = eng.decode(np.array([t]), np.array([i]), cache)
-        logits.append(np.asarray(lg)[0])
-    return jax.default_backend(), np.stack(logits).astype(np.float32)
+    out = {}
+    for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):
+        eng = Engine(cfg, params, None, kv_dtype=kv, compute_dtype=jnp.float32)
+        cache = eng.new_cache(1)
+        logits = []
+        for i, t in enumerate(toks):
+            lg, cache = eng.decode(np.array([t]), np.array([i]), cache)
+            logits.append(np.asarray(lg)[0])
+        out[name] = np.stack(logits).astype(np.float32)
+    return jax.default_backend(), out
 
 
 def _subprocess_run(backend: str | None) -> np.ndarray:
@@ -77,14 +80,17 @@ def main() -> int:
         print("FAIL: no TPU backend available (default run resolved to cpu)", file=sys.stderr)
         return 2
     print(f"backends: {cpu_backend} vs {tpu_backend}")
-    agree = float((cpu.argmax(-1) == tpu.argmax(-1)).mean())
-    err = float(np.abs(cpu - tpu).max() / (np.abs(cpu).max() + 1e-9))
-    print(f"argmax agreement: {agree * 100:.1f}% | max rel logit delta: {err:.3e}")
-    if agree < 0.95 or err > 5e-2:
-        print("FAIL: TPU numerics diverge from CPU", file=sys.stderr)
-        return 1
-    print("TPU numerics OK")
-    return 0
+    rc = 0
+    for name in cpu:
+        c, t = cpu[name], tpu[name]
+        agree = float((c.argmax(-1) == t.argmax(-1)).mean())
+        err = float(np.abs(c - t).max() / (np.abs(c).max() + 1e-9))
+        print(f"[kv={name}] argmax agreement: {agree * 100:.1f}% | max rel logit delta: {err:.3e}")
+        if agree < 0.95 or err > 5e-2:
+            print(f"FAIL: TPU numerics diverge from CPU (kv={name})", file=sys.stderr)
+            rc = 1
+    print("TPU numerics OK" if rc == 0 else "TPU numerics FAILED")
+    return rc
 
 
 if __name__ == "__main__":

@@ -316,14 +316,15 @@ def forward(
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
-        # quantized (int8) KV takes the XLA path: fused-kernel support for
-        # scale planes is future work
-        fuse_attn = t == 1 and use_pallas and _fused_cache_ok(ck) and ks is None
+        fuse_attn = t == 1 and use_pallas and (ks is not None or _fused_cache_ok(ck))
         if fuse_attn:
-            # fused kernel: in-place ring write + sink rotation + attention;
-            # no cache copies exist (ops/pallas_attention.py)
+            # fused kernels: in-place ring write + sink rotation + flash
+            # attention; no cache copies exist (ops/pallas_attention.py).
+            # Quantized caches use the _q variants (in-VMEM quantize/dequant
+            # against the per-row scale planes).
             from xalm_tpu.ops.pallas_attention import (
                 fused_decode_attention,
+                fused_decode_attention_q,
                 rope_cos_sin_plus1,
             )
 
@@ -331,19 +332,26 @@ def forward(
             if valid is not None:
                 active = active & valid[:, 0]
             cexp, sexp = rope_cos_sin_plus1(freqs)
-            attn_out, ck, cv = fused_decode_attention(
-                q[:, 0],
-                k[:, 0],
-                v[:, 0],
-                ck,
-                cv,
-                layer,
-                kv_pos[:, 0],
-                kv_len[:, 0],
-                active,
-                jnp.asarray(cexp),
-                jnp.asarray(sexp),
-            )
+            if ks is not None:
+                attn_out, ck, cv, ks, vs = fused_decode_attention_q(
+                    q[:, 0], k[:, 0], v[:, 0], ck, cv, ks, vs,
+                    layer, kv_pos[:, 0], kv_len[:, 0], active,
+                    jnp.asarray(cexp), jnp.asarray(sexp),
+                )
+            else:
+                attn_out, ck, cv = fused_decode_attention(
+                    q[:, 0],
+                    k[:, 0],
+                    v[:, 0],
+                    ck,
+                    cv,
+                    layer,
+                    kv_pos[:, 0],
+                    kv_len[:, 0],
+                    active,
+                    jnp.asarray(cexp),
+                    jnp.asarray(sexp),
+                )
             attn_out = attn_out[:, None]  # (B, 1, q_dim)
         else:
             if ks is None:

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from xalm_tpu.models.config import KV_SINKS
 
-__all__ = ["fused_decode_attention", "rope_cos_sin_plus1", "supported_cache_dtype"]
+__all__ = ["fused_decode_attention", "fused_decode_attention_q", "rope_cos_sin_plus1", "supported_cache_dtype"]
 
 _NEG_INF = -1e30
 
@@ -62,6 +62,16 @@ def rope_cos_sin_plus1(freqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 _ROWBLK = 8  # Mosaic's minimal second-to-last tile — the RMW window height
+_ROWBLK_I8 = 32  # int8 sublane tile height
+
+
+def _quant_rows_f32(vals, axis=-1):
+    """f32 -> (int8 codes, f32 per-row scale), absmax/127 (the `i8` scheme).
+    Integer cast routes through int32 (Mosaic's native width)."""
+    amax = jnp.max(jnp.abs(vals), axis=axis, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(vals / scale), -127, 127)
+    return q.astype(jnp.int32).astype(jnp.int8), scale
 
 
 def _insert_kernel(
@@ -102,6 +112,124 @@ def _sink_kernel(
     rotated = kv * cexp_ref[0][None, :] + swapped * sexp_ref[0][None, :]
     kv = jnp.where((row_ids < KV_SINKS) & (rot != 0), rotated, kv)
     kout_ref[0, 0, 0] = kv.astype(kout_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# quantized-cache (int8 + per-row scale) kernel set: one grid cell per batch
+# row for the updates (blocks carry all K heads so the (L,B,K,S) f32 scale
+# planes tile legally: their last two block dims are (K, S) = whole), plus a
+# flash attention pass with per-row dequant in VMEM.
+# --------------------------------------------------------------------------
+
+
+def _insert_q_kernel(
+    layer_ref, blk_ref, kv_pos_ref,  # scalar prefetch
+    knew_ref, vnew_ref, kin_ref, vin_ref, ksin_ref, vsin_ref,  # inputs
+    kout_ref, vout_ref, ksout_ref, vsout_ref,  # outputs (all aliased)
+    *, hd: int, rowblk: int,
+):
+    b = pl.program_id(0)
+    kvp = kv_pos_ref[b]
+    base = blk_ref[b] * rowblk
+
+    def ins(new_ref, win_ref, sin_ref, wout_ref, sout_ref):
+        vals = new_ref[0]  # (K, hd) f32
+        codes, scale = _quant_rows_f32(vals)  # codes (K, hd); scale (K, 1)
+        rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, rowblk, 1), 1)
+        is_new = rows == kvp  # sentinel kvp==S_logical may hit a padding row
+        win = win_ref[0, 0]  # (K, rowblk, hd) int8
+        wout_ref[0, 0] = jnp.where(is_new, codes[:, None, :], win)
+        cols = jax.lax.broadcasted_iota(jnp.int32, sin_ref[0, 0].shape, 1)
+        sout_ref[0, 0] = jnp.where(cols == kvp, scale, sin_ref[0, 0])
+
+    ins(knew_ref, kin_ref, ksin_ref, kout_ref, ksout_ref)
+    ins(vnew_ref, vin_ref, vsin_ref, vout_ref, vsout_ref)
+
+
+def _sink_q_kernel(
+    layer_ref, rotate_ref,  # scalar prefetch
+    cexp_ref, sexp_ref, kin_ref, ksin_ref,  # inputs (aliased to outputs)
+    kout_ref, ksout_ref,
+    *, hd: int, rowblk: int,
+):
+    b = pl.program_id(0)
+    rot = rotate_ref[b]
+    codes = kin_ref[0, 0]  # (K, rowblk, hd) int8
+    stripe = ksin_ref[0, 0]  # (K, S) f32
+    vals = codes.astype(jnp.float32) * stripe[:, :rowblk, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 2)
+    even = (lane % 2) == 0
+    swapped = jnp.where(even, -pltpu.roll(vals, hd - 1, 2), pltpu.roll(vals, 1, 2))
+    rotated = vals * cexp_ref[0][None, None, :] + swapped * sexp_ref[0][None, None, :]
+    rq, rscale = _quant_rows_f32(rotated)  # (K, rowblk, hd), (K, rowblk, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, rowblk, 1), 1)
+    live = (rows < KV_SINKS) & (rot != 0)
+    kout_ref[0, 0] = jnp.where(live, rq, codes)
+    cols = jax.lax.broadcasted_iota(jnp.int32, stripe.shape, 1)
+    slive = (cols < KV_SINKS) & (rot != 0)
+    # rscale cols beyond rowblk are never selected (cols < KV_SINKS <= rowblk)
+    if stripe.shape[1] > rowblk:
+        padded = jnp.concatenate(
+            [rscale[:, :, 0], jnp.zeros((stripe.shape[0], stripe.shape[1] - rowblk), jnp.float32)],
+            axis=1,
+        )
+    else:
+        padded = rscale[:, :, 0]
+    ksout_ref[0, 0] = jnp.where(slive, padded, stripe)
+
+
+def _attn_q_kernel(
+    layer_ref, blkmax_ref, kv_len_ref,  # scalar prefetch
+    q_ref, kin_ref, vin_ref, ks_ref, vs_ref,  # inputs
+    out_ref,
+    acc_ref, m_ref, l_ref,
+    *, sb: int, nsb: int, hd: int, g: int,
+):
+    """Flash-decoding over an int8 cache: rows dequantize in VMEM with their
+    per-row scales (blocks carry all K heads' scale columns; this cell uses
+    row j)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    t = pl.program_id(2)
+    kvl = kv_len_ref[b]
+
+    @pl.when(t == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(t * sb < kvl)
+    def _block():
+        # The per-row scales factor OUT of both dots, so the int8 codes feed
+        # the MXU directly and dequant is O(sb) per head, not O(sb*hd):
+        #   scores[s] = (q . codes_k[s]) * kscale[s]
+        #   acc      += (p * vscale) @ codes_v
+        # (a full VPU dequant of the block caps decode at ~240 GB/s —
+        # measured; the same trap as fp8 weight dequant.)
+        kscale = ks_ref[0, 0, pl.ds(j, 1), :]  # (1, sb)
+        vscale = vs_ref[0, 0, pl.ds(j, 1), :]
+        q = q_ref[0, 0].astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            q, kin_ref[0, 0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (kscale * (1.0 / math.sqrt(hd)))
+        rows = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+        scores = jnp.where(rows < kvl, scores, _NEG_INF)
+        m_old = m_ref[:g, :1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        m_ref[:g, :1] = m_new
+        l_ref[:g, :1] = l_ref[:g, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:g, :] = acc_ref[:g, :] * alpha + jax.lax.dot_general(
+            (p * vscale).astype(jnp.bfloat16), vin_ref[0, 0, 0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(t == nsb - 1)
+    def _finish():
+        out_ref[0, 0] = acc_ref[:g, :] / l_ref[:g, :1]
 
 
 def _attn_kernel(
@@ -149,6 +277,135 @@ def _attn_kernel(
     @pl.when(t == nsb - 1)
     def _finish():
         out_ref[0, 0] = acc_ref[:g, :] / l_ref[:g, :1]
+
+
+def fused_decode_attention_q(
+    q: jax.Array,  # (B, H, hd) f32, rotated
+    k_new: jax.Array,  # (B, K, hd) f32, rotated + clipped
+    v_new: jax.Array,  # (B, K, hd) f32
+    cache_k: jax.Array,  # (L, B, K, S, hd) int8 — updated in place
+    cache_v: jax.Array,
+    k_scale: jax.Array,  # (L, B, K, S) f32 — updated in place
+    v_scale: jax.Array,
+    layer: jax.Array,
+    kv_pos: jax.Array,  # (B,) int32; logical-S sentinel = dropped write
+    kv_len: jax.Array,  # (B,) int32
+    rotate: jax.Array,  # (B,) int32/bool
+    cexp: jax.Array,  # (1, hd) f32
+    sexp: jax.Array,
+):
+    """Quantized-cache decode step: in-place int8 row insert (quantizing in
+    VMEM), sink re-rotation with re-quantization, flash attention with
+    per-row dequant. Returns (out (B, H*hd), ck, cv, ks, vs)."""
+    l, b, kh, s, hd = cache_k.shape
+    h = q.shape[1]
+    g = h // kh
+    qg = q.reshape(b, kh, g, hd)
+    interp = jax.default_backend() != "tpu"
+    rowblk = _ROWBLK_I8
+
+    layer1 = jnp.asarray(layer, jnp.int32).reshape(1)
+    kv_pos = jnp.asarray(kv_pos, jnp.int32)
+    blk = jnp.minimum(kv_pos, s - 1) // rowblk
+
+    win_spec = pl.BlockSpec(
+        (1, 1, kh, rowblk, hd),
+        lambda i, lr, br, *sp: (lr[0], i, 0, br[i], 0),
+        memory_space=pltpu.VMEM,
+    )
+    stripe_spec = pl.BlockSpec(
+        (1, 1, kh, s), lambda i, lr, *sp: (lr[0], i, 0, 0), memory_space=pltpu.VMEM
+    )
+    new_spec = pl.BlockSpec((1, kh, hd), lambda i, *sp: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    ck, cv, ks, vs = pl.pallas_call(
+        functools.partial(_insert_q_kernel, hd=hd, rowblk=rowblk),
+        out_shape=(
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b,),
+            in_specs=[new_spec, new_spec, win_spec, win_spec, stripe_spec, stripe_spec],
+            out_specs=[win_spec, win_spec, stripe_spec, stripe_spec],
+        ),
+        # inputs counted incl. 3 scalar-prefetch args
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interp,
+    )(layer1, blk, kv_pos, k_new, v_new, cache_k, cache_v, k_scale, v_scale)
+
+    sink_win = pl.BlockSpec(
+        (1, 1, kh, rowblk, hd), lambda i, lr, *sp: (lr[0], i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec((1, hd), lambda i, *sp: (0, 0), memory_space=pltpu.VMEM)
+    ck, ks = pl.pallas_call(
+        functools.partial(_sink_q_kernel, hd=hd, rowblk=rowblk),
+        out_shape=(
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b,),
+            in_specs=[vec_spec, vec_spec, sink_win, stripe_spec],
+            out_specs=[sink_win, stripe_spec],
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        interpret=interp,
+    )(layer1, jnp.asarray(rotate, jnp.int32), cexp, sexp, ck, ks)
+
+    # flash attention: sequence block must be a multiple of 128 lanes for the
+    # (K, sb) scale blocks (or the whole window)
+    sb = 512
+    while sb > 128 and s % sb != 0:
+        sb //= 2
+    if s % sb != 0:
+        sb = s
+    nsb = s // sb
+    kv_len = jnp.asarray(kv_len, jnp.int32)
+    blkmax = jnp.maximum(kv_len - 1, 0) // sb
+    gp = max(g, 8)
+
+    seq_spec = pl.BlockSpec(
+        (1, 1, 1, sb, hd),
+        lambda i, j, t, lr, bm, *sp: (lr[0], i, j, jnp.minimum(t, bm[i]), 0),
+        memory_space=pltpu.VMEM,
+    )
+    sscale_spec = pl.BlockSpec(
+        (1, 1, kh, sb),
+        lambda i, j, t, lr, bm, *sp: (lr[0], i, 0, jnp.minimum(t, bm[i])),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_q_kernel, sb=sb, nsb=nsb, hd=hd, g=g),
+        out_shape=jax.ShapeDtypeStruct((b, kh, g, hd), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, kh, nsb),
+            in_specs=[
+                pl.BlockSpec((1, 1, g, hd), lambda i, j, t, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+                seq_spec,
+                seq_spec,
+                sscale_spec,
+                sscale_spec,
+            ],
+            out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, t, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((gp, hd), jnp.float32),
+                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((gp, 128), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interp,
+    )(layer1, blkmax, kv_len, qg, ck, cv, ks, vs)
+    return out.reshape(b, h * hd), ck, cv, ks, vs
 
 
 def fused_decode_attention(

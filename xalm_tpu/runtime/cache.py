@@ -70,13 +70,14 @@ class KVCache:
 
     @classmethod
     def init(cls, cfg: ModelConfig, batch: int, dtype=jnp.float16) -> "KVCache":
-        # The *physical* window is padded to a multiple of 8 rows: the Pallas
-        # decode kernels tile the sequence axis in 8-row windows, and an
+        # The *physical* window is padded to a multiple of 32 rows: the Pallas
+        # decode kernels tile the sequence axis in small row windows (8 for
+        # float caches, 32 for int8 — Mosaic's int8 sublane tile), and an
         # arbitrary ``-T`` override (e.g. 20) must not silently drop the
         # trailing rows. Logical indexing (ring, kv_len) stays at
         # cfg.max_seq_len; rows >= it are never attended, and the kv_pos ==
         # max_seq_len dropped-write sentinel lands in a padding row.
-        s_pad = (cfg.max_seq_len + 7) // 8 * 8
+        s_pad = (cfg.max_seq_len + 31) // 32 * 32
         shape = (cfg.n_layers, batch, cfg.n_kv_heads, s_pad, cfg.head_dim)
         if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
             sshape = shape[:-1]
