@@ -67,15 +67,21 @@ def test_i8_kv_generate_and_session(model_path, tmp_path):
     assert first + rest == full
 
 
-def test_sharded_rejects_i8_kv(model_path):
+def test_sharded_i8_kv_matches_single(model_path):
+    """Quantized KV on a (dp, tp) mesh: scale planes shard with the kv heads;
+    generation must match the single-device quantized engine."""
     import jax
 
     from xalm_tpu.parallel.mesh import make_mesh
     from xalm_tpu.parallel.sharded_engine import ShardedEngine
 
     mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
-    with pytest.raises(NotImplementedError):
-        ShardedEngine.from_xalm(model_path, mesh, kv_dtype=jnp.int8)
+    eng = ShardedEngine.from_xalm(model_path, mesh, kv_dtype=jnp.int8)
+    ref = Engine.from_xalm(model_path, kv_dtype=jnp.int8, progress=False)
+    prompt = ref.tokenizer.encode("a b c")
+    want, _ = ref.generate(prompt, 6, stop_on_eos=False)
+    got, _ = eng.generate(prompt, 6, stop_on_eos=False)
+    assert got == want
 
 
 def test_i8_kv_fused_pallas_matches_xla(model_path):

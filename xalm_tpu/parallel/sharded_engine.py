@@ -104,33 +104,29 @@ class ShardedEngine(Engine):
         self.tokenizer = tokenizer
         if kv_dtype == "auto":
             kv_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float16
-        if jnp.dtype(kv_dtype) == jnp.dtype(jnp.int8):
-            raise NotImplementedError(
-                "quantized (int8) KV cache is single-chip only for now: the "
-                "sharded step does not plumb the scale planes through shard_map"
-            )
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
         self.matmul_impl = matmul_impl
-        cspecs = cache_pspecs(cfg)
+        quantized_kv = jnp.dtype(kv_dtype) == jnp.dtype(jnp.int8)
+        cspecs = cache_pspecs(cfg, quantized_kv)
 
         data_spec = P(AXIS_DP)  # tokens/pos/valid: batch over dp
         tok2 = P(AXIS_DP, None)
 
-        def local_fwd(params, tokens, pos, ck, cv, valid, logits_mode):
+        def local_fwd(params, tokens, pos, cache, valid, logits_mode):
             logits, cache = forward(
                 params,
                 cfg,
                 tokens,
                 pos,
-                KVCache(ck, cv),
+                cache,
                 valid,
                 logits_mode=logits_mode,
                 compute_dtype=compute_dtype,
                 matmul_impl=matmul_impl,
                 tp_axis=AXIS_TP,
             )
-            return logits, cache.k, cache.v
+            return logits, cache
 
         def make_fwd(logits_mode):
             out_logits_spec = (
@@ -139,10 +135,10 @@ class ShardedEngine(Engine):
                 else P(AXIS_DP, None, AXIS_TP)
             )
             fn = jax.shard_map(
-                lambda p, t, ps, ck, cv, v: local_fwd(p, t, ps, ck, cv, v, logits_mode),
+                lambda p, t, ps, c, v: local_fwd(p, t, ps, c, v, logits_mode),
                 mesh=mesh,
-                in_specs=(pspecs, tok2, data_spec, cspecs.k, cspecs.v, tok2),
-                out_specs=(out_logits_spec, cspecs.k, cspecs.v),
+                in_specs=(pspecs, tok2, data_spec, cspecs, tok2),
+                out_specs=(out_logits_spec, cspecs),
                 check_vma=False,
             )
             return fn
@@ -150,10 +146,10 @@ class ShardedEngine(Engine):
         fwd_last = make_fwd("last")
         fwd_all = make_fwd("all")
         fwd_none = jax.shard_map(
-            lambda p, t, ps, ck, cv, v: local_fwd(p, t, ps, ck, cv, v, "none")[1:],
+            lambda p, t, ps, c, v: local_fwd(p, t, ps, c, v, "none")[1],
             mesh=mesh,
-            in_specs=(pspecs, tok2, data_spec, cspecs.k, cspecs.v, tok2),
-            out_specs=(cspecs.k, cspecs.v),
+            in_specs=(pspecs, tok2, data_spec, cspecs, tok2),
+            out_specs=cspecs,
             check_vma=False,
         )
 
@@ -161,49 +157,46 @@ class ShardedEngine(Engine):
             if valid is None:
                 valid = jnp.ones(tokens.shape, bool)
             if logits_mode == "none":
-                ck, cv = fwd_none(params, tokens, pos, cache.k, cache.v, valid)
-                return None, KVCache(ck, cv)
+                return None, fwd_none(params, tokens, pos, cache, valid)
             fn = fwd_last if logits_mode == "last" else fwd_all
-            logits, ck, cv = fn(params, tokens, pos, cache.k, cache.v, valid)
-            return logits, KVCache(ck, cv)
+            return fn(params, tokens, pos, cache, valid)
 
         self._fwd = jax.jit(_fwd, static_argnames=("logits_mode",), donate_argnums=(3,))
 
-        def _decode_scan(params, token0, pos0, ck, cv, n_steps: int):
-            def local(params, token0, pos0, ck, cv):
+        def _decode_scan(params, token0, pos0, cache, n_steps: int):
+            def local(params, token0, pos0, cache):
                 def step(carry, _):
-                    tok, p, ck, cv = carry
+                    tok, p, cache = carry
                     logits, cache = forward(
                         params,
                         cfg,
                         tok[:, None],
                         p,
-                        KVCache(ck, cv),
+                        cache,
                         logits_mode="last",
                         compute_dtype=compute_dtype,
                         matmul_impl=matmul_impl,
                         tp_axis=AXIS_TP,
                     )
                     nxt = sharded_argmax(logits, AXIS_TP)
-                    return (nxt, p + 1, cache.k, cache.v), nxt
+                    return (nxt, p + 1, cache), nxt
 
-                (tok, p, ck, cv), toks = jax.lax.scan(
-                    step, (token0, pos0, ck, cv), None, length=n_steps
+                (tok, p, cache), toks = jax.lax.scan(
+                    step, (token0, pos0, cache), None, length=n_steps
                 )
-                return toks.T, ck, cv
+                return toks.T, cache
 
             return jax.shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, data_spec, data_spec, cspecs.k, cspecs.v),
-                out_specs=(tok2, cspecs.k, cspecs.v),
+                in_specs=(pspecs, data_spec, data_spec, cspecs),
+                out_specs=(tok2, cspecs),
                 check_vma=False,
-            )(params, token0, pos0, ck, cv)
+            )(params, token0, pos0, cache)
 
-        _ds = jax.jit(_decode_scan, static_argnames=("n_steps",), donate_argnums=(3, 4))
-        self._decode_scan = lambda params, t0, p0, cache, n_steps: (
-            lambda out: (out[0], KVCache(out[1], out[2]))
-        )(_ds(params, t0, p0, cache.k, cache.v, n_steps))
+        self._decode_scan = jax.jit(
+            _decode_scan, static_argnames=("n_steps",), donate_argnums=(3,)
+        )
 
     @classmethod
     def from_xalm(cls, path: str, mesh: Mesh, *, context: int = 0, **kw) -> "ShardedEngine":

@@ -74,10 +74,12 @@ def param_pspecs(cfg: ModelConfig) -> ModelParams:
     )
 
 
-def cache_pspecs(cfg: ModelConfig) -> KVCache:
-    # (L, B, K, S, hd): batch on dp, kv heads on tp
+def cache_pspecs(cfg: ModelConfig, quantized: bool = False) -> KVCache:
+    # (L, B, K, S, hd): batch on dp, kv heads on tp; int8 caches carry
+    # (L, B, K, S) scale planes sharded the same way
     spec = P(None, AXIS_DP, AXIS_TP, None, None)
-    return KVCache(k=spec, v=spec)
+    sspec = P(None, AXIS_DP, AXIS_TP, None) if quantized else None
+    return KVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
 
 
 def _apply(tree, specs, mesh: Mesh):
@@ -95,4 +97,4 @@ def shard_params(params: ModelParams, cfg: ModelConfig, mesh: Mesh) -> ModelPara
 
 
 def shard_cache(cache: KVCache, cfg: ModelConfig, mesh: Mesh) -> KVCache:
-    return _apply(cache, cache_pspecs(cfg), mesh)
+    return _apply(cache, cache_pspecs(cfg, cache.quantized), mesh)
