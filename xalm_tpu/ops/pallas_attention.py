@@ -126,21 +126,34 @@ def _insert_q_kernel(
     layer_ref, blk_ref, kv_pos_ref,  # scalar prefetch
     knew_ref, vnew_ref, kin_ref, vin_ref, ksin_ref, vsin_ref,  # inputs
     kout_ref, vout_ref, ksout_ref, vsout_ref,  # outputs (all aliased)
-    *, hd: int, rowblk: int,
+    *, hd: int, kh: int, rowblk: int,
 ):
+    """All math in 2-D (K folded into rows): Mosaic's well-trodden layouts.
+    3-D broadcasts with trailing newaxis fail to lower at small shapes."""
     b = pl.program_id(0)
     kvp = kv_pos_ref[b]
     base = blk_ref[b] * rowblk
+    n = kh * rowblk
 
     def ins(new_ref, win_ref, sin_ref, wout_ref, sout_ref):
         vals = new_ref[0]  # (K, hd) f32
         codes, scale = _quant_rows_f32(vals)  # codes (K, hd); scale (K, 1)
-        rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, rowblk, 1), 1)
-        is_new = rows == kvp  # sentinel kvp==S_logical may hit a padding row
-        win = win_ref[0, 0]  # (K, rowblk, hd) int8
-        wout_ref[0, 0] = jnp.where(is_new, codes[:, None, :], win)
-        cols = jax.lax.broadcasted_iota(jnp.int32, sin_ref[0, 0].shape, 1)
-        sout_ref[0, 0] = jnp.where(cols == kvp, scale, sin_ref[0, 0])
+        win = win_ref[0, 0].reshape(n, hd)  # K-major rows of the window
+        # row r of head k sits at flat index k*rowblk + r
+        flat = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        is_new = (base + flat % rowblk) == kvp  # sentinel kvp==S_logical: no hit
+        head = flat // rowblk  # (n, 1)
+        # replicate each head's new row across its window rows via a matmul
+        # (one-hot (n, K) @ codes (K, hd)) — layout-friendly, no 3-D bcast
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (n, kh), 1) == head).astype(jnp.float32)
+        rep = jax.lax.dot_general(
+            onehot, codes.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).astype(jnp.int8)
+        wout_ref[0, 0] = jnp.where(is_new, rep, win).reshape(kh, rowblk, hd)
+        stripe = sin_ref[0, 0]  # (K, S) f32
+        cols = jax.lax.broadcasted_iota(jnp.int32, stripe.shape, 1)
+        sout_ref[0, 0] = jnp.where(cols == kvp, scale, stripe)
 
     ins(knew_ref, kin_ref, ksin_ref, kout_ref, ksout_ref)
     ins(vnew_ref, vin_ref, vsin_ref, vout_ref, vsout_ref)
@@ -150,31 +163,52 @@ def _sink_q_kernel(
     layer_ref, rotate_ref,  # scalar prefetch
     cexp_ref, sexp_ref, kin_ref, ksin_ref,  # inputs (aliased to outputs)
     kout_ref, ksout_ref,
-    *, hd: int, rowblk: int,
+    *, hd: int, kh: int, rowblk: int,
 ):
     b = pl.program_id(0)
     rot = rotate_ref[b]
-    codes = kin_ref[0, 0]  # (K, rowblk, hd) int8
+    n = kh * rowblk
+    codes = kin_ref[0, 0].reshape(n, hd)  # (K*rowblk, hd) int8, K-major
     stripe = ksin_ref[0, 0]  # (K, S) f32
-    vals = codes.astype(jnp.float32) * stripe[:, :rowblk, None]
-    lane = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 2)
+    # per-flat-row scale stripe[k, r] for flat = k*rowblk + r. A reshape to a
+    # (n, 1) column is an unsupported Mosaic shape cast (lane-collapse), so
+    # build it with lane-preserving one-hot matmul + masked row reduction.
+    flat = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    row_in = flat % rowblk
+    head = flat // rowblk
+    onehot_head = (jax.lax.broadcasted_iota(jnp.int32, (n, kh), 1) == head).astype(jnp.float32)
+    swin = jax.lax.dot_general(
+        onehot_head, stripe[:, :rowblk], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (n, rowblk): row f carries head(f)'s first-rowblk scales
+    col_pick = jax.lax.broadcasted_iota(jnp.int32, (n, rowblk), 1) == row_in
+    rowscale = jnp.sum(jnp.where(col_pick, swin, 0.0), axis=1, keepdims=True)
+
+    vals = codes.astype(jnp.float32) * rowscale
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, hd), 1)
     even = (lane % 2) == 0
-    swapped = jnp.where(even, -pltpu.roll(vals, hd - 1, 2), pltpu.roll(vals, 1, 2))
-    rotated = vals * cexp_ref[0][None, None, :] + swapped * sexp_ref[0][None, None, :]
-    rq, rscale = _quant_rows_f32(rotated)  # (K, rowblk, hd), (K, rowblk, 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, rowblk, 1), 1)
-    live = (rows < KV_SINKS) & (rot != 0)
-    kout_ref[0, 0] = jnp.where(live, rq, codes)
-    cols = jax.lax.broadcasted_iota(jnp.int32, stripe.shape, 1)
-    slive = (cols < KV_SINKS) & (rot != 0)
-    # rscale cols beyond rowblk are never selected (cols < KV_SINKS <= rowblk)
-    if stripe.shape[1] > rowblk:
+    swapped = jnp.where(even, -pltpu.roll(vals, hd - 1, 1), pltpu.roll(vals, 1, 1))
+    rotated = vals * cexp_ref[0][None, :] + swapped * sexp_ref[0][None, :]
+    rq, rscale = _quant_rows_f32(rotated)  # (n, hd), (n, 1)
+    live = (row_in < KV_SINKS) & (rot != 0)
+    kout_ref[0, 0] = jnp.where(live, rq, codes).reshape(kh, rowblk, hd)
+
+    # write back the requantized sink scales; (n,1)->(K,rowblk) is again a
+    # lane-collapse, so place each value at its column then project per head
+    s = stripe.shape[1]
+    placed = jnp.where(col_pick, rscale, 0.0)  # (n, rowblk)
+    rtab = jax.lax.dot_general(
+        onehot_head, placed, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K, rowblk)
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (kh, s), 1)
+    slive = (kcols < KV_SINKS) & (rot != 0)
+    if s > rowblk:
         padded = jnp.concatenate(
-            [rscale[:, :, 0], jnp.zeros((stripe.shape[0], stripe.shape[1] - rowblk), jnp.float32)],
-            axis=1,
+            [rtab, jnp.zeros((kh, s - rowblk), jnp.float32)], axis=1
         )
     else:
-        padded = rscale[:, :, 0]
+        padded = rtab
     ksout_ref[0, 0] = jnp.where(slive, padded, stripe)
 
 
@@ -319,7 +353,7 @@ def fused_decode_attention_q(
     new_spec = pl.BlockSpec((1, kh, hd), lambda i, *sp: (i, 0, 0), memory_space=pltpu.VMEM)
 
     ck, cv, ks, vs = pl.pallas_call(
-        functools.partial(_insert_q_kernel, hd=hd, rowblk=rowblk),
+        functools.partial(_insert_q_kernel, hd=hd, kh=kh, rowblk=rowblk),
         out_shape=(
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
             jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
@@ -342,7 +376,7 @@ def fused_decode_attention_q(
     )
     vec_spec = pl.BlockSpec((1, hd), lambda i, *sp: (0, 0), memory_space=pltpu.VMEM)
     ck, ks = pl.pallas_call(
-        functools.partial(_sink_q_kernel, hd=hd, rowblk=rowblk),
+        functools.partial(_sink_q_kernel, hd=hd, kh=kh, rowblk=rowblk),
         out_shape=(
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
             jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
