@@ -110,7 +110,10 @@ def main() -> int:
 
     b = max(args.batch, 1)
     cache = eng.new_cache(b)
-    log(f"kv cache: {cache.nbytes() / 1e9:.2f} GB {args.kv} @ {cfg.max_seq_len} window x batch {b}")
+    log(
+        f"kv cache: {cache.nbytes() / 1e9:.2f} GB "
+        f"{jnp.dtype(eng.kv_dtype).name} @ {cfg.max_seq_len} window x batch {b}"
+    )
 
     # short prompt hydrate per sequence (reference benches ~120-token
     # generations from short prompts, README.md:9); batched sequences step

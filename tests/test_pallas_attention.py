@@ -118,7 +118,7 @@ def test_flash_multiblock_matches_oracle():
 
 
 def test_fused_with_non_multiple_of_8_window(tmp_path):
-    """-T 20: the physical cache pads to 24 rows; logits must match the XLA
+    """-T 20: the physical cache pads to 32 rows; logits must match the XLA
     path even once kv_len enters the final partial block (regression for the
     flash kernel silently dropping the last s % 8 rows)."""
     hf = make_tiny_model(str(tmp_path / "hf"))

@@ -109,3 +109,37 @@ def test_i8_kv_fused_pallas_matches_xla(model_path):
     np.testing.assert_allclose(
         np.asarray(cp.k_scale), np.asarray(cx.k_scale), rtol=2e-3, atol=1e-7
     )
+
+
+def test_i8_kv_decode_scan_matches_per_token(model_path):
+    """Regression: Engine.decode_scan must carry the scale planes through the
+    scan (dropping them silently decoded garbage on the segment path, which
+    is the TPU default)."""
+    eng = Engine.from_xalm(model_path, kv_dtype=jnp.int8, progress=False)
+    prompt = eng.tokenizer.encode("one two three")
+
+    per_tok, _ = eng.generate(prompt, 10, stop_on_eos=False, segment=1)
+    seg, _ = eng.generate(prompt, 10, stop_on_eos=False, segment=4)
+    assert seg == per_tok
+
+    # the cache coming out of a scan stays quantized
+    cache = eng.new_cache(1)
+    logits, cache, pos = eng.prefill(prompt, cache, logits_mode="last")
+    tok0 = np.argmax(np.asarray(logits), -1).astype(np.int32)
+    out, cache = eng.decode_scan(tok0, np.array([pos], np.int32), cache, 4)
+    assert cache.quantized
+
+
+def test_i8_kv_session_segments_after_wrap(model_path, tmp_path):
+    """Sessions + segments + wrap on the quantized cache (composition of the
+    two prior silent-corruption bugs)."""
+    from xalm_tpu.runtime.session import load_session, save_session
+
+    eng = Engine.from_xalm(model_path, context=16, kv_dtype=jnp.int8, progress=False)
+    prompt = eng.tokenizer.encode("a b c")
+    full, _ = eng.generate(prompt, 28, stop_on_eos=False, segment=1)
+    first, _, sess = eng.generate(prompt, 20, stop_on_eos=False, segment=8, return_session=True)
+    p = str(tmp_path / "s.xbk")
+    save_session(p, eng.cfg, sess)
+    rest, _ = eng.generate([], 8, stop_on_eos=False, segment=1, resume=load_session(p, eng.cfg))
+    assert first + rest == full

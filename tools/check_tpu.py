@@ -57,7 +57,7 @@ def run(backend: str | None):
     return jax.default_backend(), out
 
 
-def _subprocess_run(backend: str | None) -> np.ndarray:
+def _subprocess_run(backend: str | None) -> "tuple[str, dict[str, np.ndarray]]":
     code = (
         "import pickle, sys; sys.path.insert(0, '.');"
         "import tools.check_tpu as m;"

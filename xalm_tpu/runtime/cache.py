@@ -98,7 +98,8 @@ class KVCache:
         return self.k.shape[1]
 
     @property
-    def max_seq_len(self) -> int:
+    def physical_window(self) -> int:
+        """Padded on-device row count (>= the logical max_seq_len)."""
         return self.k.shape[3]
 
     def nbytes(self) -> int:

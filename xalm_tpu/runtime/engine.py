@@ -114,24 +114,27 @@ class Engine:
             SURVEY.md §7 'hard parts')."""
 
             def step(carry, _):
-                token, p, ck, cv = carry
-                logits, new_cache = forward(
+                # the WHOLE cache pytree rides the carry (scale planes
+                # included for quantized caches — dropping them silently
+                # corrupts int8 decode)
+                token, p, c = carry
+                logits, c = forward(
                     params,
                     cfg,
                     token[:, None],
                     p,
-                    KVCache(ck, cv),
+                    c,
                     logits_mode="last",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
                 )
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (nxt, p + 1, new_cache.k, new_cache.v), nxt
+                return (nxt, p + 1, c), nxt
 
-            (tok, p, ck, cv), tokens = jax.lax.scan(
-                step, (token0, pos0, cache.k, cache.v), None, length=n_steps
+            (tok, p, cache), tokens = jax.lax.scan(
+                step, (token0, pos0, cache), None, length=n_steps
             )
-            return tokens.T, KVCache(ck, cv)  # (B, n_steps)
+            return tokens.T, cache  # (B, n_steps)
 
         self._decode_scan = jax.jit(
             _decode_scan, static_argnames=("n_steps",), donate_argnums=(3,)
@@ -311,10 +314,16 @@ class Engine:
             # Session correctness: a segment scan overshoots past EOS/limit,
             # writing junk KV. Pre-wrap that's harmless (resume overwrites
             # those rows before kv_len reaches them), but once the ring wraps
-            # the overshoot clobbers the oldest *live* window rows — so step
-            # per token near/after the wrap when this state will be saved.
-            seg_n = segment
-            if return_session and pos + segment > self.cfg.max_seq_len:
+            # the overshoot clobbers the oldest *live* window rows. Clamping
+            # the scan to the remaining budget removes limit-overshoot
+            # entirely; only EOS overshoot remains, so drop to per-token
+            # stepping near/after the wrap only when EOS can stop us early.
+            seg_n = min(segment, max_new_tokens - len(out))
+            if (
+                return_session
+                and stop_on_eos
+                and pos + seg_n > self.cfg.max_seq_len
+            ):
                 seg_n = 1
             if seg_n > 1:
                 seg, cache = self.decode_scan(

@@ -77,6 +77,16 @@ def load_session(path: str, cfg: ModelConfig) -> Session:
         if fp != want:
             diff = {k: (fp.get(k), want[k]) for k in want if fp.get(k) != want[k]}
             raise ValueError(f"{path}: session/model config mismatch: {diff}")
+        # physical plane shapes must match what the current runtime would
+        # allocate (the padded window grew from 8- to 32-row tiles once;
+        # a stale session must fail loudly, not mis-tile the kernels)
+        expect = KVCache.init(cfg, int(bs.get("pos").shape[0]))
+        got_shape = bs.blocks["kv.k"].shape
+        if tuple(got_shape) != tuple(expect.k.shape):
+            raise ValueError(
+                f"{path}: stale session cache layout {got_shape} != "
+                f"{tuple(expect.k.shape)} (re-create the session)"
+            )
         k = np.copy(bs.get("kv.k"))
         v = np.copy(bs.get("kv.v"))
         ks = np.copy(bs.get("kv.k_scale")) if "kv.k_scale" in bs else None
