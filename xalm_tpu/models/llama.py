@@ -104,6 +104,7 @@ def attention(
     v: jax.Array,  # (B, n_kv_heads, S, head_dim)
     kv_len: jax.Array,  # (B, T) int32 — slots visible to each query
     cfg: ModelConfig,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """GQA attention over the (possibly ring-ordered) cache. Returns (B, T, q_dim).
 
@@ -118,10 +119,12 @@ def attention(
     g = hq // kh
     s = k.shape[2]
     qg = q.reshape(b, t, kh, g, hd) * (1.0 / math.sqrt(hd))
+    # MXU inputs in compute_dtype (bf16 doubles prefill peak); accumulation
+    # and the max-subtracted softmax stay f32 either way
     scores = jnp.einsum(
         "btkgh,bksh->bkgts",
-        qg.astype(jnp.float32),
-        k.astype(jnp.float32),
+        qg.astype(compute_dtype),
+        k.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
     mask = (
@@ -131,7 +134,10 @@ def attention(
     scores = jnp.where(mask, scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bkgts,bksh->btkgh", att, v.astype(jnp.float32), preferred_element_type=jnp.float32
+        "bkgts,bksh->btkgh",
+        att.astype(compute_dtype),
+        v.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
     )
     return out.reshape(b, t, hq * hd)
 
@@ -378,7 +384,7 @@ def forward(
             if ks is not None:
                 kl = kl.astype(jnp.float32) * _index(ks, layer)[..., None]
                 vl = vl.astype(jnp.float32) * _index(vs, layer)[..., None]
-            attn_out = attention(q, kl, vl, kv_len, cfg)
+            attn_out = attention(q, kl, vl, kv_len, cfg, compute_dtype)
         attn_proj = mm(attn_out, lp.wo, layer)
         if tp_axis is not None:
             # row-parallel wo produced partial sums over the sharded head dim
