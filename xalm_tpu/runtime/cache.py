@@ -68,17 +68,22 @@ class KVCache:
     k_scale: Any = None  # (L, B, n_kv_heads, S) f32 — int8 caches only
     v_scale: Any = None
 
+    @staticmethod
+    def plane_shape(cfg: ModelConfig, batch: int) -> tuple[int, ...]:
+        """The (L, B, K, S_phys, hd) shape of each cache plane. The
+        *physical* window is padded to a multiple of 32 rows: the Pallas
+        decode kernels tile the sequence axis in small row windows (8 for
+        float caches, 32 for int8 — Mosaic's int8 sublane tile), and an
+        arbitrary ``-T`` override (e.g. 20) must not silently drop the
+        trailing rows. Logical indexing (ring, kv_len) stays at
+        cfg.max_seq_len; rows >= it are never attended, and the kv_pos ==
+        max_seq_len dropped-write sentinel lands in a padding row."""
+        s_pad = (cfg.max_seq_len + 31) // 32 * 32
+        return (cfg.n_layers, batch, cfg.n_kv_heads, s_pad, cfg.head_dim)
+
     @classmethod
     def init(cls, cfg: ModelConfig, batch: int, dtype=jnp.float16) -> "KVCache":
-        # The *physical* window is padded to a multiple of 32 rows: the Pallas
-        # decode kernels tile the sequence axis in small row windows (8 for
-        # float caches, 32 for int8 — Mosaic's int8 sublane tile), and an
-        # arbitrary ``-T`` override (e.g. 20) must not silently drop the
-        # trailing rows. Logical indexing (ring, kv_len) stays at
-        # cfg.max_seq_len; rows >= it are never attended, and the kv_pos ==
-        # max_seq_len dropped-write sentinel lands in a padding row.
-        s_pad = (cfg.max_seq_len + 31) // 32 * 32
-        shape = (cfg.n_layers, batch, cfg.n_kv_heads, s_pad, cfg.head_dim)
+        shape = cls.plane_shape(cfg, batch)
         if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
             sshape = shape[:-1]
             return cls(
@@ -96,11 +101,6 @@ class KVCache:
     @property
     def batch(self) -> int:
         return self.k.shape[1]
-
-    @property
-    def physical_window(self) -> int:
-        """Padded on-device row count (>= the logical max_seq_len)."""
-        return self.k.shape[3]
 
     def nbytes(self) -> int:
         n = self.k.nbytes + self.v.nbytes

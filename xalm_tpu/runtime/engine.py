@@ -318,13 +318,17 @@ class Engine:
             # the scan to the remaining budget removes limit-overshoot
             # entirely; only EOS overshoot remains, so drop to per-token
             # stepping near/after the wrap only when EOS can stop us early.
-            seg_n = min(segment, max_new_tokens - len(out))
-            if (
-                return_session
-                and stop_on_eos
-                and pos + seg_n > self.cfg.max_seq_len
-            ):
-                seg_n = 1
+            seg_n = segment
+            if return_session:
+                # clamp to the remaining budget (each distinct n_steps is a
+                # separate compiled program — only pay that when saving)
+                seg_n = min(segment, max_new_tokens - len(out))
+                if (
+                    stop_on_eos
+                    and self.tokenizer is not None  # emit can't stop otherwise
+                    and pos + seg_n > self.cfg.max_seq_len
+                ):
+                    seg_n = 1
             if seg_n > 1:
                 seg, cache = self.decode_scan(
                     np.array([token], np.int32), np.array([pos], np.int32), cache, seg_n

@@ -80,12 +80,12 @@ def load_session(path: str, cfg: ModelConfig) -> Session:
         # physical plane shapes must match what the current runtime would
         # allocate (the padded window grew from 8- to 32-row tiles once;
         # a stale session must fail loudly, not mis-tile the kernels)
-        expect = KVCache.init(cfg, int(bs.get("pos").shape[0]))
-        got_shape = bs.blocks["kv.k"].shape
-        if tuple(got_shape) != tuple(expect.k.shape):
+        expect = KVCache.plane_shape(cfg, int(bs.get("pos").shape[0]))
+        got_shape = tuple(bs.blocks["kv.k"].shape)
+        if got_shape != expect:
             raise ValueError(
                 f"{path}: stale session cache layout {got_shape} != "
-                f"{tuple(expect.k.shape)} (re-create the session)"
+                f"{expect} (re-create the session)"
             )
         k = np.copy(bs.get("kv.k"))
         v = np.copy(bs.get("kv.v"))
