@@ -16,7 +16,30 @@ A from-scratch JAX/XLA/Pallas framework with the capabilities of jubruckne/Xalm
 
 The compute path is pure functional JAX (jit + lax control flow + Pallas);
 nothing here is a port of the reference's C++ — see SURVEY.md for the
-behavioral contract.
+behavioral contract and PARITY.md for the component crosswalk.
+
+Quick start::
+
+    from xalm_tpu import Engine
+    eng = Engine.from_xalm("model.xalm")
+    tokens, stats = eng.generate(eng.tokenizer.encode("Hello"), 128)
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep `import xalm_tpu` free of jax startup)
+    if name == "Engine":
+        from xalm_tpu.runtime.engine import Engine
+
+        return Engine
+    if name == "ShardedEngine":
+        from xalm_tpu.parallel.sharded_engine import ShardedEngine
+
+        return ShardedEngine
+    if name == "XalmFile":
+        from xalm_tpu.io import XalmFile
+
+        return XalmFile
+    raise AttributeError(f"module 'xalm_tpu' has no attribute {name!r}")
