@@ -82,6 +82,30 @@ def bench_bandwidth() -> None:
           f"{gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% of v5e SOL){_flag(gb_s)}")
 
 
+def bench_bandwidth2() -> None:
+    """-b2: HBM read+write bandwidth via a chained whole-buffer update
+    (the second memory probe of the reference test binary, README.md:73-76).
+    """
+    key = jax.random.PRNGKey(42)
+    buf = jax.random.normal(key, (32, 14336, 4096 // 4), jnp.bfloat16)  # ~0.94 GB
+    jax.block_until_ready(buf)
+
+    def make_chain(n):
+        def chain(x, buf):
+            def body(c, i):
+                # touch every byte: read buf, write buf' (carry threads it)
+                b2 = c[1] * jnp.bfloat16(1.0) + jnp.bfloat16(1e-8)
+                return (c[0] + b2[0, :8, :128].astype(jnp.float32).sum(), b2), ()
+            (acc, b2), _ = jax.lax.scan(body, (x.sum(), buf), jnp.arange(n))
+            return acc + b2[0, 0, 0].astype(jnp.float32)
+        return chain
+
+    per = _slope_time(make_chain, (buf,))
+    gb_s = 2 * buf.nbytes / per / 1e9  # read + write per iteration
+    print(f"-b2 HBM copy probe: {per*1e3:.3f} ms / {buf.nbytes/1e9:.2f} GB r+w -> "
+          f"{gb_s:.0f} GB/s ({gb_s/V5E_HBM_GB_S*100:.0f}% of v5e SOL){_flag(gb_s)}")
+
+
 def bench_matmul() -> None:
     """-k matmul: fused dequant+matmul at Mistral-7B w1 shape per dtype."""
     from xalm_tpu.ops.pallas_matmul import pallas_qmatmul_stacked_full, supported_weight_dtype
@@ -190,18 +214,21 @@ def bench_ffn() -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="xalm-bench-kernels", description=__doc__)
     p.add_argument("-k", dest="kernel", choices=["matmul", "mha", "ffn", "all"], default=None)
-    p.add_argument("-b", dest="bandwidth", action="store_true", help="HBM bandwidth probe")
+    p.add_argument("-b", dest="bandwidth", action="store_true", help="HBM read-bandwidth probe")
+    p.add_argument("-b2", dest="bandwidth2", action="store_true", help="HBM read+write probe")
     args = p.parse_args(argv)
     print(f"device: {jax.devices()[0]} | backend: {jax.default_backend()}")
     if args.bandwidth:
         bench_bandwidth()
+    if args.bandwidth2:
+        bench_bandwidth2()
     if args.kernel in ("matmul", "all"):
         bench_matmul()
     if args.kernel in ("mha", "all"):
         bench_mha()
     if args.kernel in ("ffn", "all"):
         bench_ffn()
-    if not args.bandwidth and args.kernel is None:
+    if not args.bandwidth and not args.bandwidth2 and args.kernel is None:
         p.print_help()
     return 0
 
