@@ -87,3 +87,12 @@ def test_save_csv_roundtrip(tmp_path):
     x3 = uniform((2, 3, 4))
     save_csv(x3, str(p))
     assert np.loadtxt(p, delimiter=",").shape == (2, 12)
+
+
+def test_human_size():
+    from xalm_tpu.obs.table import human_size
+
+    assert human_size(0) == "0 B"
+    assert human_size(1023) == "1023 B"
+    assert human_size(1024) == "1.00 KiB"
+    assert human_size(14_500_000_000) == "13.50 GiB"

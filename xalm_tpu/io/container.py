@@ -212,11 +212,11 @@ class XalmFile:
 
     def format(self) -> str:
         """Human-readable tensor listing (reference file_info::format, xalm.h:49-62)."""
-        from xalm_tpu.obs.table import Table
+        from xalm_tpu.obs.table import Table, human_size
 
         tbl = Table(["#", "name", "type", "shape", "size"])
         for i, (name, t) in enumerate(self.tensors.items()):
-            tbl.add(i, name, t.dtype.name, "x".join(map(str, t.shape)), f"{t.size:,}")
+            tbl.add(i, name, t.dtype.name, "x".join(map(str, t.shape)), human_size(t.size))
         return tbl.format(title=self.path)
 
 

@@ -37,3 +37,13 @@ class Table:
         out.extend(fmt_row(r) for r in self.rows)
         out.append(sep)
         return "\n".join(out)
+
+
+def human_size(n: int) -> str:
+    """Human-readable byte size (the reference table.h's ``{h}`` format)."""
+    size = float(n)
+    for unit in ("B", "KiB", "MiB", "GiB", "TiB"):
+        if size < 1024 or unit == "TiB":
+            return f"{size:.0f} {unit}" if unit == "B" else f"{size:.2f} {unit}"
+        size /= 1024
+    return f"{n} B"  # unreachable
