@@ -81,3 +81,32 @@ def test_segmented_batcher_equals_solo(engine):
     by_id = {r.id: r for r in done}
     for i, want in enumerate(solo):
         assert by_id[i].out_tokens == want, f"request {i}"
+
+
+def test_batcher_over_sharded_engine(engine, tmp_path):
+    """Continuous batching on a (dp, tp) mesh: slots shard over dp (with
+    transparent padding when max_batch doesn't divide), results match solo."""
+    import jax
+
+    from tests.make_tiny_model import make_tiny_model as _mk
+    from xalm_tpu.parallel.mesh import make_mesh
+    from xalm_tpu.parallel.sharded_engine import ShardedEngine
+
+    hf = _mk(str(tmp_path / "hf"))
+    out = str(tmp_path / "m.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    sharded = ShardedEngine.from_xalm(out, mesh)
+
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(3, 350, size=l).tolist() for l in (4, 7, 5)]
+    n_new = [5, 3, 6]
+    solo = [_solo(engine, p, n) for p, n in zip(prompts, n_new)]
+
+    b = ContinuousBatcher(sharded, max_batch=3, segment=2)  # 3 slots on dp=2
+    for p, n in zip(prompts, n_new):
+        b.submit(Request(prompt_ids=p, max_new_tokens=n, stop_on_eos=False))
+    done = b.run()
+    by_id = {r.id: r for r in done}
+    for i, want in enumerate(solo):
+        assert by_id[i].out_tokens == want, f"request {i}"
