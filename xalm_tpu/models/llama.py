@@ -171,9 +171,10 @@ def _write_rows(cache: jax.Array, layer, kv_pos: jax.Array, rows: jax.Array) -> 
     b_idx = jnp.arange(b, dtype=jnp.int32)[:, None, None]  # (B,1,1)
     k_idx = jnp.arange(kh, dtype=jnp.int32)[None, :, None]  # (1,K,1)
     s_idx = kv_pos[:, None, :]  # (B,1,T)
-    # mode="drop": padding/inactive tokens carry kv_pos == S (out of bounds)
-    # and their writes vanish — the masking mechanism for bucketed chunks and
-    # idle continuous-batching slots.
+    # Padding/inactive tokens carry the kv_pos == logical-max_seq_len
+    # sentinel: with the physical window padded past the logical one, the
+    # write lands in a padding row no attention ever reads (and mode="drop"
+    # still discards it when the sentinel is truly out of physical bounds).
     return cache.at[layer, b_idx, k_idx, s_idx].set(
         rows.transpose(0, 2, 1, 3), mode="drop"
     )
