@@ -114,3 +114,62 @@ def test_analyze_mode_runs(tiny_hf, tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "quantization error analysis" in captured
     assert "f8_e4m3" in captured
+
+
+def test_download_model_mocked(tmp_path, monkeypatch):
+    """--download end-to-end against a fake HF endpoint (zero-egress env):
+    sharded index layout, skip-existing, streamed chunks."""
+    import json as _json
+
+    from xalm_tpu.convert.convert import download_model
+
+    hf = make_tiny_model(str(tmp_path / "src"))
+    blobs = {
+        "config.json": open(f"{hf}/config.json", "rb").read(),
+        "tokenizer.json": open(f"{hf}/tokenizer.json", "rb").read(),
+        "model-00001-of-00002.safetensors": b"A" * (3 << 20),
+        "model-00002-of-00002.safetensors": b"B" * 100,
+    }
+    index = {"weight_map": {"w1": "model-00001-of-00002.safetensors",
+                            "w2": "model-00002-of-00002.safetensors"}}
+
+    class FakeResponse:
+        def __init__(self, content, ok=True):
+            self._c, self.ok = content, ok
+
+        def json(self):
+            return _json.loads(self._c)
+
+        def raise_for_status(self):
+            if not self.ok:
+                raise RuntimeError("404")
+
+        def iter_content(self, n):
+            for i in range(0, len(self._c), n):
+                yield self._c[i : i + n]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_get(url, **kw):
+        name = url.rsplit("/", 1)[1]
+        if name == "model.safetensors.index.json":
+            return FakeResponse(_json.dumps(index).encode())
+        if name in blobs:
+            return FakeResponse(blobs[name])
+        return FakeResponse(b"", ok=False)
+
+    import requests
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    dest = str(tmp_path / "dl")
+    out = download_model("fake/repo", dest)
+    assert out == dest
+    for name, want in blobs.items():
+        assert open(f"{dest}/{name}", "rb").read() == want
+    # second call skips existing files (no exception from the dead fake)
+    monkeypatch.setattr(requests, "get", lambda *a, **k: FakeResponse(_json.dumps(index).encode()))
+    download_model("fake/repo", dest)
