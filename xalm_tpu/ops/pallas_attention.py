@@ -217,15 +217,19 @@ def _attn_q_kernel(
     q_ref, kin_ref, vin_ref, ks_ref, vs_ref,  # inputs
     out_ref,
     acc_ref, m_ref, l_ref,
-    *, sb: int, nsb: int, hd: int, g: int,
+    *, b: int, gp: int, sb: int, nsb: int, hd: int, g: int,
 ):
-    """Flash-decoding over an int8 cache: rows dequantize in VMEM with their
-    per-row scales (blocks carry all K heads' scale columns; this cell uses
-    row j)."""
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-    t = pl.program_id(2)
-    kvl = kv_len_ref[b]
+    """Flash-decoding over an int8 cache, batched like _attn_kernel (grid
+    (kh, nsb), all batch rows per cell). Per-row scales factor OUT of both
+    dots so the int8 codes feed the MXU directly and dequant is O(sb) per
+    head, not O(sb*hd) — a full VPU dequant caps decode at ~240 GB/s
+    (measured; the fp8-dequant trap)."""
+    j = pl.program_id(0)
+    t = pl.program_id(1)
+    kvls = [kv_len_ref[bi] for bi in range(b)]
+    kvl_max = kvls[0]
+    for kv_b in kvls[1:]:
+        kvl_max = jnp.maximum(kvl_max, kv_b)
 
     @pl.when(t == 0)
     def _init():
@@ -233,37 +237,37 @@ def _attn_q_kernel(
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    @pl.when(t * sb < kvl)
+    @pl.when(t * sb < kvl_max)
     def _block():
-        # The per-row scales factor OUT of both dots, so the int8 codes feed
-        # the MXU directly and dequant is O(sb) per head, not O(sb*hd):
-        #   scores[s] = (q . codes_k[s]) * kscale[s]
-        #   acc      += (p * vscale) @ codes_v
-        # (a full VPU dequant of the block caps decode at ~240 GB/s —
-        # measured; the same trap as fp8 weight dequant.)
-        kscale = ks_ref[0, 0, pl.ds(j, 1), :]  # (1, sb)
-        vscale = vs_ref[0, 0, pl.ds(j, 1), :]
-        q = q_ref[0, 0].astype(jnp.bfloat16)
-        scores = jax.lax.dot_general(
-            q, kin_ref[0, 0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (kscale * (1.0 / math.sqrt(hd)))
-        rows = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
-        scores = jnp.where(rows < kvl, scores, _NEG_INF)
-        m_old = m_ref[:g, :1]
-        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(scores - m_new)
-        m_ref[:g, :1] = m_new
-        l_ref[:g, :1] = l_ref[:g, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[:g, :] = acc_ref[:g, :] * alpha + jax.lax.dot_general(
-            (p * vscale).astype(jnp.bfloat16), vin_ref[0, 0, 0],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+        for bi in range(b):
+            lo = bi * gp
+            kscale = ks_ref[0, bi, pl.ds(j, 1), :]  # (1, sb)
+            vscale = vs_ref[0, bi, pl.ds(j, 1), :]
+            q = q_ref[bi, 0].astype(jnp.bfloat16)
+            scores = jax.lax.dot_general(
+                q, kin_ref[0, bi, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (kscale * (1.0 / math.sqrt(hd)))
+            rows = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+            scores = jnp.where(rows < kvls[bi], scores, _NEG_INF)
+            m_old = m_ref[lo : lo + g, :1]
+            m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(scores - m_new)
+            m_ref[lo : lo + g, :1] = m_new
+            l_ref[lo : lo + g, :1] = l_ref[lo : lo + g, :1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            acc_ref[lo : lo + g, :] = acc_ref[lo : lo + g, :] * alpha + jax.lax.dot_general(
+                (p * vscale).astype(jnp.bfloat16), vin_ref[0, bi, 0],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
 
     @pl.when(t == nsb - 1)
     def _finish():
-        out_ref[0, 0] = acc_ref[:g, :] / l_ref[:g, :1]
+        for bi in range(b):
+            lo = bi * gp
+            out_ref[bi, 0] = acc_ref[lo : lo + g, :] / l_ref[lo : lo + g, :1]
 
 
 def _attn_kernel(
@@ -271,16 +275,25 @@ def _attn_kernel(
     q_ref, kin_ref, vin_ref,  # inputs (read-only cache sequence blocks)
     out_ref,  # output
     acc_ref, m_ref, l_ref,  # VMEM scratch, persistent across the t axis
-    *, sb: int, nsb: int, hd: int, g: int,
+    *, b: int, gp: int, sb: int, nsb: int, hd: int, g: int,
 ):
     """Flash-decoding: the sequence axis is grid dimension t over ``sb``-row
     blocks with a running max/denominator, so HBM traffic scales with
-    ``kv_len`` instead of the window. Blocks past kv_len are clamped by the
-    index_map to the last live block (the pipeline skips re-fetching an
-    unchanged block) and their compute is skipped with pl.when."""
-    b = pl.program_id(0)
-    t = pl.program_id(2)
-    kvl = kv_len_ref[b]
+    ``kv_len`` instead of the window. Blocks past every sequence's kv_len
+    are clamped by the index_map to the last live block (the pipeline skips
+    re-fetching an unchanged block) and their compute is skipped.
+
+    The whole batch rides in each block (statically unrolled per-row 2-D
+    dots): grid cells are (kh, nsb) — independent of B — so batched serving
+    doesn't drown in per-cell launch overhead (measured ~0.3 us/cell: a
+    (B, KH, NSB) grid cost ~5 ms/step at batch 8)."""
+    j = pl.program_id(0)
+    t = pl.program_id(1)
+    del j
+    kvls = [kv_len_ref[bi] for bi in range(b)]
+    kvl_max = kvls[0]
+    for kv_b in kvls[1:]:
+        kvl_max = jnp.maximum(kvl_max, kv_b)
 
     @pl.when(t == 0)
     def _init():
@@ -288,29 +301,46 @@ def _attn_kernel(
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    @pl.when(t * sb < kvl)
+    @pl.when(t * sb < kvl_max)
     def _block():
-        kv = kin_ref[0, 0, 0].astype(jnp.float32)  # (sb, hd)
-        vv = vin_ref[0, 0, 0].astype(jnp.float32)
-        q = q_ref[0, 0].astype(jnp.float32) * (1.0 / math.sqrt(hd))  # (G, hd)
-        scores = jax.lax.dot_general(
-            q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (G, sb)
-        rows = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
-        scores = jnp.where(rows < kvl, scores, _NEG_INF)
-        m_old = m_ref[:g, :1]  # (G, 1)
-        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(scores - m_new)
-        m_ref[:g, :1] = m_new
-        l_ref[:g, :1] = l_ref[:g, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_ref[:g, :] = acc_ref[:g, :] * alpha + jax.lax.dot_general(
-            p, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        for bi in range(b):
+            _attn_block_row(
+                q_ref, kin_ref, vin_ref, acc_ref, m_ref, l_ref,
+                bi, t, kvls[bi], sb=sb, hd=hd, g=g, gp=gp,
+            )
 
     @pl.when(t == nsb - 1)
     def _finish():
-        out_ref[0, 0] = acc_ref[:g, :] / l_ref[:g, :1]
+        for bi in range(b):
+            lo = bi * gp
+            out_ref[bi, 0] = acc_ref[lo : lo + g, :] / l_ref[lo : lo + g, :1]
+
+
+def _attn_block_row(
+    q_ref, kin_ref, vin_ref, acc_ref, m_ref, l_ref, bi, t, kvl,
+    *, sb: int, hd: int, g: int, gp: int,
+):
+    """One batch row's flash update for sequence block t (2-D math only)."""
+    lo = bi * gp
+    kv = kin_ref[0, bi, 0].astype(jnp.float32)  # (sb, hd)
+    vv = vin_ref[0, bi, 0].astype(jnp.float32)
+    q = q_ref[bi, 0].astype(jnp.float32) * (1.0 / math.sqrt(hd))  # (G, hd)
+    scores = jax.lax.dot_general(
+        q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (G, sb)
+    rows = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+    scores = jnp.where(rows < kvl, scores, _NEG_INF)
+    m_old = m_ref[lo : lo + g, :1]
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(scores - m_new)
+    m_ref[lo : lo + g, :1] = m_new
+    l_ref[lo : lo + g, :1] = l_ref[lo : lo + g, :1] * alpha + jnp.sum(
+        p, axis=-1, keepdims=True
+    )
+    acc_ref[lo : lo + g, :] = acc_ref[lo : lo + g, :] * alpha + jax.lax.dot_general(
+        p, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def fused_decode_attention_q(
@@ -400,42 +430,44 @@ def fused_decode_attention_q(
         sb = s
     nsb = s // sb
     kv_len = jnp.asarray(kv_len, jnp.int32)
-    blkmax = jnp.maximum(kv_len - 1, 0) // sb
+    # batched kernel: one sequence-block index per cell (max over the batch;
+    # shorter sequences mask their tail rows)
+    blkmax = jnp.max(jnp.maximum(kv_len - 1, 0))[None] // sb
     gp = max(g, 8)
 
     seq_spec = pl.BlockSpec(
-        (1, 1, 1, sb, hd),
-        lambda i, j, t, lr, bm, *sp: (lr[0], i, j, jnp.minimum(t, bm[i]), 0),
+        (1, b, 1, sb, hd),
+        lambda j, t, lr, bm, *sp: (lr[0], 0, j, jnp.minimum(t, bm[0]), 0),
         memory_space=pltpu.VMEM,
     )
     sscale_spec = pl.BlockSpec(
-        (1, 1, kh, sb),
-        lambda i, j, t, lr, bm, *sp: (lr[0], i, 0, jnp.minimum(t, bm[i])),
+        (1, b, kh, sb),
+        lambda j, t, lr, bm, *sp: (lr[0], 0, 0, jnp.minimum(t, bm[0])),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_attn_q_kernel, sb=sb, nsb=nsb, hd=hd, g=g),
+        functools.partial(_attn_q_kernel, b=b, gp=gp, sb=sb, nsb=nsb, hd=hd, g=g),
         out_shape=jax.ShapeDtypeStruct((b, kh, g, hd), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(b, kh, nsb),
+            grid=(kh, nsb),
             in_specs=[
-                pl.BlockSpec((1, 1, g, hd), lambda i, j, t, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, 1, g, hd), lambda j, t, *sp: (0, j, 0, 0), memory_space=pltpu.VMEM),
                 seq_spec,
                 seq_spec,
                 sscale_spec,
                 sscale_spec,
             ],
-            out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, t, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((b, 1, g, hd), lambda j, t, *sp: (0, j, 0, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((gp, hd), jnp.float32),
-                pltpu.VMEM((gp, 128), jnp.float32),
-                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((b * gp, hd), jnp.float32),
+                pltpu.VMEM((b * gp, 128), jnp.float32),
+                pltpu.VMEM((b * gp, 128), jnp.float32),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interp,
     )(layer1, blkmax, kv_len, qg, ck, cv, ks, vs)
@@ -533,35 +565,37 @@ def fused_decode_attention(
     sb = min(sb, s)
     nsb = s // sb
     kv_len = jnp.asarray(kv_len, jnp.int32)
-    blkmax = jnp.maximum(kv_len - 1, 0) // sb  # last live block per batch row
+    # last live block across the WHOLE batch: the batched kernel shares one
+    # sequence-block index per cell; shorter sequences mask their tail rows
+    blkmax = jnp.max(jnp.maximum(kv_len - 1, 0))[None] // sb
 
-    gp = max(g, 8)  # scratch rows padded to the sublane tile
+    gp = max(g, 8)  # scratch rows padded to the sublane tile, per batch row
     seq_spec = pl.BlockSpec(
-        (1, 1, 1, sb, hd),
-        lambda i, j, t, lr, bm, *sp: (lr[0], i, j, jnp.minimum(t, bm[i]), 0),
+        (1, b, 1, sb, hd),
+        lambda j, t, lr, bm, *sp: (lr[0], 0, j, jnp.minimum(t, bm[0]), 0),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, sb=sb, nsb=nsb, hd=hd, g=g),
+        functools.partial(_attn_kernel, b=b, gp=gp, sb=sb, nsb=nsb, hd=hd, g=g),
         out_shape=jax.ShapeDtypeStruct((b, kh, g, hd), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(b, kh, nsb),
+            grid=(kh, nsb),
             in_specs=[
-                pl.BlockSpec((1, 1, g, hd), lambda i, j, t, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, 1, g, hd), lambda j, t, *sp: (0, j, 0, 0), memory_space=pltpu.VMEM),
                 seq_spec,
                 seq_spec,
             ],
-            out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j, t, *sp: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((b, 1, g, hd), lambda j, t, *sp: (0, j, 0, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((gp, hd), jnp.float32),
-                pltpu.VMEM((gp, 128), jnp.float32),
-                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((b * gp, hd), jnp.float32),
+                pltpu.VMEM((b * gp, 128), jnp.float32),
+                pltpu.VMEM((b * gp, 128), jnp.float32),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interp,
     )(layer1, blkmax, kv_len, qg, ck, cv)
