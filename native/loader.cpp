@@ -82,7 +82,8 @@ int xalm_copy_batch(void* handle, const std::uint64_t* offsets,
   if (!handle || n < 0) return -1;
   auto* mf = static_cast<MappedFile*>(handle);
   for (std::int32_t i = 0; i < n; ++i) {
-    if (offsets[i] + sizes[i] > mf->size || offsets[i] > mf->size) return -1;
+    // overflow-safe: offsets[i] + sizes[i] can wrap in uint64
+    if (offsets[i] > mf->size || sizes[i] > mf->size - offsets[i]) return -1;
   }
   const auto* base = static_cast<const std::uint8_t*>(mf->base);
   if (n_threads <= 1) {

@@ -132,9 +132,112 @@ def scalar_iq4_nl(b):
     return out
 
 
+def scalar_q2_k(b):
+    """[16B scale-nibble pairs][64B 2-bit codes][d f16][dmin f16]."""
+    scales, qs = b[:16], b[16:80]
+    d, dmin = f16(b, 80), f16(b, 82)
+    out = np.zeros(256, np.float32)
+    for i in range(256):
+        g = i // 16  # 16 groups of 16
+        sc = int(scales[g])
+        half, rem = i // 128, i % 128
+        q = (int(qs[half * 32 + rem % 32]) >> (2 * (rem // 32))) & 3
+        out[i] = d * (sc & 0x0F) * q - dmin * (sc >> 4)
+    return out
+
+
+def scalar_q3_k(b):
+    """[32B high-bit mask][64B 2-bit codes][12B 6-bit scales][d f16]."""
+    hmask, qs, scales = b[:32], b[32:96], b[96:108]
+    d = f16(b, 108)
+    out = np.zeros(256, np.float32)
+    for i in range(256):
+        g = i // 16
+        lo = (int(scales[g % 8]) >> (4 * (g // 8))) & 0x0F
+        hi = (int(scales[8 + g % 4]) >> (2 * (g // 4))) & 3
+        sc = (lo | (hi << 4)) - 32
+        half, rem = i // 128, i % 128
+        ql = (int(qs[half * 32 + rem % 32]) >> (2 * (rem // 32))) & 3
+        hbit = (int(hmask[i % 32]) >> (i // 32)) & 1
+        out[i] = d * sc * (ql - (0 if hbit else 4))
+    return out
+
+
+def _k_pairs(s):
+    """8 (scale, min) 6-bit pairs from the 12-byte Q4_K/Q5_K field."""
+    sc8, mn8 = [], []
+    for j in range(8):
+        if j < 4:
+            sc8.append(int(s[j]) & 63)
+            mn8.append(int(s[j + 4]) & 63)
+        else:
+            sc8.append((int(s[j + 4]) & 0x0F) | ((int(s[j - 4]) >> 6) << 4))
+            mn8.append((int(s[j + 4]) >> 4) | ((int(s[j]) >> 6) << 4))
+    return sc8, mn8
+
+
+def scalar_q5_k(b):
+    """[d f16][dmin f16][12B pairs][32B high bits][128B nibbles]."""
+    d, dmin = f16(b, 0), f16(b, 2)
+    sc8, mn8 = _k_pairs(b[4:16])
+    qh, qs = b[16:48], b[48:176]
+    out = np.zeros(256, np.float32)
+    for i in range(256):
+        g, j = i // 32, i % 32
+        byte = int(qs[(g // 2) * 32 + j])
+        lo = byte & 0x0F if g % 2 == 0 else byte >> 4
+        hi = (int(qh[j]) >> g) & 1
+        out[i] = d * sc8[g] * (lo | (hi << 4)) - dmin * mn8[g]
+    return out
+
+
+def scalar_iq4_xs(b):
+    """[d f16][sh u16][sl 4B][128B nibbles], 6-bit scales, IQ4 code table."""
+    d = f16(b, 0)
+    sh = int(b[2]) | (int(b[3]) << 8)
+    sl, qs = b[4:8], b[8:136]
+    out = np.zeros(256, np.float32)
+    for i in range(256):
+        g, j = i // 32, i % 32
+        lo = (int(sl[g // 2]) >> (4 * (g % 2))) & 0x0F
+        hi = (sh >> (2 * g)) & 3
+        sc = (lo | (hi << 4)) - 32
+        byte = int(qs[g * 16 + j % 16])
+        code = byte & 0x0F if j < 16 else byte >> 4
+        out[i] = d * sc * int(gguf.IQ4_TABLE[code])
+    return out
+
+
+def scalar_tq1_0(b):
+    """Base-3 digits five-per-byte (x 256/243): [32B x5][16B x5][4B x4][d]."""
+    d = f16(b, 52)
+
+    def trit(byte, p):
+        return (((int(byte) * 3**p) % 256) * 3) // 256 - 1
+
+    out = np.zeros(256, np.float32)
+    for i in range(256):
+        if i < 160:
+            out[i] = d * trit(b[i % 32], i // 32)
+        elif i < 240:
+            out[i] = d * trit(b[32 + (i - 160) % 16], (i - 160) // 16)
+        else:
+            out[i] = d * trit(b[48 + (i - 240) % 4], (i - 240) // 4)
+    return out
+
+
 @pytest.mark.parametrize(
     "name,scalar",
-    [("q4_k", scalar_q4_k), ("q6_k", scalar_q6_k), ("iq4_nl", scalar_iq4_nl)],
+    [
+        ("q2_k", scalar_q2_k),
+        ("q3_k", scalar_q3_k),
+        ("q4_k", scalar_q4_k),
+        ("q5_k", scalar_q5_k),
+        ("q6_k", scalar_q6_k),
+        ("iq4_nl", scalar_iq4_nl),
+        ("iq4_xs", scalar_iq4_xs),
+        ("tq1_0", scalar_tq1_0),
+    ],
 )
 def test_dequant_matches_scalar_reference(name, scalar):
     block, nbytes = gguf.GGUF_SIZES[name]
@@ -145,20 +248,31 @@ def test_dequant_matches_scalar_reference(name, scalar):
         np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["q2_k", "q3_k", "q5_k", "iq4_xs", "tq1_0"])
-def test_dequant_shape_and_finite(name):
+# ---------------------------------------------------------------------------
+# IQ codebook formats: pinned to golden vectors produced by the reference's
+# own decoder (tests/data/iq_golden.npz, tools/extract_iq_grids.py)
+# ---------------------------------------------------------------------------
+
+IQ_FORMATS = ["iq1_s", "iq1_m", "iq2_xxs", "iq2_xs", "iq2_s", "iq3_xxs", "iq3_s"]
+
+
+@pytest.mark.parametrize("name", IQ_FORMATS)
+def test_iq_codebook_matches_golden(name):
+    import pathlib
+
+    data = np.load(pathlib.Path(__file__).parent / "data" / "iq_golden.npz")
+    raw, want = data[f"{name}_raw"], data[f"{name}_want"]
+    got = gguf.dequantize(raw.reshape(-1), name).reshape(want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", IQ_FORMATS)
+def test_iq_codebook_shapes(name):
     block, nbytes = gguf.GGUF_SIZES[name]
-    raw = RNG.integers(0, 243 if name == "tq1_0" else 200, size=2 * nbytes, dtype=np.uint8)
-    # keep the f16 scale fields sane (avoid random inf/nan f16 patterns)
-    raw = raw.copy()
+    raw = np.zeros(2 * nbytes, np.uint8)
     out = gguf.dequantize(raw, name)
     assert out.shape == (2 * block,)
     assert out.dtype == np.float32
-
-
-def test_codebook_formats_raise():
-    with pytest.raises(NotImplementedError):
-        gguf.dequantize(np.zeros(gguf.GGUF_SIZES["iq2_xxs"][1], np.uint8), "iq2_xxs")
 
 
 def test_tq1_0_roundtrip_random_ternary():

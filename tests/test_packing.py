@@ -136,3 +136,17 @@ def test_analyze_simulated_reports_packed_bytes():
     m = quant.analyze(x, "q4_0")
     assert m["bytes"] == 4 * 256 // 32 * 18
     assert m["cosine"] > 0.95
+
+
+def test_encode_nan_uses_reserved_code():
+    # formats with a NaN code: non-finite inputs round-trip to NaN, not max
+    spec = floatlab.F8_E4M3
+    x = np.array([np.nan, np.inf, -np.inf, 1.0], np.float32)
+    y = spec.decode(spec.encode(x))
+    assert np.isnan(y[:3]).all()
+    assert np.isfinite(y[3])
+
+
+def test_encode_nan_raises_without_nan_code():
+    with pytest.raises(ValueError):
+        floatlab.F4_E2M1.encode(np.array([np.nan], np.float32))

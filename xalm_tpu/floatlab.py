@@ -135,7 +135,20 @@ class FloatSpec:
         pick = np.where(mag <= grid_vals[0], 0, pick)
         code = grid_codes[pick]
         sign = (xf < 0).astype(np.uint32) << (self.exp_bits + self.man_bits)
-        return (code | sign).astype(np.uint32)
+        out = (code | sign).astype(np.uint32)
+        # non-finite inputs: emit the reserved NaN code when the format has
+        # one (searchsorted on NaN otherwise lands on the largest finite
+        # code), else raise — there is no honest encoding for them
+        bad = ~np.isfinite(xf)
+        if bad.any():
+            if not self.has_nan:
+                raise ValueError(
+                    f"{self.name or 'format'} has no NaN/Inf encoding for "
+                    f"non-finite inputs"
+                )
+            nan_code = np.uint32((1 << (self.exp_bits + self.man_bits)) - 1)
+            out = np.where(bad, nan_code, out)
+        return out
 
     def roundtrip(self, x: np.ndarray) -> np.ndarray:
         return self.decode(self.encode(x))

@@ -12,10 +12,12 @@ into a TPU-friendly layout (plain int8/fp8 + per-block scale planes that a
 Pallas kernel can stream). The block formats themselves are host-side only —
 nothing here runs on-device.
 
-The codebook IQ formats (IQ1_S/M, IQ2_XXS/XS/S, IQ3_XXS/S) are intentionally
-not implemented: their decode tables are large opaque constant grids, not
-algorithmic layouts; `dequantize` raises NotImplementedError for them with a
-pointer to this note. All other entries in the size registry below decode.
+The codebook IQ formats (IQ1_S/M, IQ2_XXS/XS/S, IQ3_XXS/S) decode through
+constant lattice codebooks carried as data in ``data/iq_grids.npz``
+(extracted by tools/extract_iq_grids.py from the packed constants the format
+defines — reference quants.py:166-185, 719-1328); the ksigns table is
+algorithmic (7-bit index + parity bit) and is generated, not stored. Every
+entry in the size registry below decodes.
 
 Layout notes are cited per-format; the bit layouts follow the public GGML
 format (ggml-quants.c / gguf-py), independently re-implemented here.
@@ -62,7 +64,7 @@ GGUF_SIZES: dict[str, tuple[int, int]] = {
     "tq2_0": (QK_K, 2 + QK_K // 4),
     "iq4_nl": (QK, 2 + QK // 2),
     "iq4_xs": (QK_K, 2 + 2 + QK_K // 64 + QK_K // 2),
-    # codebook formats: sized (for container bookkeeping) but not decoded
+    # codebook formats (decode via the constant grids in data/iq_grids.npz)
     "iq1_s": (QK_K, 2 + QK_K // 8 + QK_K // 16),
     "iq1_m": (QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32),
     "iq2_xxs": (QK_K, 2 + QK_K // 4),
@@ -71,8 +73,6 @@ GGUF_SIZES: dict[str, tuple[int, int]] = {
     "iq3_xxs": (QK_K, 2 + QK_K // 4 + QK_K // 8),
     "iq3_s": (QK_K, 2 + QK_K // 4 + QK_K // 8 + QK_K // 32 + 4),
 }
-
-_CODEBOOK_FORMATS = {"iq1_s", "iq1_m", "iq2_xxs", "iq2_xs", "iq2_s", "iq3_xxs", "iq3_s"}
 
 # IQ4 non-linear 4-bit code table (public GGML kvalues_iq4nl).
 IQ4_TABLE = np.array(
@@ -432,6 +432,151 @@ def _iq4_xs_dequant(b: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# IQ codebook codecs (dequantize only). Elements come in 8-wide (IQ1/IQ2) or
+# 4-wide (IQ3) codebook rows; a 7-bit ksigns index flips signs per element
+# for the XXS/XS variants, raw sign bitfields for the S variants.
+# (reference quants.py:719-1281; grids extracted by tools/extract_iq_grids.py)
+# ---------------------------------------------------------------------------
+
+_IQ_GRIDS: dict[str, np.ndarray] | None = None
+
+
+def _iq_grid(name: str) -> np.ndarray:
+    global _IQ_GRIDS
+    if _IQ_GRIDS is None:
+        from pathlib import Path
+
+        path = Path(__file__).parent / "data" / "iq_grids.npz"
+        with np.load(path) as z:
+            _IQ_GRIDS = {k: z[k].astype(np.float32) for k in z.files}
+    return _IQ_GRIDS[name]
+
+
+def _ksign_table() -> np.ndarray:
+    """(128, 8) f32 sign factors: entry i, bit j. Bits 0-6 are the index
+    itself; bit 7 is the parity of bits 0-6 (so every byte has even weight)."""
+    i = np.arange(128, dtype=np.uint8)
+    bits = np.unpackbits(i[:, None], axis=1, bitorder="little")[:, :8]
+    bits[:, 7] = bits[:, :7].sum(axis=1) % 2
+    return np.where(bits == 1, np.float32(-1), np.float32(1))
+
+
+_KSIGNS = _ksign_table()
+
+
+def _sign_bits(bytes_: np.ndarray) -> np.ndarray:
+    """Raw sign bitfield -> (..., 8) f32 factors (bit set = negative)."""
+    bits = np.unpackbits(bytes_.reshape(-1, 1), axis=1, bitorder="little")
+    return np.where(bits == 1, np.float32(-1), np.float32(1)).reshape(
+        *bytes_.shape, 8
+    )
+
+
+def _nibbles(b: np.ndarray) -> np.ndarray:
+    """(nb, n) bytes -> (nb, 2n) low-then-high nibbles per byte, interleaved."""
+    nb = b.shape[0]
+    return np.stack([b & np.uint8(0x0F), b >> np.uint8(4)], axis=-1).reshape(nb, -1)
+
+
+def _iq2_xxs_dequant(b: np.ndarray) -> np.ndarray:
+    nb = b.shape[0]
+    d, qs = _split(b, 2)
+    d = _read_f16(d)  # (nb, 1)
+    w = np.ascontiguousarray(qs).view(np.uint32).reshape(nb, -1, 2)
+    idx = np.ascontiguousarray(w[..., 0]).view(np.uint8).reshape(nb, -1, 4)
+    grid = _iq_grid("iq2_xxs")[idx.reshape(-1)].reshape(nb, -1, 4, 8)
+    sidx = (w[..., 1][..., None] >> np.array([0, 7, 14, 21], np.uint32)) & np.uint32(0x7F)
+    signs = _KSIGNS[sidx.reshape(-1)].reshape(nb, -1, 4, 8)
+    db = d * (0.5 + (w[..., 1] >> 28).astype(np.float32)) * 0.25  # (nb, 8)
+    return (db[..., None, None] * grid * signs).reshape(nb, QK_K)
+
+
+def _iq2_xs_dequant(b: np.ndarray) -> np.ndarray:
+    nb = b.shape[0]
+    d, qs, scales = _split(b, 2, 2 * QK_K // 8)
+    d = _read_f16(d)
+    q16 = np.ascontiguousarray(qs).view(np.uint16)  # (nb, 32)
+    grid = _iq_grid("iq2_xs")[(q16 & np.uint16(511)).reshape(-1)].reshape(nb, -1, 8)
+    signs = _KSIGNS[(q16 >> 9).reshape(-1)].reshape(nb, -1, 8)
+    sc = _nibbles(scales).astype(np.float32)  # (nb, 16), one per 2 words
+    db = (d * (0.5 + sc) * 0.25).repeat(2, axis=1)  # (nb, 32)
+    return (db[..., None] * grid * signs).reshape(nb, QK_K)
+
+
+def _iq2_s_dequant(b: np.ndarray) -> np.ndarray:
+    nb = b.shape[0]
+    d, qs, sbytes, qh, scales = _split(b, 2, QK_K // 8, QK_K // 8, QK_K // 32)
+    d = _read_f16(d)
+    hi = (qh[..., None] >> np.array([0, 2, 4, 6], np.uint8)) & np.uint8(3)
+    idx = qs.astype(np.uint16) | (hi.reshape(nb, -1).astype(np.uint16) << 8)
+    grid = _iq_grid("iq2_s")[idx.reshape(-1)].reshape(nb, -1, 8)
+    signs = _sign_bits(sbytes)  # (nb, 32, 8)
+    sc = _nibbles(scales).astype(np.float32)
+    db = (d * (0.5 + sc) * 0.25).repeat(2, axis=1)
+    return (db[..., None] * grid * signs).reshape(nb, QK_K)
+
+
+def _iq3_xxs_dequant(b: np.ndarray) -> np.ndarray:
+    nb = b.shape[0]
+    d, qs, sw = _split(b, 2, QK_K // 4)
+    d = _read_f16(d)
+    w = np.ascontiguousarray(sw).view(np.uint32)  # (nb, 8): signs + scale
+    grid = _iq_grid("iq3_xxs")[qs.reshape(-1)].reshape(nb, -1, 32)  # 8 qs/word
+    sidx = (w[..., None] >> np.array([0, 7, 14, 21], np.uint32)) & np.uint32(0x7F)
+    signs = _KSIGNS[sidx.reshape(-1)].reshape(nb, -1, 32)
+    db = d * (0.5 + (w >> 28).astype(np.float32)) * 0.5  # (nb, 8)
+    return (db[..., None] * grid * signs).reshape(nb, QK_K)
+
+
+def _iq3_s_dequant(b: np.ndarray) -> np.ndarray:
+    nb = b.shape[0]
+    d, qs, qh, sbytes, scales = _split(b, 2, QK_K // 4, QK_K // 32, QK_K // 8)
+    d = _read_f16(d)
+    hi = (qh[..., None] >> np.arange(8, dtype=np.uint8)) & np.uint8(1)
+    idx = qs.astype(np.uint16) | (hi.reshape(nb, -1).astype(np.uint16) << 8)
+    grid = _iq_grid("iq3_s")[idx.reshape(-1)].reshape(nb, -1, 4)
+    signs = _sign_bits(sbytes).reshape(nb, -1, 4)  # 256 sign bits
+    sc = _nibbles(scales).astype(np.float32)  # (nb, 8), one per 32 elems
+    db = (d * (1.0 + 2.0 * sc)).repeat(8, axis=1)  # one per qs byte
+    return (db[..., None] * grid * signs).reshape(nb, QK_K)
+
+
+def _iq1_s_dequant(b: np.ndarray) -> np.ndarray:
+    nb = b.shape[0]
+    d, qs, qh = _split(b, 2, QK_K // 8)
+    d = _read_f16(d)
+    h16 = np.ascontiguousarray(qh).view(np.uint16)  # (nb, 8), one per 4 qs
+    hi = (h16[..., None] >> np.array([0, 3, 6, 9], np.uint16)) & np.uint16(7)
+    idx = qs.reshape(nb, -1, 4).astype(np.uint16) | (hi << 8)
+    grid = _iq_grid("iq1")[idx.reshape(-1)].reshape(nb, -1, 4, 8)
+    dl = d * (2.0 * ((h16 >> 12) & np.uint16(7)).astype(np.float32) + 1.0)
+    delta = np.where((h16 & np.uint16(0x8000)) == 0, np.float32(0.125), np.float32(-0.125))
+    return (dl[..., None, None] * (grid + delta[..., None, None])).reshape(nb, QK_K)
+
+
+def _iq1_m_dequant(b: np.ndarray) -> np.ndarray:
+    nb = b.shape[0]
+    qs, qh, scales = _split(b, QK_K // 8, QK_K // 16)
+    s16 = np.ascontiguousarray(scales).view(np.uint16)  # (nb, 4)
+    # the f16 super-scale is sliced across the top nibbles of the four words
+    dbits = (s16 & np.uint16(0xF000)) >> np.array([12, 8, 4, 0], np.uint16)
+    d = (
+        np.bitwise_or.reduce(dbits, axis=-1)
+        .astype(np.uint16)
+        .view(np.float16)
+        .astype(np.float32)
+        .reshape(nb, 1)
+    )
+    sc = ((s16[..., None] >> np.array([0, 3, 6, 9], np.uint16)) & np.uint16(7)).reshape(nb, -1)
+    dl = (d * (2.0 * sc.astype(np.float32) + 1.0)).repeat(2, axis=1)  # per qs byte
+    nib = _nibbles(qh)  # (nb, 32), one per qs byte
+    idx = qs.astype(np.uint16) | ((nib & np.uint8(7)).astype(np.uint16) << 8)
+    grid = _iq_grid("iq1")[idx.reshape(-1)].reshape(nb, -1, 8)
+    delta = np.where((nib & np.uint8(8)) == 0, np.float32(0.125), np.float32(-0.125))
+    return (dl[..., None] * (grid + delta[..., None])).reshape(nb, QK_K)
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -462,6 +607,13 @@ def _codec_table() -> dict[str, Codec]:
         "q6_k": (None, _q6_k_dequant),
         "iq4_nl": (None, _iq4_nl_dequant),
         "iq4_xs": (None, _iq4_xs_dequant),
+        "iq1_s": (None, _iq1_s_dequant),
+        "iq1_m": (None, _iq1_m_dequant),
+        "iq2_xxs": (None, _iq2_xxs_dequant),
+        "iq2_xs": (None, _iq2_xs_dequant),
+        "iq2_s": (None, _iq2_s_dequant),
+        "iq3_xxs": (None, _iq3_xxs_dequant),
+        "iq3_s": (None, _iq3_s_dequant),
     }
     table = {}
     for name, (q, dq) in defs.items():
@@ -501,10 +653,6 @@ def dequantize(raw: np.ndarray, name: str, shape: tuple[int, ...] | None = None)
         out = raw.view(np.float32)
     elif name == "f16":
         out = raw.view(np.float16).astype(np.float32)
-    elif name in _CODEBOOK_FORMATS:
-        raise NotImplementedError(
-            f"'{name}' uses opaque codebook grids; not decoded here (see module docstring)"
-        )
     else:
         c = CODECS.get(name)
         if c is None or c.dequant is None:

@@ -253,7 +253,9 @@ def _attn_q_kernel(
             m_old = m_ref[lo : lo + g, :1]
             m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
             alpha = jnp.exp(m_old - m_new)
-            p = jnp.exp(scores - m_new)
+            # explicit p mask: in a fully-masked block m_new stays _NEG_INF
+            # and exp(scores - m_new) would be 1, not 0 (kv_len == 0 rows)
+            p = jnp.where(rows < kvls[bi], jnp.exp(scores - m_new), 0.0)
             m_ref[lo : lo + g, :1] = m_new
             l_ref[lo : lo + g, :1] = l_ref[lo : lo + g, :1] * alpha + jnp.sum(
                 p, axis=-1, keepdims=True
@@ -267,7 +269,9 @@ def _attn_q_kernel(
     def _finish():
         for bi in range(b):
             lo = bi * gp
-            out_ref[bi, 0] = acc_ref[lo : lo + g, :] / l_ref[lo : lo + g, :1]
+            l = l_ref[lo : lo + g, :1]
+            # kv_len == 0 rows have l == 0: emit 0, not 0/0 NaN
+            out_ref[bi, 0] = acc_ref[lo : lo + g, :] / jnp.where(l > 0, l, 1.0)
 
 
 def _attn_kernel(
@@ -313,7 +317,9 @@ def _attn_kernel(
     def _finish():
         for bi in range(b):
             lo = bi * gp
-            out_ref[bi, 0] = acc_ref[lo : lo + g, :] / l_ref[lo : lo + g, :1]
+            l = l_ref[lo : lo + g, :1]
+            # kv_len == 0 rows have l == 0: emit 0, not 0/0 NaN
+            out_ref[bi, 0] = acc_ref[lo : lo + g, :] / jnp.where(l > 0, l, 1.0)
 
 
 def _attn_block_row(
@@ -333,7 +339,9 @@ def _attn_block_row(
     m_old = m_ref[lo : lo + g, :1]
     m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
     alpha = jnp.exp(m_old - m_new)
-    p = jnp.exp(scores - m_new)
+    # explicit p mask: in a fully-masked block m_new stays _NEG_INF and
+    # exp(scores - m_new) would be 1, not 0 (kv_len == 0 rows)
+    p = jnp.where(rows < kvl, jnp.exp(scores - m_new), 0.0)
     m_ref[lo : lo + g, :1] = m_new
     l_ref[lo : lo + g, :1] = l_ref[lo : lo + g, :1] * alpha + jnp.sum(
         p, axis=-1, keepdims=True
