@@ -173,3 +173,33 @@ def test_download_model_mocked(tmp_path, monkeypatch):
     # second call skips existing files (no exception from the dead fake)
     monkeypatch.setattr(requests, "get", lambda *a, **k: FakeResponse(_json.dumps(index).encode()))
     download_model("fake/repo", dest)
+
+
+def test_boost_type_bf16_subbyte_is_e5m2():
+    # reference convert.py:729-744: bf16-origin sub-byte boosts to f8_e5m2,
+    # f16/f32-origin to f8_e4m3
+    import ml_dtypes
+    import numpy as np
+
+    from xalm_tpu.convert.convert import boost_type
+
+    assert boost_type(np.dtype(ml_dtypes.bfloat16), "qi4") == "f8_e5m2"
+    assert boost_type(np.dtype(np.float16), "qi4") == "f8_e4m3"
+    assert boost_type(np.dtype(ml_dtypes.bfloat16), "i8") == "bf16"
+    assert boost_type(np.dtype(np.float32), "i8") == "f16"
+
+
+def test_analyze_scale_sweep():
+    import numpy as np
+
+    from xalm_tpu import quant
+
+    x = np.random.default_rng(3).normal(size=(32, 16)).astype(np.float32)
+    scales = quant.analyze_scales(x, "f8_e4m3")
+    assert "range" in scales and 1.0 in scales and 8.0 in scales and 16.0 in scales
+    assert quant.analyze_scales(x, "f16") == [1.0]
+    rows = [quant.analyze(x, "f8_e4m3", s) for s in scales]
+    labels = {r["scale"] for r in rows}
+    assert "range" in labels and "8" in labels
+    for r in rows:
+        assert np.isfinite(r["mse"])

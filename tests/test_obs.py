@@ -96,3 +96,28 @@ def test_human_size():
     assert human_size(1023) == "1023 B"
     assert human_size(1024) == "1.00 KiB"
     assert human_size(14_500_000_000) == "13.50 GiB"
+
+
+def test_histogram_streaming_constant_memory():
+    # incremental adds keep O(bins) state, and a range-extending add
+    # re-anchors the existing mass instead of retaining raw arrays
+    h = Histogram(bins=10)
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        h.add(rng.normal(size=1000))
+    assert h._cells.size == 10 * 64  # no raw arrays retained
+    assert h.n == 50_000
+    assert h.counts.sum() == 50_000
+    total_before = h.counts.sum()
+    h.add(np.array([100.0]))  # extend the range: mass is preserved
+    assert h.counts.sum() == total_before + 1
+    assert h.max == 100.0
+
+
+def test_histogram_matches_batch_binning():
+    # single-batch add equals a one-shot numpy histogram
+    data = np.random.default_rng(2).normal(size=4000)
+    h = Histogram(data, bins=10)
+    want, _ = np.histogram(data, bins=10, range=(data.min(), data.max()))
+    # the top edge is inclusive in both
+    np.testing.assert_array_equal(h.counts, want)

@@ -142,6 +142,11 @@ def boost_type(org_dtype: np.dtype, target: str) -> str:
     """Keep embed/output at >=16-bit when the body is 8-bit and >=fp8 when
     the body is sub-byte (reference convert.py:729-744)."""
     if target in ("qi4", "qi3", "f4_e2m1", "f6_e3m2", "q4_0", "q4_1", "q5_0", "q5_1", "tq1_0", "tq2_0"):
+        # bf16-origin tensors boost to the wide-exponent fp8 (e5m2 covers the
+        # bf16 exponent range); f16/f32 keep the e4m3 precision
+        # (reference convert.py:729-744)
+        if org_dtype == np.dtype(ml_dtypes.bfloat16):
+            return "f8_e5m2"
         return "f8_e4m3"
     if target in ("f8_e4m3", "f8_e5m2", "q8", "i8", "qi8", "q8_0"):
         if org_dtype == np.dtype(ml_dtypes.bfloat16):
@@ -278,10 +283,13 @@ def convert_weights(
             actual = target_type
 
         if analyze and t.ndim > 1:
+            tf = t.astype(np.float32)
             for cand in TARGET_TYPES[1:]:
-                m = quant.analyze(t.astype(np.float32), cand)
-                m["tensor"] = name
-                analyze_rows.append(m)
+                # per-type scale sweep (reference convert.py:776-798)
+                for sc in quant.analyze_scales(tf, cand):
+                    m = quant.analyze(tf, cand, sc)
+                    m["tensor"] = name
+                    analyze_rows.append(m)
 
         q = quant.quantize(t, actual)
         out[name] = q.values
@@ -292,8 +300,9 @@ def convert_weights(
         tbl = Table(["tensor"] + quant.ANALYZE_COLUMNS)
         for m in analyze_rows:
             tbl.add(
-                m["tensor"], m["type"], f"{m['mse']:.3e}", f"{m['norm_err']:.4f}",
-                f"{m['cosine']:.5f}", f"{m['snr_db']:.1f}", f"{m['exact_%']:.1f}", m["bytes"],
+                m["tensor"], m["type"], m["scale"], f"{m['mse']:.3e}",
+                f"{m['norm_err']:.4f}", f"{m['cosine']:.5f}", f"{m['snr_db']:.1f}",
+                f"{m['exact_%']:.1f}", m["bytes"],
             )
         print(tbl.format(title="quantization error analysis"))
 

@@ -2,6 +2,13 @@
 
 Used for weight-distribution inspection during quantization work — per-row
 histograms in tensor dumps and scale suggestions for quantization ranges.
+
+The reference builds its histogram in one batch over a complete vector
+(stats.h:68-95); this one streams: adds accumulate into an oversampled
+internal grid (``bins * _OVERSAMPLE`` cells) anchored to the running
+[min, max], and a range-extending batch re-bins the existing cells into the
+new anchor by cell-center assignment — O(bins) memory regardless of how much
+data is added, with bin-placement error bounded by 1/_OVERSAMPLE of a bin.
 """
 
 from __future__ import annotations
@@ -11,43 +18,52 @@ import numpy as np
 __all__ = ["Histogram"]
 
 _BLOCKS = " ▁▂▃▄▅▆▇█"
+_OVERSAMPLE = 64
 
 
 class Histogram:
     def __init__(self, data=None, bins: int = 10):
         self.bins = bins
-        self.counts = np.zeros(bins, np.int64)
+        self._cells = np.zeros(bins * _OVERSAMPLE, np.int64)
         self.min = np.inf
         self.max = -np.inf
         self.sum = 0.0
         self.n = 0
-        self._pending: list[np.ndarray] = []
         if data is not None:
             self.add(data)
+
+    def _grid(self, lo: float, hi: float) -> tuple[float, float]:
+        if hi <= lo:
+            hi = lo + 1e-12
+        return lo, hi
 
     def add(self, data) -> "Histogram":
         arr = np.asarray(data, np.float64).ravel()
         if arr.size == 0:
             return self
-        self.min = min(self.min, float(arr.min()))
-        self.max = max(self.max, float(arr.max()))
+        new_min = min(self.min, float(arr.min()))
+        new_max = max(self.max, float(arr.max()))
+        if self.n and (new_min < self.min or new_max > self.max):
+            # re-anchor: move each existing cell's mass to the new cell
+            # containing its center
+            old_lo, old_hi = self._grid(self.min, self.max)
+            lo, hi = self._grid(new_min, new_max)
+            m = self._cells.size
+            centers = old_lo + (np.arange(m) + 0.5) * (old_hi - old_lo) / m
+            idx = np.clip(((centers - lo) / (hi - lo) * m).astype(int), 0, m - 1)
+            self._cells = np.bincount(idx, weights=self._cells, minlength=m).astype(np.int64)
+        self.min, self.max = new_min, new_max
+        lo, hi = self._grid(self.min, self.max)
+        m = self._cells.size
+        idx = np.clip(((arr - lo) / (hi - lo) * m).astype(int), 0, m - 1)
+        self._cells += np.bincount(idx, minlength=m)
         self.sum += float(arr.sum())
         self.n += arr.size
-        self._pending.append(arr)
         return self
 
-    def _materialize(self):
-        if not self._pending:
-            return
-        lo, hi = self.min, self.max
-        if hi <= lo:
-            hi = lo + 1e-12
-        counts = np.zeros(self.bins, np.int64)
-        for arr in self._pending:
-            idx = np.clip(((arr - lo) / (hi - lo) * self.bins).astype(int), 0, self.bins - 1)
-            counts += np.bincount(idx, minlength=self.bins)
-        self.counts = counts
-        self._pending_done = True
+    @property
+    def counts(self) -> np.ndarray:
+        return self._cells.reshape(self.bins, _OVERSAMPLE).sum(axis=1)
 
     @property
     def mean(self) -> float:
@@ -55,11 +71,11 @@ class Histogram:
 
     def sparkline(self) -> str:
         """Unicode block-char histogram (reference stats.h:38-53)."""
-        self._materialize()
-        peak = self.counts.max()
+        counts = self.counts
+        peak = counts.max() if counts.size else 0
         if peak == 0:
             return " " * self.bins
-        return "".join(_BLOCKS[int(c / peak * (len(_BLOCKS) - 1))] for c in self.counts)
+        return "".join(_BLOCKS[int(c / peak * (len(_BLOCKS) - 1))] for c in counts)
 
     def suggest_scale(self, target_max: float = 1.0) -> tuple[float, float]:
         """(offset, scale) mapping the data range onto [-target_max, target_max]
@@ -71,7 +87,6 @@ class Histogram:
         return offset, target_max / half
 
     def format(self) -> str:
-        self._materialize()
         return (
             f"[{self.sparkline()}] min={self.min:+.4g} max={self.max:+.4g} "
             f"mean={self.mean:+.4g} n={self.n}"

@@ -36,7 +36,10 @@ import numpy as np
 from xalm_tpu import dtypes as xdt
 from xalm_tpu import gguf, packing
 
-__all__ = ["quantize", "dequantize", "QuantResult", "analyze", "ANALYZE_COLUMNS", "SIMULATED_TYPES"]
+__all__ = [
+    "quantize", "dequantize", "QuantResult", "analyze", "analyze_scales",
+    "ANALYZE_COLUMNS", "SIMULATED_TYPES",
+]
 
 _F8_MAX = {
     "f8_e4m3": 448.0,  # float8_e4m3fn
@@ -145,14 +148,43 @@ def dequantize(q: QuantResult | np.ndarray, type_name: str, scale: np.ndarray | 
     raise ValueError(f"unsupported dequantization source {type_name!r}")
 
 
-ANALYZE_COLUMNS = ["type", "mse", "norm_err", "cosine", "snr_db", "exact_%", "bytes"]
+ANALYZE_COLUMNS = ["type", "scale", "mse", "norm_err", "cosine", "snr_db", "exact_%", "bytes"]
+
+_FLOAT_TYPES = ("f32", "f16", "bf16")
 
 
-def analyze(x: np.ndarray, type_name: str) -> dict:
-    """Round-trip quantization error metrics (reference convert.py:776-811)."""
+def analyze_scales(x: np.ndarray, type_name: str) -> list:
+    """Scale operating points to sweep for a tensor x dtype, mirroring the
+    reference's analyze mode (reference convert.py:776-798): float formats
+    have no scale degree of freedom; quantized formats sweep the
+    range-derived per-column scale, 1, 8, 16, and 4/value-range."""
+    if type_name in _FLOAT_TYPES:
+        return [1.0]
     xf = np.asarray(x, dtype=np.float32)
-    q = quantize(xf, type_name)
-    back = dequantize(q, type_name)
+    v_range = float(xf.max() - xf.min())
+    scales: list = ["range", 1.0, 8.0, 16.0]
+    if v_range > 0:
+        scales.append(4.0 / v_range)
+    return scales
+
+
+def analyze(x: np.ndarray, type_name: str, scale=1.0) -> dict:
+    """Round-trip quantization error metrics (reference convert.py:776-811).
+
+    ``scale`` pre-multiplies the tensor before quantization (and divides the
+    result back out): a cheap probe of where the format's representable range
+    sits relative to the data. ``"range"`` uses the reference's per-column
+    16/(max-min) mapping."""
+    xf = np.asarray(x, dtype=np.float32)
+    if isinstance(scale, str):  # "range"
+        span = xf.max(axis=0) - xf.min(axis=0)
+        s = np.where(span > 0, 16.0 / np.where(span > 0, span, 1.0), 1.0)
+        label = "range"
+    else:
+        s = float(scale)
+        label = f"{scale:g}"
+    q = quantize(xf * s, type_name)
+    back = dequantize(q, type_name) / s
     err = xf - back
     mse = float(np.mean(err**2))
     denom = float(np.mean(xf**2))
@@ -165,6 +197,7 @@ def analyze(x: np.ndarray, type_name: str) -> dict:
     exact = float(np.mean(err == 0.0)) * 100.0
     return {
         "type": type_name,
+        "scale": label,
         "mse": mse,
         "norm_err": norm_err,
         "cosine": cosine,

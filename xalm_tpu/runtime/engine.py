@@ -425,10 +425,18 @@ class Engine:
     def active_bytes(self, pos: int) -> int:
         """Bytes touched per decoded token (reference Model::active_bytes,
         model.cpp:12-35): all live weight bytes + KV cache rows up to kv_len +
-        the KV write. The roofline denominator for GB/s reporting."""
+        the KV write, plus — for the quantized cache — the f32 per-row scale
+        planes read alongside the int8 codes. The roofline denominator for
+        GB/s reporting."""
         cfg = self.cfg
         kv_len = min(pos + 1, cfg.max_seq_len)
         kv_elt = jnp.dtype(self.kv_dtype).itemsize
         kv_read = 2 * cfg.n_layers * kv_len * cfg.kv_dim * kv_elt
         kv_write = 2 * cfg.n_layers * cfg.kv_dim * kv_elt
-        return self._per_token_weight_bytes + kv_read + kv_write
+        total = self._per_token_weight_bytes + kv_read + kv_write
+        if jnp.dtype(self.kv_dtype) == jnp.dtype(jnp.int8):
+            # (L, B, K, S) f32 scale planes: one scale per cached row read,
+            # one written, for K and V
+            n_kv = cfg.kv_dim // cfg.head_dim
+            total += 2 * cfg.n_layers * n_kv * (kv_len + 1) * 4
+        return total
