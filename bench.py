@@ -56,6 +56,10 @@ def main() -> int:
                     help="kv cache dtype (i8 = quantized, halves KV bytes)")
     ap.add_argument("--prefill", type=int, default=0,
                     help="measure prefill instead: hydrate N prompt tokens, report tok/s")
+    ap.add_argument("--fp8", default="recode", choices=["keep", "recode"],
+                    help="fp8 weights: recode to i8 at load (the TPU fast "
+                    "path; v5e has no fp8 MXU) or keep true fp8 (XLA "
+                    "convert+dot)")
     args = ap.parse_args()
 
     dt = {
@@ -77,6 +81,11 @@ def main() -> int:
     log(f"building synthetic Mistral-7B ({cfg.n_layers} layers) {args.dtype} params...")
     t0 = time.time()
     params = synthetic_params(cfg, weight_dtype=dt)
+    if args.dtype.startswith("f8") and args.fp8 == "recode":
+        from xalm_tpu.models.params import recode_params_fp8
+
+        params = recode_params_fp8(params)
+        log("fp8 weights recoded to i8 + per-row scales at load (--fp8 keep to disable)")
     jax.block_until_ready(jax.tree.leaves(params))
     kv_dt = {"auto": "auto", "f16": jnp.float16, "bf16": jnp.bfloat16, "i8": jnp.int8}[args.kv]
     eng = Engine(

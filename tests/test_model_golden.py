@@ -6,6 +6,7 @@ implementation — validating the name mapping, permute_reverse + interleaved
 RoPE equivalence, GQA attention, RMS norms, and the GLU FFN all at once.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -135,3 +136,22 @@ def test_perplexity_runs_and_is_sane(engine_f32):
     assert n == len(TOKENS) - 1
     assert 1.0 < ppl < engine_f32.cfg.vocab_size * 2
     assert err >= 0
+
+
+def test_fp8_recode_matches_fp8_logits(tiny_hf, tmp_path, hf_logits):
+    """fp8 container loaded with load-time int8 recoding (the TPU fast path —
+    v5e has no fp8 MXU) must match the true-fp8 engine's logits closely:
+    recode error per value is <= row_absmax/254, finer than the fp8 grid at
+    the row max. Also sanity-check both against the f32 goldens."""
+    out = str(tmp_path / "tiny_f8.xalm")
+    assert cvt.main(["--input", str(tiny_hf), "--output", out, "--type", "f8_e4m3"]) == 0
+    eng_keep = Engine.from_xalm(out, fp8_mode="keep")
+    eng_rec = Engine.from_xalm(out, fp8_mode="recode")
+    # the recoded weights really are int8 + per-row scales
+    assert eng_rec.params.layers.w2.values.dtype == jnp.int8
+    assert eng_rec.params.layers.w2.scale is not None
+    assert eng_keep.params.layers.w2.values.dtype != jnp.int8
+    lk, _, _ = eng_keep.prefill(TOKENS, eng_keep.new_cache(1), logits_mode="all")
+    lr, _, _ = eng_rec.prefill(TOKENS, eng_rec.new_cache(1), logits_mode="all")
+    assert np.abs(lk - lr).max() < 0.05
+    assert np.abs(lr - hf_logits).max() < 0.3

@@ -35,6 +35,9 @@ __all__ = [
     "LayerParams",
     "ModelParams",
     "load_params",
+    "recode_fp8_rows",
+    "recode_fp8_qweight",
+    "recode_params_fp8",
     "Q8_FIXED_SCALE",
     "ffn_chunk",
     "fuse_qkv",
@@ -219,8 +222,80 @@ def load_units(cfg: ModelConfig) -> int:
     return 9 * cfg.n_layers + 3
 
 
+_FP8_DTYPES = (np.dtype("float8_e4m3fn"), np.dtype("float8_e5m2"))
+
+
+def recode_fp8_rows(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """fp8 weights -> (int8 codes, per-row f32 scale), the `i8` scheme.
+
+    v5e has no fp8 MXU path: fp8 weights either dequantize on the VPU
+    (~240-300 GB/s ceiling, measured) or fall to XLA's convert+dot (~61 % of
+    roofline). Re-coding each output row to int8 * (absmax/127) at load keeps
+    the exact on-disk format (reference src/infer.cpp:129-134 treats fp8 as a
+    first-class matvec dtype) while the runtime streams MXU-native int8.
+    Error: each value moves by <= scale/2 = row_absmax/254, strictly finer
+    than the fp8 grid spacing near the row max (e4m3: absmax/16 per step at
+    the top binade)."""
+    xf32 = vals.astype(np.float32)
+    rows = xf32.reshape(-1, xf32.shape[-1])
+    amax = np.abs(rows).max(axis=1)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(rows / scale[:, None]), -127, 127).astype(np.int8)
+    return q.reshape(vals.shape), scale.reshape(vals.shape[:-1])
+
+
+def _recode_fp8_slab(v: jax.Array) -> tuple[jax.Array, jax.Array]:
+    f = v.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(f / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _recode_fp8_stacked(v: jax.Array):
+    # per-layer map keeps the f32 intermediate at one layer's footprint;
+    # donation frees the fp8 buffer as soon as the int8 copy exists
+    return jax.lax.map(_recode_fp8_slab, v)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _recode_fp8_flat(v: jax.Array):
+    return _recode_fp8_slab(v)
+
+
+def recode_fp8_qweight(qw: QWeight) -> QWeight:
+    """Device-side fp8 -> i8 recode of one QWeight (see recode_fp8_rows)."""
+    if jnp.dtype(qw.values.dtype) not in (
+        jnp.dtype(jnp.float8_e4m3fn),
+        jnp.dtype(jnp.float8_e5m2),
+    ):
+        return qw
+    fn = _recode_fp8_stacked if qw.values.ndim == 3 else _recode_fp8_flat
+    q, scale = fn(qw.values)
+    return QWeight(q, scale)
+
+
+def recode_params_fp8(params: ModelParams) -> ModelParams:
+    """Recode every fp8 QWeight in a loaded/synthetic ModelParams to i8."""
+    tied = params.wcls is params.embed
+    embed = recode_fp8_qweight(params.embed)
+    lp = params.layers
+    layers = LayerParams(
+        attn_norm=lp.attn_norm,
+        wqkv=recode_fp8_qweight(lp.wqkv),
+        wo=recode_fp8_qweight(lp.wo),
+        mlp_norm=lp.mlp_norm,
+        w13=recode_fp8_qweight(lp.w13),
+        w2=recode_fp8_qweight(lp.w2),
+    )
+    wcls = embed if tied else recode_fp8_qweight(params.wcls)
+    return ModelParams(embed=embed, layers=layers, out_norm=params.out_norm, wcls=wcls)
+
+
 def load_params(
-    xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto", progress=None
+    xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto",
+    fp8_mode: str = "auto", progress=None,
 ) -> ModelParams:
     """Load and stack all weights from an open XalmFile.
 
@@ -231,11 +306,24 @@ def load_params(
     ``f16_mode``: what to do with f16 container weights — "auto" converts to
     bf16 on TPU (Mosaic has no f16; same byte count, ~3 fewer mantissa bits)
     and keeps f16 elsewhere; "keep" / "bf16" / "f32" force.
+
+    ``fp8_mode``: what to do with fp8 container weights — "auto" recodes to
+    int8 + per-row scale on TPU (see recode_fp8_rows; fp8 has no MXU path on
+    v5e) and keeps fp8 elsewhere; "keep" / "recode" force.
     """
     if f16_mode == "auto":
         f16_mode = "bf16" if jax.default_backend() == "tpu" else "keep"
+    if fp8_mode == "auto":
+        fp8_mode = "recode" if jax.default_backend() == "tpu" else "keep"
     _f16_target = {"keep": None, "bf16": jnp.bfloat16, "f32": jnp.float32}[f16_mode]
+    _recode_fp8 = {"keep": False, "recode": True}[fp8_mode]
     _tick = progress if progress is not None else (lambda: None)
+
+    def maybe_recode(vals: np.ndarray, scale):
+        if _recode_fp8 and vals.dtype in _FP8_DTYPES:
+            assert scale is None  # fp8 containers carry no scale tensors
+            return recode_fp8_rows(vals)
+        return vals, scale
 
     def put(x):
         arr = jnp.asarray(x) if device_put else x
@@ -277,7 +365,7 @@ def load_params(
                 raise ValueError(f"FATAL: i8 tensors for {name_fmt} missing scales")
             scale = _stack_noprogress(snames)
         vals = _stack(names)
-        return vals, scale
+        return maybe_recode(vals, scale)
 
     def stack_qw(name_fmt: str, expect_shape) -> QWeight:
         vals, scale = stack_host(name_fmt, expect_shape)
@@ -323,7 +411,7 @@ def load_params(
         w2=stack_qw("l.{}.mlp.down.weight", (d, h)),
     )
 
-    ev, es = _load_qweight(xf, "embed.weight", (cfg.vocab_size, cfg.dim))
+    ev, es = maybe_recode(*_load_qweight(xf, "embed.weight", (cfg.vocab_size, cfg.dim)))
     embed = QWeight(put(ev), put(es) if es is not None else None)
     _tick()
 
@@ -334,7 +422,7 @@ def load_params(
     if cfg.tie_word_embeddings:
         wcls = embed
     else:
-        cv, cs = _load_qweight(xf, "output.weight", (cfg.vocab_size, cfg.dim))
+        cv, cs = maybe_recode(*_load_qweight(xf, "output.weight", (cfg.vocab_size, cfg.dim)))
         wcls = QWeight(put(cv), put(cs) if cs is not None else None)
     _tick()
 

@@ -151,6 +151,7 @@ class Engine:
         kv_dtype="auto",
         compute_dtype=jnp.float32,
         matmul_impl: str = "auto",
+        fp8_mode: str = "auto",
         progress: bool = True,
     ) -> "Engine":
         from xalm_tpu.models.params import load_units
@@ -163,9 +164,9 @@ class Engine:
             # layer-loading progress with wall/user/sys summary
             # (reference model.cpp:87-108 / console.h:86-238)
             with ProgressBar("loading weights", total=load_units(cfg)) as bar:
-                params = load_params(xf, cfg, progress=bar.advance)
+                params = load_params(xf, cfg, fp8_mode=fp8_mode, progress=bar.advance)
         else:
-            params = load_params(xf, cfg)
+            params = load_params(xf, cfg, fp8_mode=fp8_mode)
         tokenizer = Tokenizer.from_xalm(xf) if "tokenizer.tokens" in xf else None
         xf.close()
         return cls(
