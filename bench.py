@@ -50,8 +50,8 @@ def main() -> int:
     ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
     ap.add_argument("--batch", type=int, default=1,
                     help="decode batch size (serving-throughput mode; tok/s is aggregate)")
-    ap.add_argument("--compute", default="f32", choices=["f32", "bf16"],
-                    help="matmul compute dtype (prefill is MXU-bound: bf16 doubles peak)")
+    ap.add_argument("--compute", default="auto", choices=["auto", "f32", "bf16"],
+                    help="matmul compute dtype (auto: bf16 on TPU — prefill is MXU-bound)")
     ap.add_argument("--kv", default="auto", choices=["auto", "f16", "bf16", "i8"],
                     help="kv cache dtype (i8 = quantized, halves KV bytes)")
     ap.add_argument("--prefill", type=int, default=0,
@@ -90,7 +90,7 @@ def main() -> int:
     kv_dt = {"auto": "auto", "f16": jnp.float16, "bf16": jnp.bfloat16, "i8": jnp.int8}[args.kv]
     eng = Engine(
         cfg, params, None, kv_dtype=kv_dt,
-        compute_dtype={"f32": jnp.float32, "bf16": jnp.bfloat16}[args.compute],
+        compute_dtype={"auto": "auto", "f32": jnp.float32, "bf16": jnp.bfloat16}[args.compute],
     )
     weight_gb = params.nbytes() / 1e9
     log(f"params resident: {weight_gb:.2f} GB (built in {time.time() - t0:.1f}s)")

@@ -136,3 +136,57 @@ def test_fused_with_non_multiple_of_8_window(tmp_path):
         np.testing.assert_allclose(
             np.asarray(lf), np.asarray(lr), rtol=2e-2, atol=2e-3, err_msg=f"pos {i}"
         )
+
+
+def test_fused_prefill_matches_reference(engines):
+    """Chunked (T>1) prefill through the flash prefill kernel + DUS writes
+    must match the XLA einsum path: logits AND the cache contents."""
+    fused, ref = engines
+    rng = np.random.default_rng(7)
+    toks = rng.integers(3, 350, size=WINDOW).tolist()
+    lf, cf, pf = fused.prefill(toks, fused.new_cache(1), logits_mode="last")
+    lr, cr, pr = ref.prefill(toks, ref.new_cache(1), logits_mode="last")
+    assert pf == pr
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lr), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cf.k), np.asarray(cr.k), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cf.v), np.asarray(cr.v), rtol=2e-2, atol=2e-3)
+
+
+def test_fused_prefill_then_decode(engines):
+    """Prefill via the fused chunk path, then decode on top of that cache."""
+    fused, ref = engines
+    rng = np.random.default_rng(8)
+    toks = rng.integers(3, 350, size=WINDOW - 4).tolist()
+    _, cf, pos = fused.prefill(toks, fused.new_cache(1), logits_mode="none")
+    _, cr, _ = ref.prefill(toks, ref.new_cache(1), logits_mode="none")
+    for i in range(6):  # crosses the ring boundary at pos 16
+        t = 5 + i
+        lf, cf = fused.decode(np.array([t]), np.array([pos + i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([pos + i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=2e-2, atol=2e-3, err_msg=f"step {i}"
+        )
+
+
+def test_fused_prefill_masked_batch(engines):
+    """A batch where one row prefills a chunk while another row is inactive
+    (valid=False): the inactive row's cache must be untouched, even when its
+    position sits near the ring boundary."""
+    fused, ref = engines
+    rng = np.random.default_rng(9)
+    b, t = 2, 8
+    cf = fused.new_cache(b)
+    cr = ref.new_cache(b)
+    # row 1: pretend it's deep into decode (wrapped position)
+    marker = np.asarray(cf.k).copy()
+    toks = np.tile(rng.integers(3, 350, size=(1, t)), (b, 1)).astype(np.int32)
+    valid = np.zeros((b, t), bool)
+    valid[0] = True
+    pos = np.array([0, WINDOW + 3], np.int32)  # row 1 wrapped
+    lf, cf = fused.step(toks, pos, cf, jnp.asarray(valid), logits_mode="last")
+    lr, cr = ref.step(toks, pos, cr, jnp.asarray(valid), logits_mode="last")
+    np.testing.assert_allclose(
+        np.asarray(lf)[0], np.asarray(lr)[0], rtol=2e-2, atol=2e-3
+    )
+    # inactive row's cache stripes identical to before
+    np.testing.assert_array_equal(np.asarray(cf.k)[:, 1], marker[:, 1])

@@ -12,7 +12,7 @@ Same surface as the reference CLI (reference src/main.cpp:14-44, 381-549):
                       passkey: junk lines (default 250)
       -l <int>        passkey position (-1 - random)
       -t <dtype>      kv cache dtype: f16 (default) | bf16 | f32
-      --compute <d>   matmul compute dtype: f32 (default) | bf16
+      --compute <d>   matmul compute dtype: auto (default; bf16 on TPU) | f32 | bf16
       --profile       print the host profiler table at exit
 
 Defects of the reference parser intentionally not reproduced (SURVEY.md §7):
@@ -55,7 +55,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", dest="passkey_pos", type=int, default=-1, help="passkey position (-1 - random)")
     p.add_argument("-t", dest="kv_dtype", default="f16", choices=["f16", "bf16", "f32", "i8"],
                    help="kv cache dtype (i8 = quantized with per-row scales)")
-    p.add_argument("--compute", default="f32", choices=["f32", "bf16"], help="matmul compute dtype")
+    p.add_argument("--compute", default="auto", choices=["auto", "f32", "bf16"], help="matmul compute dtype (auto: bf16 on TPU)")
     p.add_argument("--matmul", default="auto", choices=["auto", "xla", "pallas"], help="matmul kernel impl")
     p.add_argument("--profile", action="store_true", help="print profiler report at exit")
     p.add_argument("--seed", type=int, default=None, help="seed for passkey randomness")
@@ -90,7 +90,7 @@ def _load_engine(args):
     from xalm_tpu.obs.profiler import profile
     from xalm_tpu.runtime.engine import Engine
 
-    dt = {"f16": jnp.float16, "bf16": jnp.bfloat16, "f32": jnp.float32, "i8": jnp.int8}
+    dt = {"f16": jnp.float16, "bf16": jnp.bfloat16, "f32": jnp.float32, "i8": jnp.int8, "auto": "auto"}
     print(f"loading model {args.checkpoint}")
     with profile("model load"):
         if args.tp * args.dp > 1:

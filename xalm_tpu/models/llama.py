@@ -180,6 +180,34 @@ def _write_rows(cache: jax.Array, layer, kv_pos: jax.Array, rows: jax.Array) -> 
     )
 
 
+def _write_chunk(
+    cache: jax.Array, layer, pos: jax.Array, rows: jax.Array,
+    valid: jax.Array | None, s: int,
+) -> jax.Array:
+    """Contiguous in-place chunk write for T > 1 prefill (no wrap by the
+    chunk contract): one dynamic_update_slice per batch row instead of a
+    scatter — XLA reliably aliases DUS on the donated cache, where the
+    scatter's unprovable aliasing cost a full cache copy per layer.
+
+    cache: (L, B, K, S, hd); rows: (B, T, K, hd) in cache dtype. Rows with
+    ``valid == False`` keep the existing cache contents (a masked
+    read-modify-write of the tiny window) — an inactive batch row may be
+    mid-ring-wrap, where a clamped blind write would clobber live slots.
+    """
+    b, t, kh, hd = rows.shape
+    win = rows.transpose(0, 2, 1, 3)[:, None, None]  # (B, 1, 1, K, T, hd)
+    for bi in range(b):
+        start = jnp.minimum(pos[bi], s - t)  # in-bounds even for inactive rows
+        idx = (layer, bi, 0, start, 0)
+        new = win[bi]
+        if valid is not None:
+            cur = jax.lax.dynamic_slice(cache, idx, (1, 1, kh, t, hd))
+            vmask = valid[bi][None, None, None, :, None]
+            new = jnp.where(vmask, new, cur)
+        cache = jax.lax.dynamic_update_slice(cache, new, idx)
+    return cache
+
+
 def _rotate_sinks(
     cache_k: jax.Array, layer, active: jax.Array, freqs, cfg: ModelConfig,
     k_scale: jax.Array | None = None,
@@ -267,7 +295,9 @@ def forward(
         never slices weights, so no per-layer HBM copy exists. The xla path
         slices explicitly (fallback / large-M prefill)."""
         m = b * xx.shape[1] if xx.ndim == 3 else b
-        if use_pallas and m <= 64 and _pallas_ok(qw):
+        # the kernel blocks M in 512-row tiles; odd m > 512 (never produced
+        # by the bucketed engine/batcher) falls back to the XLA path
+        if use_pallas and _pallas_ok(qw) and (m <= 512 or m % 512 == 0):
             from xalm_tpu.ops.pallas_matmul import (
                 pallas_qmatmul,
                 pallas_qmatmul_stacked_full,
@@ -360,6 +390,15 @@ def forward(
                     jnp.asarray(sexp),
                 )
             attn_out = attn_out[:, None]  # (B, 1, q_dim)
+        elif t > 1 and use_pallas and ks is None and _fused_cache_ok(ck):
+            # chunked-prefill fast path: contiguous in-place KV writes + a
+            # causal flash kernel over the stacked cache — the (T, S) score
+            # matrix never exists in HBM (ops/pallas_attention.py).
+            from xalm_tpu.ops.pallas_attention import fused_prefill_attention
+
+            ck = _write_chunk(ck, layer, pos, k.astype(ck.dtype), valid, s)
+            cv = _write_chunk(cv, layer, pos, v.astype(cv.dtype), valid, s)
+            attn_out = fused_prefill_attention(q, ck, cv, layer, pos)
         else:
             if ks is None:
                 ck = _write_rows(ck, layer, kv_pos, k.astype(ck.dtype))

@@ -42,7 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from xalm_tpu.models.config import KV_SINKS
 
-__all__ = ["fused_decode_attention", "fused_decode_attention_q", "rope_cos_sin_plus1", "supported_cache_dtype"]
+__all__ = [
+    "fused_decode_attention",
+    "fused_decode_attention_q",
+    "fused_prefill_attention",
+    "rope_cos_sin_plus1",
+    "supported_cache_dtype",
+]
 
 _NEG_INF = -1e30
 
@@ -480,6 +486,146 @@ def fused_decode_attention_q(
         interpret=interp,
     )(layer1, blkmax, kv_len, qg, ck, cv, ks, vs)
     return out.reshape(b, h * hd), ck, cv, ks, vs
+
+
+def _prefill_kernel(
+    layer_ref, pos_ref,  # scalar prefetch
+    q_ref, kin_ref, vin_ref,  # inputs
+    out_ref,
+    acc_ref, m_ref, l_ref,  # VMEM scratch, persistent across the kb axis
+    *, kh: int, tq: int, g: int, sk: int, nkb: int, hd: int, compute_dtype,
+):
+    """Causal flash attention for chunked prefill over the stacked cache.
+
+    Grid (B*KH, nqb, nkb): one cell handles a (tq queries x sk cache rows)
+    tile for one (batch, kv-head) pair. Queries ride as (tq*g, hd) rows
+    (GQA group flattened); query ti at absolute position pos_b + qb*tq + ti
+    sees cache slots < pos_b + qb*tq + ti + 1 — causality via the chunk
+    contract (T > 1 calls never wrap the ring, models/llama.py docstring).
+    Cache blocks past the tile's last visible slot are clamped by the
+    index_map and their compute skipped, so HBM traffic is ~half the naive
+    O(T*S) and the (T, S) score matrix never exists in HBM (the XLA einsum
+    path materializes ~B*KH*G*T*S*4 bytes of scores per layer — the measured
+    prefill bottleneck)."""
+    j = pl.program_id(0)
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    bi = j // kh
+    pos_b = pos_ref[bi]
+    rows = tq * g
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    @pl.when(kb * sk < pos_b + qb * tq + tq)
+    def _block():
+        q = q_ref[0, 0].astype(compute_dtype)  # (tq*g, hd)
+        kv = kin_ref[0, 0, 0].astype(compute_dtype)  # (sk, hd)
+        vv = vin_ref[0, 0, 0].astype(compute_dtype)
+        scores = jax.lax.dot_general(
+            q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (1.0 / math.sqrt(hd))  # (rows, sk)
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (rows, sk), 0) // g
+        col_s = kb * sk + jax.lax.broadcasted_iota(jnp.int32, (rows, sk), 1)
+        visible = col_s < (pos_b + qb * tq + row_t + 1)
+        scores = jnp.where(visible, scores, _NEG_INF)
+        m_old = m_ref[:, :1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.where(visible, jnp.exp(scores - m_new), 0.0)
+        m_ref[:, :1] = m_new
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(compute_dtype), vv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kb == nkb - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        out_ref[0, 0] = acc_ref[...] / jnp.where(l > 0, l, 1.0)
+
+
+def fused_prefill_attention(
+    q: jax.Array,  # (B, T, H, hd) f32, rotated
+    cache_k: jax.Array,  # (L, B, K, S, hd) bf16/f32 — already holds the chunk
+    cache_v: jax.Array,
+    layer: jax.Array,  # scalar int32
+    pos: jax.Array,  # (B,) int32 — absolute position of q[:, 0]; no wrap
+) -> jax.Array:
+    """Returns attention output (B, T, H*hd) f32. Precondition: the chunk's
+    K/V rows are already written at [pos, pos+T) (contiguous; the T > 1
+    chunk contract guarantees no ring wrap)."""
+    l, b, kh, s, hd = cache_k.shape
+    _, t, h, _ = q.shape
+    g = h // kh
+    interp = jax.default_backend() != "tpu"
+
+    tq = min(t, 128)
+    assert t % tq == 0, (t, tq)
+    nqb = t // tq
+    sk = 512
+    while sk > 8 and s % sk != 0:
+        sk //= 2
+    sk = min(sk, s)
+    nkb = s // sk
+
+    layer1 = jnp.asarray(layer, jnp.int32).reshape(1)
+    pos = jnp.asarray(pos, jnp.int32)
+    # f32 caches (tests/golden paths) keep f32 MXU inputs; bf16 caches use
+    # bf16 (4x MXU peak) with f32 softmax/accumulation either way
+    compute_dtype = jnp.float32 if cache_k.dtype == jnp.float32 else jnp.bfloat16
+
+    # (B, KH, T*G, hd): kernel math stays 2-D per block
+    qg = q.reshape(b, t, kh, g, hd).transpose(0, 2, 1, 3, 4).reshape(b, kh, t * g, hd)
+
+    def kv_idx(j, qb, kb, lr, ps):
+        bi = j // kh
+        last = ps[bi] + qb * tq + tq - 1  # last visible slot for this tile
+        return (lr[0], bi, j % kh, jnp.minimum(kb, last // sk), 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _prefill_kernel, kh=kh, tq=tq, g=g, sk=sk, nkb=nkb, hd=hd,
+            compute_dtype=compute_dtype,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, kh, t * g, hd), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b * kh, nqb, nkb),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, tq * g, hd),
+                    lambda j, qb, kb, *sp: (j // kh, j % kh, qb, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, 1, 1, sk, hd), kv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, sk, hd), kv_idx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, tq * g, hd),
+                lambda j, qb, kb, *sp: (j // kh, j % kh, qb, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tq * g, hd), jnp.float32),
+                pltpu.VMEM((tq * g, 128), jnp.float32),
+                pltpu.VMEM((tq * g, 128), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interp,
+    )(layer1, pos, qg, cache_k, cache_v)
+    # (B, KH, T*G, hd) -> (B, T, H*hd)
+    return (
+        out.reshape(b, kh, t, g, hd).transpose(0, 2, 1, 3, 4).reshape(b, t, h * hd)
+    )
 
 
 def fused_decode_attention(

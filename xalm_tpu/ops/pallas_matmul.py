@@ -88,8 +88,8 @@ def _f8_to_bf16(w):
     return jnp.where(e == 0, denorm, normal).astype(jnp.bfloat16)
 
 
-def _tile_d(d: int, n: int, itemsize: int) -> int:
-    td = _WEIGHT_BLOCK_BYTES // (n * itemsize)
+def _tile_d(d: int, n: int, itemsize: int, block_bytes: int = _WEIGHT_BLOCK_BYTES) -> int:
+    td = block_bytes // (n * itemsize)
     td = max(128, min(_MAX_TD, td // 128 * 128))
     return min(td, pl.cdiv(d, 128) * 128)
 
@@ -106,10 +106,15 @@ def _kernel(l_ref, x_ref, w_ref, o_ref, *, compute_dtype):
     # path); routing them through a VPU int8->bf16 cast first costs more
     # cycles than the DMA of the tile and caps the stream well below HBM
     # speed-of-light (measured).
-    x = x_ref[:].astype(compute_dtype)
+    x = x_ref[:]
     o_ref[:] = jax.lax.dot_general(
         x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+
+
+# Max M rows per block: prefill chunks stream the whole activation tile
+# through VMEM; 512 x 14336 bf16 = 14.7 MiB fits comfortably.
+_MAX_TM = 512
 
 
 def pallas_qmatmul_stacked(
@@ -117,22 +122,41 @@ def pallas_qmatmul_stacked(
     values: jax.Array,  # (L, D, N) stacked quantized weights
     layer: jax.Array,  # scalar int32 layer index
 ) -> jax.Array:
-    """y[M, D] = dequant(values[layer]) @ x^T, fused. M must be small (decode)."""
+    """y[M, D] = dequant(values[layer]) @ x^T, fused.
+
+    Decode (small M): one M block, the weight stream is the whole traffic.
+    Prefill (M up to 512 per chunk): M is blocked too; the weight stream
+    repeats per M block, so tm is kept large to bound re-reads. Activations
+    are cast to the compute dtype *outside* the kernel (one fused XLA cast
+    instead of per-weight-tile VPU casts)."""
     m, n = x.shape
     l, d, n2 = values.shape
     assert n == n2, (x.shape, values.shape)
     compute_dtype = jnp.float32 if values.dtype == jnp.float32 else jnp.bfloat16
-    td = _tile_d(d, n, values.dtype.itemsize)
+    xq = x.astype(compute_dtype)
+    # decode (small M) is HBM-bound: 1 MiB tiles won the sweep. Prefill
+    # (M >= 256) is MXU-bound: larger tiles amortize per-tile overhead.
+    blk = _WEIGHT_BLOCK_BYTES if m < 256 else 4 * _WEIGHT_BLOCK_BYTES
+    td = _tile_d(d, n, values.dtype.itemsize, blk)
+    if m <= _MAX_TM:
+        tm, nm = m, 1
+    else:
+        tm = _MAX_TM
+        while m % tm != 0:
+            tm //= 2
+        nm = m // tm
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(pl.cdiv(d, td),),
+        # m outer, d inner: the x block is loop-invariant across d (fetched
+        # once per m block); weight tiles stream nm times total
+        grid=(nm, pl.cdiv(d, td)),
         in_specs=[
-            pl.BlockSpec((m, n), lambda i, lr: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, td, n), lambda i, lr: (lr[0], i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, n), lambda mi, i, lr: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, td, n), lambda mi, i, lr: (lr[0], i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, td), lambda i, lr: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tm, td), lambda mi, i, lr: (mi, i), memory_space=pltpu.VMEM),
     )
-    bytes_accessed = td * n * values.dtype.itemsize * pl.cdiv(d, td) + m * n * 4 + m * d * 4
+    bytes_accessed = nm * td * n * values.dtype.itemsize * pl.cdiv(d, td) + m * n * 4 + m * d * 4
     return pl.pallas_call(
         functools.partial(_kernel, compute_dtype=compute_dtype),
         out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
@@ -144,7 +168,7 @@ def pallas_qmatmul_stacked(
         # interpreter on non-TPU backends so the kernel is testable on the
         # CPU mesh (SURVEY.md §4: jit-vs-interpret pallas kernel checks)
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, values)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xq, values)
 
 
 def pallas_qmatmul_stacked_full(

@@ -79,7 +79,7 @@ class ShardedEngine(Engine):
         mesh: Mesh,
         *,
         kv_dtype="auto",
-        compute_dtype=jnp.float32,
+        compute_dtype="auto",
         matmul_impl: str = "auto",
     ):
         self.mesh = mesh
@@ -105,6 +105,8 @@ class ShardedEngine(Engine):
         if kv_dtype == "auto":
             kv_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float16
         self.kv_dtype = kv_dtype
+        if compute_dtype == "auto":
+            compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         self.compute_dtype = compute_dtype
         self.matmul_impl = matmul_impl
         quantized_kv = jnp.dtype(kv_dtype) == jnp.dtype(jnp.int8)
