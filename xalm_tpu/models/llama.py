@@ -69,15 +69,20 @@ def rope_freqs(cfg: ModelConfig) -> np.ndarray:
 
 def apply_rope(x: jax.Array, positions: jax.Array, freqs) -> jax.Array:
     """Interleaved-pair rotation. ``x``: (B, T, H, head_dim) f32;
-    ``positions``: (B, T) int32."""
+    ``positions``: (B, T) int32.
+
+    Lane-wise formulation: ``out = x * cexp + swap(x) * sexp`` where
+    ``swap[2j] = -x[2j+1], swap[2j+1] = x[2j]`` is built from two rolls on
+    the lane (head_dim) axis — the same products as the pairwise form, but
+    with no (hd/2, 2) reshapes, which cost a chain of relayout copies per
+    layer on TPU (measured ~100 us/step at decode)."""
     b, t, h, hd = x.shape
-    xr = x.reshape(b, t, h, hd // 2, 2)
     ang = positions[:, :, None].astype(jnp.float32) * jnp.asarray(freqs)  # (B, T, hd//2)
-    cos = jnp.cos(ang)[:, :, None]  # (B, T, 1, hd//2) — broadcast over heads
-    sin = jnp.sin(ang)[:, :, None]
-    x0, x1 = xr[..., 0], xr[..., 1]
-    out = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
-    return out.reshape(b, t, h, hd)
+    cexp = jnp.repeat(jnp.cos(ang), 2, axis=-1)[:, :, None]  # (B, T, 1, hd)
+    sexp = jnp.repeat(jnp.sin(ang), 2, axis=-1)[:, :, None]
+    even = (jnp.arange(hd, dtype=jnp.int32) % 2) == 0
+    swapped = jnp.where(even, -jnp.roll(x, -1, axis=-1), jnp.roll(x, 1, axis=-1))
+    return x * cexp + swapped * sexp
 
 
 def rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -289,25 +294,53 @@ def forward(
     lp = params.layers
     use_pallas = matmul_impl == "pallas"
 
-    def mm(xx, qw: QWeight, layer=None):
+    def mm(xx, qw: QWeight, layer=None, norm_sw=None):
         """Stacked-weight matmul. With the pallas impl, the kernel indexes the
         stacked (L, D, N) buffer by `layer` via scalar prefetch — the scan
         never slices weights, so no per-layer HBM copy exists. The xla path
-        slices explicitly (fallback / large-M prefill)."""
+        slices explicitly (fallback / large-M prefill).
+
+        ``norm_sw``: stacked (L, dim) rmsnorm weights applied to xx before
+        the matmul. At decode shapes both the norm (prologue) and the i8
+        per-row scales (epilogue) fold INTO the kernel, indexed by the same
+        scalar-prefetch layer — an XLA dynamic-slice of either costs a
+        separate 20-60 us strided-read kernel per layer per step."""
         m = b * xx.shape[1] if xx.ndim == 3 else b
         # the kernel blocks M in 512-row tiles; odd m > 512 (never produced
         # by the bucketed engine/batcher) falls back to the XLA path
-        if use_pallas and _pallas_ok(qw) and (m <= 512 or m % 512 == 0):
+        pallas_ok = use_pallas and _pallas_ok(qw) and (m <= 512 or m % 512 == 0)
+        if pallas_ok and layer is not None and m < 256:
+            from xalm_tpu.ops.pallas_matmul import pallas_qmatmul_stacked
+
+            is_i8 = qw.values.dtype == jnp.int8
+            y = pallas_qmatmul_stacked(
+                xx.reshape(-1, xx.shape[-1]),
+                qw.values,
+                layer,
+                norm_w=norm_sw,
+                norm_eps=cfg.norm_eps if norm_sw is not None else None,
+                scale=qw.scale if is_i8 else None,
+                q8_scale=Q8_FIXED_SCALE if (is_i8 and qw.scale is None) else None,
+            )
+            return y.reshape(*xx.shape[:-1], y.shape[-1])
+        if norm_sw is not None:
+            xx = rmsnorm(xx, _index(norm_sw, layer), cfg.norm_eps)
+        if pallas_ok:
             from xalm_tpu.ops.pallas_matmul import (
                 pallas_qmatmul,
+                pallas_qmatmul_stacked,
                 pallas_qmatmul_stacked_full,
             )
 
             if layer is None:
                 return pallas_qmatmul(xx, qw)
-            y = pallas_qmatmul_stacked_full(
-                xx.reshape(-1, xx.shape[-1]), qw.values, qw.scale, layer
-            )
+            xm = xx.reshape(-1, xx.shape[-1])
+            if qw.scale is not None:
+                y = pallas_qmatmul_stacked_full(xm, qw.values, qw.scale, layer)
+            else:
+                y = pallas_qmatmul_stacked(xm, qw.values, layer)
+                if qw.values.dtype == jnp.int8:
+                    y = y * Q8_FIXED_SCALE
             return y.reshape(*xx.shape[:-1], y.shape[-1])
         if layer is not None:
             qw = QWeight(
@@ -336,12 +369,12 @@ def forward(
     def body(carry, layer):
         x, ck, cv, ks, vs = carry
 
-        # --- attention ---
-        xb = rmsnorm(x, _index(lp.attn_norm, layer), cfg.norm_eps)
-        # one fused weight stream for q/k/v (see params.LayerParams.wqkv);
-        # the split is a reshape+slice of the small activation output
+        # --- attention --- (rmsnorm folds into the matmul kernel prologue
+        # at decode shapes; see mm)
         g = cfg.n_heads // cfg.n_kv_heads
-        q, k, v = split_qkv_rows(mm(xb, lp.wqkv, layer), -1, g, cfg.head_dim)
+        q, k, v = split_qkv_rows(
+            mm(x, lp.wqkv, layer, norm_sw=lp.attn_norm), -1, g, cfg.head_dim
+        )
         if clip is not None:
             q = jnp.clip(q, -clip, clip)
             k = jnp.clip(k, -clip, clip)
@@ -432,9 +465,11 @@ def forward(
         x = x + attn_proj
 
         # --- GLU FFN ---
-        xb = rmsnorm(x, _index(lp.mlp_norm, layer), cfg.norm_eps)
-        # fused gate/up stream, chunk-interleaved (params.LayerParams.w13)
-        gate, up = split_w13_rows(mm(xb, lp.w13, layer), ffn_chunk(cfg.hidden_dim))
+        # fused gate/up stream, chunk-interleaved (params.LayerParams.w13);
+        # mlp rmsnorm folds into the kernel prologue at decode shapes
+        gate, up = split_w13_rows(
+            mm(x, lp.w13, layer, norm_sw=lp.mlp_norm), ffn_chunk(cfg.hidden_dim)
+        )
         if cfg.act == "silu":
             act = jax.nn.silu(gate)
         else:

@@ -488,6 +488,63 @@ def fused_decode_attention_q(
     return out.reshape(b, h * hd), ck, cv, ks, vs
 
 
+def _update_kernel(
+    layer_ref, blk_ref, kv_pos_ref, rot_ref,  # scalar prefetch
+    knew_ref, vnew_ref, cexp_ref, sexp_ref, kin_ref, vin_ref,  # inputs
+    kout_ref, vout_ref,  # outputs (aliased windows)
+    *, hd: int,
+):
+    """Merged ring-insert + sink-rotation: grid (B, KH, 2). Cell jc=0 inserts
+    the new K/V row into the 8-row window holding kv_pos; cell jc=1
+    re-rotates the sink keys in window 0 (V written back unchanged — its
+    window index stays constant across jc, so the block never re-fetches).
+    One kernel instead of two saves a launch + pipeline ramp per layer per
+    step (~2.5 us each, x32 layers).
+
+    Each cell computes its window's FINAL content from (window, new row)
+    idempotently — correct whether the block it reads is the original HBM
+    data or a VMEM copy already updated by the other cell (both windows
+    coincide when kv_pos < 8). Insert and rotation touch disjoint rows
+    whenever rotation is active (wrapped => kv_pos lands in ring slots
+    >= KV_SINKS), so insert-then-rotate composes in either order."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    jc = pl.program_id(2)
+    kwin = kin_ref[0, 0, 0]  # (_ROWBLK, hd)
+    vwin = vin_ref[0, 0, 0]
+    kvp = kv_pos_ref[b]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_ROWBLK, 1), 0)
+
+    @pl.when(jc == 0)
+    def _insert():
+        is_new = blk_ref[b] * _ROWBLK + rows == kvp  # sentinel kvp==S: no hit
+        kout_ref[0, 0, 0] = jnp.where(
+            is_new, knew_ref[0, pl.ds(j, 1), :].astype(kwin.dtype), kwin
+        )
+        vout_ref[0, 0, 0] = jnp.where(
+            is_new, vnew_ref[0, pl.ds(j, 1), :].astype(vwin.dtype), vwin
+        )
+
+    @pl.when(jc == 1)
+    def _sink():
+        # K window 0: re-apply the insert for rows landing here (idempotent),
+        # then rotate the sinks; V window (insert block): re-apply the insert
+        rot = rot_ref[b]
+        k0 = jnp.where(
+            rows == kvp, knew_ref[0, pl.ds(j, 1), :].astype(kwin.dtype), kwin
+        ).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWBLK, hd), 1)
+        even = (lane % 2) == 0
+        swapped = jnp.where(even, -pltpu.roll(k0, hd - 1, 1), pltpu.roll(k0, 1, 1))
+        rotated = k0 * cexp_ref[0][None, :] + swapped * sexp_ref[0][None, :]
+        k0 = jnp.where((rows < KV_SINKS) & (rot != 0), rotated, k0)
+        kout_ref[0, 0, 0] = k0.astype(kout_ref.dtype)
+        is_new = blk_ref[b] * _ROWBLK + rows == kvp
+        vout_ref[0, 0, 0] = jnp.where(
+            is_new, vnew_ref[0, pl.ds(j, 1), :].astype(vwin.dtype), vwin
+        )
+
+
 def _prefill_kernel(
     layer_ref, pos_ref,  # scalar prefetch
     q_ref, kin_ref, vin_ref,  # inputs
@@ -662,54 +719,47 @@ def fused_decode_attention(
     # the last block and then matches no row inside the kernel
     blk = jnp.minimum(kv_pos, s - 1) // _ROWBLK
 
-    win_spec = pl.BlockSpec(
+    # merged insert + sink-rotation: K windows switch to block 0 on the sink
+    # cell (jc == 1); V windows stay on the insert block so the VMEM copy is
+    # written back unchanged without a re-fetch
+    kwin_spec = pl.BlockSpec(
         (1, 1, 1, _ROWBLK, hd),
-        lambda i, j, lr, br, *sp: (lr[0], i, j, br[i], 0),
+        lambda i, j, jc, lr, br, *sp: (lr[0], i, j, jnp.where(jc == 0, br[i], 0), 0),
         memory_space=pltpu.VMEM,
     )
+    vwin_spec = pl.BlockSpec(
+        (1, 1, 1, _ROWBLK, hd),
+        lambda i, j, jc, lr, br, *sp: (lr[0], i, j, br[i], 0),
+        memory_space=pltpu.VMEM,
+    )
+    new_spec = pl.BlockSpec(
+        (1, kh, hd), lambda i, j, jc, *sp: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec(
+        (1, hd), lambda i, j, jc, *sp: (0, 0), memory_space=pltpu.VMEM
+    )
     ck, cv = pl.pallas_call(
-        functools.partial(_insert_kernel, hd=hd),
+        functools.partial(_update_kernel, hd=hd),
         out_shape=(
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
             jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(b, kh),
-            in_specs=[
-                pl.BlockSpec((1, kh, hd), lambda i, j, *sp: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kh, hd), lambda i, j, *sp: (i, 0, 0), memory_space=pltpu.VMEM),
-                win_spec,
-                win_spec,
-            ],
-            out_specs=[win_spec, win_spec],
+            num_scalar_prefetch=4,
+            grid=(b, kh, 2),
+            in_specs=[new_spec, new_spec, vec_spec, vec_spec, kwin_spec, vwin_spec],
+            out_specs=[kwin_spec, vwin_spec],
         ),
-        # inputs counted incl. 3 scalar-prefetch args: 5=cache_k, 6=cache_v
-        input_output_aliases={5: 0, 6: 1},
+        # inputs counted incl. 4 scalar-prefetch args: 8=cache_k, 9=cache_v
+        input_output_aliases={8: 0, 9: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
         interpret=interp,
-    )(layer1, blk, kv_pos, k_new, v_new, cache_k, cache_v)
-
-    sink_spec = pl.BlockSpec(
-        (1, 1, 1, _ROWBLK, hd),
-        lambda i, j, lr, *sp: (lr[0], i, j, 0, 0),
-        memory_space=pltpu.VMEM,
+    )(
+        layer1, blk, kv_pos, jnp.asarray(rotate, jnp.int32),
+        k_new, v_new, cexp, sexp, cache_k, cache_v,
     )
-    ck = pl.pallas_call(
-        functools.partial(_sink_kernel, hd=hd),
-        out_shape=jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(b, kh),
-            in_specs=[
-                pl.BlockSpec((1, hd), lambda i, j, *sp: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hd), lambda i, j, *sp: (0, 0), memory_space=pltpu.VMEM),
-                sink_spec,
-            ],
-            out_specs=sink_spec,
-        ),
-        input_output_aliases={4: 0},  # 2 prefetch + cexp + sexp, then kin
-        interpret=interp,
-    )(layer1, jnp.asarray(rotate, jnp.int32), cexp, sexp, ck)
 
     # flash-decoding sequence blocking: pick the largest power-of-two block
     # <= 512 rows dividing the window

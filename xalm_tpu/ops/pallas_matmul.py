@@ -94,7 +94,22 @@ def _tile_d(d: int, n: int, itemsize: int, block_bytes: int = _WEIGHT_BLOCK_BYTE
     return min(td, pl.cdiv(d, 128) * 128)
 
 
-def _kernel(l_ref, x_ref, w_ref, o_ref, *, compute_dtype):
+def _kernel(
+    l_ref, *refs, compute_dtype, norm_eps=None, fixed_scale=None,
+):
+    """Fused [rmsnorm] -> dequant matmul -> [row scale] tile kernel.
+
+    Optional refs are threaded positionally: the wrapper assembles
+    (l, x, [nw], w, [s]) -> o. Prologue norm and epilogue scale run per
+    weight tile on the VPU — at decode m the extra work is trivial and each
+    fold removes a separate XLA kernel launch (~20-60 us/layer/step measured
+    in the decode profile)."""
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    nw_ref = refs.pop(0) if norm_eps is not None else None
+    w_ref = refs.pop(0)
+    s_ref = refs.pop(0) if fixed_scale == "row" else None
+    out_ref = refs.pop(0)
     del l_ref  # consumed by the index_map
     w = w_ref[0]
     if jnp.dtype(w.dtype) in _F8_LAYOUT:
@@ -107,9 +122,18 @@ def _kernel(l_ref, x_ref, w_ref, o_ref, *, compute_dtype):
     # cycles than the DMA of the tile and caps the stream well below HBM
     # speed-of-light (measured).
     x = x_ref[:]
-    o_ref[:] = jax.lax.dot_general(
+    if norm_eps is not None:
+        ms = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(ms + norm_eps) * nw_ref[0]
+    x = x.astype(compute_dtype)
+    y = jax.lax.dot_general(
         x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if s_ref is not None:
+        y = y * s_ref[0]
+    elif isinstance(fixed_scale, float):
+        y = y * fixed_scale
+    out_ref[:] = y
 
 
 # Max M rows per block: prefill chunks stream the whole activation tile
@@ -121,22 +145,38 @@ def pallas_qmatmul_stacked(
     x: jax.Array,  # (M, N) activations, f32
     values: jax.Array,  # (L, D, N) stacked quantized weights
     layer: jax.Array,  # scalar int32 layer index
+    *,
+    norm_w: jax.Array | None = None,  # (L, N) stacked rmsnorm weights (prologue)
+    norm_eps: float | None = None,
+    scale: jax.Array | None = None,  # (L, D) stacked per-row scales (epilogue)
+    q8_scale: float | None = None,  # fixed scale epilogue (q8)
 ) -> jax.Array:
-    """y[M, D] = dequant(values[layer]) @ x^T, fused.
+    """y[M, D] = [scale *] dequant(values[layer]) @ rmsnorm?(x)^T, fused.
 
-    Decode (small M): one M block, the weight stream is the whole traffic.
-    Prefill (M up to 512 per chunk): M is blocked too; the weight stream
-    repeats per M block, so tm is kept large to bound re-reads. Activations
-    are cast to the compute dtype *outside* the kernel (one fused XLA cast
-    instead of per-weight-tile VPU casts)."""
+    Decode (small M): one M block, the weight stream is the whole traffic;
+    the optional rmsnorm prologue and row-scale epilogue fold what would be
+    separate XLA kernels into this call. The stacked (L, ...) norm/scale
+    arrays are indexed by the same scalar-prefetch layer as the weights —
+    an XLA dynamic-slice of a row from a sublane-tiled (L, D) array costs
+    20-60 us of strided reads per layer per step (measured). Prefill (M up
+    to 512 per chunk): M is blocked; prologue/epilogue are refused (per-tile
+    norm recompute at large M wastes VPU cycles — callers norm in XLA
+    there)."""
     m, n = x.shape
     l, d, n2 = values.shape
     assert n == n2, (x.shape, values.shape)
     compute_dtype = jnp.float32 if values.dtype == jnp.float32 else jnp.bfloat16
-    xq = x.astype(compute_dtype)
+    small_m = m < 256
+    assert small_m or (norm_w is None and scale is None and q8_scale is None), (
+        "prologue/epilogue fusion is a decode-shape optimization"
+    )
+    # decode (small M): cast inside the kernel — a separate (1, N) XLA cast
+    # kernel costs ~20 us of launch for trivial work. Prefill (large M):
+    # pre-cast once so the VPU doesn't re-cast the tile per weight block.
+    xq = x if small_m else x.astype(compute_dtype)
     # decode (small M) is HBM-bound: 1 MiB tiles won the sweep. Prefill
     # (M >= 256) is MXU-bound: larger tiles amortize per-tile overhead.
-    blk = _WEIGHT_BLOCK_BYTES if m < 256 else 4 * _WEIGHT_BLOCK_BYTES
+    blk = _WEIGHT_BLOCK_BYTES if small_m else 4 * _WEIGHT_BLOCK_BYTES
     td = _tile_d(d, n, values.dtype.itemsize, blk)
     if m <= _MAX_TM:
         tm, nm = m, 1
@@ -145,20 +185,45 @@ def pallas_qmatmul_stacked(
         while m % tm != 0:
             tm //= 2
         nm = m // tm
+
+    # m outer, d inner: the x block is loop-invariant across d (fetched
+    # once per m block); weight tiles stream nm times total
+    in_specs = [
+        pl.BlockSpec((tm, n), lambda mi, i, lr: (mi, 0), memory_space=pltpu.VMEM)
+    ]
+    operands = [xq]
+    eps = None
+    if norm_w is not None:
+        eps = float(norm_eps)
+        in_specs.append(
+            pl.BlockSpec((1, 1, n), lambda mi, i, lr: (lr[0], 0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(norm_w.reshape(l, 1, n).astype(jnp.float32))
+    in_specs.append(
+        pl.BlockSpec((1, td, n), lambda mi, i, lr: (lr[0], i, 0), memory_space=pltpu.VMEM)
+    )
+    operands.append(values)
+    fixed_scale = None
+    if scale is not None:
+        fixed_scale = "row"
+        in_specs.append(
+            pl.BlockSpec((1, 1, td), lambda mi, i, lr: (lr[0], 0, i), memory_space=pltpu.VMEM)
+        )
+        operands.append(scale.reshape(l, 1, d).astype(jnp.float32))
+    elif q8_scale is not None:
+        fixed_scale = float(q8_scale)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        # m outer, d inner: the x block is loop-invariant across d (fetched
-        # once per m block); weight tiles stream nm times total
         grid=(nm, pl.cdiv(d, td)),
-        in_specs=[
-            pl.BlockSpec((tm, n), lambda mi, i, lr: (mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, td, n), lambda mi, i, lr: (lr[0], i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, td), lambda mi, i, lr: (mi, i), memory_space=pltpu.VMEM),
     )
     bytes_accessed = nm * td * n * values.dtype.itemsize * pl.cdiv(d, td) + m * n * 4 + m * d * 4
     return pl.pallas_call(
-        functools.partial(_kernel, compute_dtype=compute_dtype),
+        functools.partial(
+            _kernel, compute_dtype=compute_dtype, norm_eps=eps, fixed_scale=fixed_scale
+        ),
         out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
@@ -168,7 +233,7 @@ def pallas_qmatmul_stacked(
         # interpreter on non-TPU backends so the kernel is testable on the
         # CPU mesh (SURVEY.md §4: jit-vs-interpret pallas kernel checks)
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(layer, jnp.int32).reshape(1), xq, values)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
 
 
 def pallas_qmatmul_stacked_full(
