@@ -80,46 +80,6 @@ def _quant_rows_f32(vals, axis=-1):
     return q.astype(jnp.int32).astype(jnp.int8), scale
 
 
-def _insert_kernel(
-    layer_ref, blk_ref, kv_pos_ref,  # scalar prefetch
-    knew_ref, vnew_ref, kin_ref, vin_ref,  # inputs (kin/vin aliased to outs)
-    kout_ref, vout_ref,  # outputs: the 8-row windows holding kv_pos
-    *, hd: int,
-):
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-    kvp = kv_pos_ref[b]
-    base = blk_ref[b] * _ROWBLK
-
-    rows = base + jax.lax.broadcasted_iota(jnp.int32, (_ROWBLK, 1), 0)
-    is_new = rows == kvp  # out-of-bounds sentinel (kvp==S) matches nothing
-    # knew/vnew blocks carry all K heads (Mosaic needs the 2nd-minor dim
-    # whole); select this grid cell's head with a dynamic row slice
-    kwin = kin_ref[0, 0, 0]  # (_ROWBLK, hd)
-    vwin = vin_ref[0, 0, 0]
-    kout_ref[0, 0, 0] = jnp.where(is_new, knew_ref[0, pl.ds(j, 1), :].astype(kwin.dtype), kwin)
-    vout_ref[0, 0, 0] = jnp.where(is_new, vnew_ref[0, pl.ds(j, 1), :].astype(vwin.dtype), vwin)
-
-
-def _sink_kernel(
-    layer_ref, rotate_ref,  # scalar prefetch
-    cexp_ref, sexp_ref, kin_ref,  # inputs (kin aliased to kout)
-    kout_ref,  # output: the first 8 rows (sinks live in rows < KV_SINKS)
-    *, hd: int,
-):
-    b = pl.program_id(0)
-    rot = rotate_ref[b]
-    kv = kin_ref[0, 0, 0].astype(jnp.float32)  # (_ROWBLK, hd)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_ROWBLK, 1), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWBLK, hd), 1)
-    even = (lane % 2) == 0
-    # pltpu.roll wants non-negative shifts: roll by -1 == roll by hd-1
-    swapped = jnp.where(even, -pltpu.roll(kv, hd - 1, 1), pltpu.roll(kv, 1, 1))
-    rotated = kv * cexp_ref[0][None, :] + swapped * sexp_ref[0][None, :]
-    kv = jnp.where((row_ids < KV_SINKS) & (rot != 0), rotated, kv)
-    kout_ref[0, 0, 0] = kv.astype(kout_ref.dtype)
-
-
 # --------------------------------------------------------------------------
 # quantized-cache (int8 + per-row scale) kernel set: one grid cell per batch
 # row for the updates (blocks carry all K heads so the (L,B,K,S) f32 scale
@@ -762,7 +722,7 @@ def fused_decode_attention(
     )
 
     # flash-decoding sequence blocking: pick the largest power-of-two block
-    # <= 512 rows dividing the window
+    # <= 512 rows dividing the window (1024 measured neutral)
     sb = 512
     while sb > _ROWBLK and s % sb != 0:
         sb //= 2
