@@ -110,3 +110,57 @@ def test_batcher_over_sharded_engine(engine, tmp_path):
     by_id = {r.id: r for r in done}
     for i, want in enumerate(solo):
         assert by_id[i].out_tokens == want, f"request {i}"
+
+
+def test_incremental_prefill_interleaves_decode(engine):
+    """A long prompt admitting mid-flight must NOT stall an active slot's
+    decode to prompt completion: with a small prefill budget, the active
+    request keeps generating between the long prompt's chunks, and both
+    produce exactly their solo outputs."""
+    rng = np.random.default_rng(5)
+    short = rng.integers(3, 350, size=5).tolist()
+    long = rng.integers(3, 350, size=40).tolist()  # >> budget
+    solo_short = _solo(engine, short, 12)
+    solo_long = _solo(engine, long, 6)
+
+    batcher = ContinuousBatcher(engine, max_batch=2, segment=1, prefill_budget=8)
+    r_short = Request(prompt_ids=short, max_new_tokens=12, stop_on_eos=False)
+    r_long = Request(prompt_ids=long, max_new_tokens=6, stop_on_eos=False)
+    batcher.submit(r_short)
+    # let the short request start decoding first
+    for _ in range(3):
+        batcher.step()
+    tokens_before = len(r_short.out_tokens)
+    batcher.submit(r_long)
+    # the long prompt needs ceil(40/8)=5 prefill ticks; the short request
+    # must make decode progress during them
+    for _ in range(4):
+        batcher.step()
+        if r_short.done:
+            break
+    assert len(r_short.out_tokens) > tokens_before, (
+        "active decode stalled behind the admitting prompt"
+    )
+    batcher.run()
+    assert r_short.out_tokens == solo_short
+    assert r_long.out_tokens == solo_long
+
+    stats = batcher.latency_stats()
+    assert stats["completed"] == 2
+    for k in ("queue_wait_p50_s", "ttft_p95_s", "tok_latency_p50_s"):
+        assert stats[k] >= 0.0
+
+
+def test_latency_stats_ordering(engine):
+    rng = np.random.default_rng(6)
+    batcher = ContinuousBatcher(engine, max_batch=2)
+    reqs = [
+        Request(prompt_ids=rng.integers(3, 350, size=6).tolist(),
+                max_new_tokens=4, stop_on_eos=False)
+        for _ in range(4)
+    ]
+    for r in reqs:
+        batcher.submit(r)
+    batcher.run()
+    for r in reqs:
+        assert r.submitted_s <= r.admitted_s <= r.first_token_s <= r.finished_s

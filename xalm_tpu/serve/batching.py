@@ -9,9 +9,18 @@ targets ("continuous batching across hosts"). Design:
   reshaping or recompiling the decode step (static shapes — XLA-friendly).
 - Idle/prefilling slots are masked with the forward's ``valid`` mechanism
   (their KV writes drop out-of-bounds, their logits are ignored).
-- Prompt prefill reuses the batched step with only the admitted slot valid;
-  decode runs all active slots in one call per token.
+- **Prefill is incremental and budgeted**: each scheduler tick advances at
+  most ``prefill_budget`` prompt tokens of one admitting request, then runs
+  a decode segment for every active slot — a long prompt never stalls
+  active decodes for more than one chunk (no head-of-line blocking).
 - Greedy sampling, matching the reference's argmax semantics.
+
+Why the decode scan may safely run while a slot is mid-prefill: the scan
+writes junk KV for that slot at its prefill frontier, but every cache slot
+is overwritten by its real token *before* any query can attend it (a
+token's KV write precedes attention within the same forward pass), so junk
+at not-yet-reached positions is unobservable. Junk decode for a prefilling
+slot also never triggers sink rotation (its position is pre-wrap).
 
 Works with both the single-chip Engine and the ShardedEngine (dp shards the
 slot dimension).
@@ -44,15 +53,26 @@ class Request:
     out_tokens: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
     submitted_s: float = 0.0
+    admitted_s: float = 0.0  # prefill start (slot assigned)
+    first_token_s: float = 0.0  # first generated token delivered
     finished_s: float = 0.0
 
 
 class ContinuousBatcher:
-    def __init__(self, engine: Engine, max_batch: int = 8, segment: int | None = None):
+    def __init__(
+        self,
+        engine: Engine,
+        max_batch: int = 8,
+        segment: int | None = None,
+        prefill_budget: int = 256,
+    ):
         """``segment``: decode steps per scheduler tick. >1 runs a device-side
         scan between admission/retirement checks (dispatch latency amortizes
         ~segment-fold; EOS latency grows by at most segment-1 steps — greedy
-        output is unchanged). Defaults to 8 on TPU, 1 elsewhere."""
+        output is unchanged). Defaults to 8 on TPU, 1 elsewhere.
+
+        ``prefill_budget``: max prompt tokens advanced per tick — the bound
+        on how long active decodes stall behind an admitting prompt."""
         import jax
 
         self.engine = engine
@@ -60,11 +80,13 @@ class ContinuousBatcher:
         if segment is None:
             segment = 8 if jax.default_backend() == "tpu" else 1
         self.segment = max(1, segment)
+        self.prefill_budget = max(1, prefill_budget)
         self.cache = engine.new_cache(max_batch)
         self.slots: list[Request | None] = [None] * max_batch
         self._pos = np.zeros(max_batch, np.int32)  # next position per slot
         self._next_tok = np.zeros(max_batch, np.int32)  # token to feed next
-        self._needs_prefill: list[Request] = []
+        # prefill frontier per slot; -1 = slot is decoding (or free)
+        self._prefill_pos = np.full(max_batch, -1, np.int32)
         self._waiting: list[Request] = []
         self._next_id = 0
         self.completed: list[Request] = []
@@ -92,19 +114,26 @@ class ContinuousBatcher:
         for i in range(self.max_batch):
             if self.slots[i] is None and self._waiting:
                 req = self._waiting.pop(0)
+                req.admitted_s = time.perf_counter()
                 self.slots[i] = req
-                self._prefill_slot(i, req)
+                self._prefill_pos[i] = 0
+                self._pos[i] = 0
 
-    def _prefill_slot(self, slot: int, req: Request) -> None:
-        """Chunked prefill of one slot; other slots are valid-masked out."""
+    def _prefill_chunk(self, slot: int) -> None:
+        """Advance one budgeted prompt chunk for ``slot``; other slots are
+        valid-masked out. Marks the slot decoding when the prompt is done."""
+        req = self.slots[slot]
         ids = req.prompt_ids
         s = self.engine.cfg.max_seq_len
         b = self.max_batch
-        pos = 0
+        pos = int(self._prefill_pos[slot])
         n = len(ids)
-        logits = None
-        while pos < n:
-            t = 1 if (pos + 1 >= s and n - pos > 1) else min(n - pos, _CHUNK, max(s - pos, 1))
+        budget = self.prefill_budget
+        while budget > 0 and pos < n:
+            if pos + 1 >= s and n - pos > 1:
+                t = 1  # ring would wrap: per-token stepping
+            else:
+                t = min(n - pos, budget, _CHUNK, max(s - pos, 1))
             tokens = np.zeros((b, t), np.int32)
             tokens[slot, :t] = ids[pos : pos + t]
             valid = np.zeros((b, t), bool)
@@ -121,9 +150,14 @@ class ContinuousBatcher:
             )
             if is_last:
                 logits = np.asarray(out)[slot, t - 1]
+                self._next_tok[slot] = int(np.argmax(logits))
+                self._prefill_pos[slot] = -1
+                self._pos[slot] = n
+                return
             pos += t
-        self._pos[slot] = n
-        self._next_tok[slot] = int(np.argmax(logits))
+            budget -= t
+        self._prefill_pos[slot] = pos
+        self._pos[slot] = pos
 
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
@@ -131,62 +165,78 @@ class ContinuousBatcher:
         req.finished_s = time.perf_counter()
         self.completed.append(req)
         self.slots[slot] = None
+        self._prefill_pos[slot] = -1
+
+    def _emit(self, slot: int, tok: int) -> bool:
+        """Deliver one generated token; returns True if the request stops."""
+        req = self.slots[slot]
+        if not req.out_tokens:
+            req.first_token_s = time.perf_counter()
+        req.out_tokens.append(tok)
+        if req.on_token:
+            req.on_token(tok)
+        stop = (
+            req.stop_on_eos
+            and self.engine.tokenizer is not None
+            and self.engine.tokenizer.is_stop(tok)
+        )
+        return stop or len(req.out_tokens) >= req.max_new_tokens
 
     # ------------------------------------------------------------------ tick
 
     def step(self) -> bool:
-        """One scheduler tick: admit -> batched decode -> retire.
-        Returns False when nothing is left to do."""
+        """One scheduler tick: admit -> one budgeted prefill chunk -> batched
+        decode segment -> retire. Returns False when nothing is left to do."""
         self._admit()
-        active = [i for i, s in enumerate(self.slots) if s is not None]
-        if not active:
-            return bool(self._waiting)
+        prefilling = [
+            i for i, s in enumerate(self.slots)
+            if s is not None and self._prefill_pos[i] >= 0
+        ]
+        if prefilling:
+            # one budgeted chunk for the oldest admitting request; the other
+            # prefilling slots wait their turn (decode below still runs)
+            self._prefill_chunk(prefilling[0])
 
-        # each active slot's _next_tok is its freshly sampled token: emit it
-        for i in active:
-            req = self.slots[i]
-            tok = int(self._next_tok[i])
-            req.out_tokens.append(tok)
-            if req.on_token:
-                req.on_token(tok)
-            stop = (
-                req.stop_on_eos
-                and self.engine.tokenizer is not None
-                and self.engine.tokenizer.is_stop(tok)
-            )
-            if stop or len(req.out_tokens) >= req.max_new_tokens:
-                self._retire(i)
-
-        active = [i for i, s in enumerate(self.slots) if s is not None]
-        if not active:
+        decoding = [
+            i for i, s in enumerate(self.slots)
+            if s is not None and self._prefill_pos[i] < 0
+        ]
+        if not decoding:
             return bool(self._waiting) or any(s is not None for s in self.slots)
+
+        # each decoding slot's _next_tok is its freshly sampled token: emit it
+        for i in decoding:
+            if self._emit(i, int(self._next_tok[i])):
+                self._retire(i)
+        decoding = [
+            i for i, s in enumerate(self.slots)
+            if s is not None and self._prefill_pos[i] < 0
+        ]
+        if not decoding:
+            return (
+                bool(self._waiting)
+                or any(s is not None for s in self.slots)
+            )
 
         b = self.max_batch
         if self.segment > 1:
             # device-side scan: all slots step `segment` tokens in one
-            # dispatch. Idle slots decode junk into their own (about to be
-            # re-prefilled, kv_len-masked) cache regions — harmless.
+            # dispatch. Free slots decode junk into their own (about to be
+            # re-prefilled, kv_len-masked) cache regions; mid-prefill slots'
+            # junk lands at their frontier, overwritten by the real tokens
+            # before anything attends it (see module docstring) — harmless.
             out, self.cache = self.engine.decode_scan(
                 self._next_tok.copy(), self._pos.copy(), self.cache, self.segment
             )
             out = np.asarray(out)
             delivered = 0
-            for i in active:
-                req = self.slots[i]
+            for i in decoding:
                 stopped = False
                 # emit all but the last sampled token; the last becomes the
                 # pending _next_tok (emitted at the next tick, like tick start)
                 for tok in out[i, :-1]:
-                    tok = int(tok)
-                    req.out_tokens.append(tok)
                     delivered += 1
-                    if req.on_token:
-                        req.on_token(tok)
-                    if (
-                        req.stop_on_eos
-                        and self.engine.tokenizer is not None
-                        and self.engine.tokenizer.is_stop(tok)
-                    ) or len(req.out_tokens) >= req.max_new_tokens:
+                    if self._emit(i, int(tok)):
                         stopped = True
                         break
                 if stopped:
@@ -200,17 +250,17 @@ class ContinuousBatcher:
             return True
 
         valid = np.zeros((b, 1), bool)
-        valid[active] = True
+        valid[decoding] = True
         tokens = self._next_tok.reshape(b, 1).copy()
         logits, self.cache = self.engine.step(
             tokens, self._pos.copy(), self.cache, jnp.asarray(valid), logits_mode="last"
         )
         logits = np.asarray(logits)
-        for i in active:
+        for i in decoding:
             self._next_tok[i] = int(np.argmax(logits[i]))
             self._pos[i] += 1
         self.decode_steps += 1
-        self.decoded_tokens += len(active)
+        self.decoded_tokens += len(decoding)
         return True
 
     def run(self) -> list[Request]:
@@ -218,3 +268,32 @@ class ContinuousBatcher:
         while self.step():
             pass
         return self.completed
+
+    # ------------------------------------------------------------- reporting
+
+    def latency_stats(self) -> dict:
+        """p50/p95 serving latencies over completed requests (seconds):
+        queue wait (submit -> slot), time-to-first-token (submit -> first
+        generated token), and per-token decode latency."""
+        done = [r for r in self.completed if r.out_tokens]
+        if not done:
+            return {}
+
+        def pct(vals, q):
+            return float(np.percentile(np.asarray(vals), q))
+
+        queue = [r.admitted_s - r.submitted_s for r in done]
+        ttft = [r.first_token_s - r.submitted_s for r in done]
+        tok_lat = [
+            (r.finished_s - r.first_token_s) / max(len(r.out_tokens) - 1, 1)
+            for r in done
+        ]
+        return {
+            "completed": len(done),
+            "queue_wait_p50_s": pct(queue, 50),
+            "queue_wait_p95_s": pct(queue, 95),
+            "ttft_p50_s": pct(ttft, 50),
+            "ttft_p95_s": pct(ttft, 95),
+            "tok_latency_p50_s": pct(tok_lat, 50),
+            "tok_latency_p95_s": pct(tok_lat, 95),
+        }
