@@ -66,6 +66,12 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways (device mesh)")
     p.add_argument("--dp", type=int, default=1, help="data-parallel ways (device mesh)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port (or XALM_COORDINATOR)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count (or XALM_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process id (or XALM_PROCESS_ID)")
     return p
 
 
@@ -85,6 +91,11 @@ def _load_engine(args):
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator or "XALM_COORDINATOR" in os.environ:
+        # multi-host: join the jax.distributed runtime before devices init
+        from xalm_tpu.parallel.multihost import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
     import jax.numpy as jnp
 
     from xalm_tpu.obs.profiler import profile

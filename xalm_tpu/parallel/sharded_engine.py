@@ -90,10 +90,10 @@ class ShardedEngine(Engine):
             matmul_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
         pspecs = _pspecs_like(params, cfg)
+        from xalm_tpu.parallel.multihost import make_global
+
         params = jax.tree.map(
-            lambda x, s: None
-            if x is None
-            else jax.device_put(x, NamedSharding(mesh, s)),
+            lambda x, s: None if x is None else make_global(mesh, s, x),
             params,
             pspecs,
             is_leaf=lambda x: x is None,
@@ -219,44 +219,68 @@ class ShardedEngine(Engine):
     # padding cache rows, which no real sequence ever attends.
 
     def _pad_to(self, arr, bp: int, fill=0):
-        arr = jnp.asarray(arr)
+        arr = np.asarray(arr)
         b = arr.shape[0]
         if b == bp:
             return arr
-        pad = jnp.full((bp - b,) + arr.shape[1:], fill, arr.dtype)
-        return jnp.concatenate([arr, pad], axis=0)
+        pad = np.full((bp - b,) + arr.shape[1:], fill, arr.dtype)
+        return np.concatenate([arr, pad], axis=0)
+
+    def _global(self, arr, spec):
+        from xalm_tpu.parallel.multihost import make_global
+
+        return make_global(self.mesh, spec, arr)
 
     def new_cache(self, batch: int = 1) -> KVCache:
         dp = self.mesh.shape[AXIS_DP]
         batch = -(-batch // dp) * dp
-        cache = KVCache.init(self.cfg, batch, self.kv_dtype)
-        from xalm_tpu.parallel.shardings import shard_cache
-
-        return shard_cache(cache, self.cfg, self.mesh)
+        quantized = jnp.dtype(self.kv_dtype) == jnp.dtype(jnp.int8)
+        cspecs = cache_pspecs(self.cfg, quantized)
+        shardings = jax.tree.map(
+            lambda s: None if s is None else NamedSharding(self.mesh, s),
+            cspecs,
+            is_leaf=lambda x: x is None,
+        )
+        # jit-initialized with out_shardings: the zero cache is born sharded
+        # on every host's devices — no process ever materializes (or could
+        # address) the whole multi-host buffer
+        init = jax.jit(
+            lambda: KVCache.init(self.cfg, batch, self.kv_dtype),
+            out_shardings=shardings,
+        )
+        return init()
 
     def step(self, tokens, pos, cache: KVCache, valid=None, logits_mode="last"):
-        tokens = jnp.asarray(tokens, jnp.int32)
-        pos = jnp.asarray(pos, jnp.int32)
+        tokens = np.asarray(tokens, np.int32)
+        pos = np.asarray(pos, np.int32)
         b, bp = tokens.shape[0], cache.batch
-        if b != bp:
-            if valid is None:
-                valid = jnp.ones(tokens.shape, bool)
-            tokens = self._pad_to(tokens, bp)
-            pos = self._pad_to(pos, bp)
-            valid = self._pad_to(jnp.asarray(valid, bool), bp, fill=False)
-        out, cache = self._fwd(self.params, tokens, pos, cache, valid, logits_mode=logits_mode)
-        if out is not None and b != bp:
+        if valid is None:
+            valid = np.ones(tokens.shape, bool)
+        tokens = self._pad_to(tokens, bp)
+        pos = self._pad_to(pos, bp)
+        valid = self._pad_to(np.asarray(valid, bool), bp, fill=False)
+        out, cache = self._fwd(
+            self.params,
+            self._global(tokens, P(AXIS_DP, None)),
+            self._global(pos, P(AXIS_DP)),
+            cache,
+            self._global(valid, P(AXIS_DP, None)),
+            logits_mode=logits_mode,
+        )
+        if out is not None and b != bp and jax.process_count() == 1:
             out = out[:b]
         return out, cache
 
     def decode_scan(self, tokens, pos, cache: KVCache, n_steps: int):
-        tokens = jnp.asarray(tokens, jnp.int32)
+        tokens = np.asarray(tokens, np.int32)
         b, bp = tokens.shape[0], cache.batch
         toks, cache = self._decode_scan(
             self.params,
-            self._pad_to(tokens, bp),
-            self._pad_to(jnp.asarray(pos, jnp.int32), bp),
+            self._global(self._pad_to(tokens, bp).astype(np.int32), P(AXIS_DP)),
+            self._global(self._pad_to(np.asarray(pos, np.int32), bp), P(AXIS_DP)),
             cache,
             n_steps,
         )
-        return (toks[:b] if b != bp else toks), cache
+        if b != bp and jax.process_count() == 1:
+            toks = toks[:b]
+        return toks, cache

@@ -86,6 +86,12 @@ def _apply(tree, specs, mesh: Mesh):
     def put(x, spec):
         if x is None:
             return None
+        if jax.process_count() > 1:
+            # multi-host: every process holds the full host value and
+            # materializes only its addressable shards
+            from xalm_tpu.parallel.multihost import make_global
+
+            return make_global(mesh, spec, x)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, tree, specs, is_leaf=lambda x: x is None)
