@@ -1,13 +1,18 @@
 #!/usr/bin/env python
-"""Hardware numerics smoke check: tiny-model decode on the real TPU vs CPU.
+"""Hardware numerics gate: tiny-model prefill+decode on the real TPU vs CPU.
 
 pytest pins the CPU backend (tests/conftest.py), so kernel lowering bugs
 that only appear on real hardware (tiling, aliasing, revisiting semantics)
-escape the suite. This script runs the same greedy decode through ring
-wraps on both backends (separate subprocesses — the jax platform latches
-once per process) and compares logits/argmax step by step.
+escape the suite. This script runs the same chunked prefill (the flash
+prefill kernel) + greedy decode through >=2 ring wraps on both backends
+(separate subprocesses — the jax platform latches once per process) and
+compares logits/argmax step by step across:
 
-Usage: python tools/check_tpu.py  (exits non-zero on mismatch)
+- batch B in {1, 4} (B=4 exercises the batched (kh, nsb) flash-decode grid
+  with in-kernel batch unroll — the trickiest revisiting pattern),
+- kv cache dtype in {bf16, int8-quantized}.
+
+Usage: python tools/check_tpu.py  (exits non-zero on any divergence)
 """
 
 from __future__ import annotations
@@ -19,12 +24,12 @@ import sys
 
 import numpy as np
 
-STEPS, WINDOW = 40, 16  # 2.5 ring wraps
+PREFILL, STEPS, WINDOW = 8, 40, 16  # 8 + 40 = 3 ring wraps
 
 
 def run(backend: str | None):
-    """Decode STEPS tokens; returns (resolved backend name, (STEPS, vocab)
-    f32 logits)."""
+    """Prefill + decode per (B, kv) config; returns (resolved backend name,
+    {config: (STEPS, B, vocab) f32 logits})."""
     import jax
 
     if backend:
@@ -44,16 +49,25 @@ def run(backend: str | None):
     # same key; int8 codes are exact either way)
     params = synthetic_params(cfg, weight_dtype=jnp.int8, embed_dtype=jnp.bfloat16)
     rng = np.random.default_rng(7)
-    toks = rng.integers(3, cfg.vocab_size - 2, size=STEPS)
     out = {}
-    for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):
-        eng = Engine(cfg, params, None, kv_dtype=kv, compute_dtype=jnp.float32)
-        cache = eng.new_cache(1)
-        logits = []
-        for i, t in enumerate(toks):
-            lg, cache = eng.decode(np.array([t]), np.array([i]), cache)
-            logits.append(np.asarray(lg)[0])
-        out[name] = np.stack(logits).astype(np.float32)
+    for b in (1, 4):
+        prompt = rng.integers(3, cfg.vocab_size - 2, size=(b, PREFILL)).astype(np.int32)
+        toks = rng.integers(3, cfg.vocab_size - 2, size=(b, STEPS)).astype(np.int32)
+        for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):
+            eng = Engine(cfg, params, None, kv_dtype=kv, compute_dtype=jnp.float32)
+            cache = eng.new_cache(b)
+            # chunked prefill (T>1): the fused flash-prefill kernel + DUS
+            # writes on TPU
+            _, cache = eng.step(
+                prompt, np.zeros(b, np.int32), cache, logits_mode="none"
+            )
+            logits = []
+            for i in range(STEPS):
+                lg, cache = eng.decode(
+                    toks[:, i], np.full(b, PREFILL + i, np.int32), cache
+                )
+                logits.append(np.asarray(lg))
+            out[f"b{b}/kv={name}"] = np.stack(logits).astype(np.float32)
     return jax.default_backend(), out
 
 
@@ -85,9 +99,9 @@ def main() -> int:
         c, t = cpu[name], tpu[name]
         agree = float((c.argmax(-1) == t.argmax(-1)).mean())
         err = float(np.abs(c - t).max() / (np.abs(c).max() + 1e-9))
-        print(f"[kv={name}] argmax agreement: {agree * 100:.1f}% | max rel logit delta: {err:.3e}")
+        print(f"[{name}] argmax agreement: {agree * 100:.1f}% | max rel logit delta: {err:.3e}")
         if agree < 0.95 or err > 5e-2:
-            print(f"FAIL: TPU numerics diverge from CPU (kv={name})", file=sys.stderr)
+            print(f"FAIL: TPU numerics diverge from CPU ({name})", file=sys.stderr)
             rc = 1
     print("TPU numerics OK" if rc == 0 else "TPU numerics FAILED")
     return rc
