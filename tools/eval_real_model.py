@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Quality gate on the locally-trained real checkpoint (tools/train_tiny_lm).
+
+Runs the full user pipeline end to end — HF dir -> converter -> .xalm ->
+engine — and measures what BASELINE.json's quality leg asks for:
+
+1. HF-transformers cross-check: our engine's logits vs torch Mistral on the
+   exported checkpoint (proves the converter + engine reproduce a real
+   trained model, not just the synthetic fixtures).
+2. ppl +- stderr on held-out text per container dtype (f32/f16/bf16/i8/
+   f8_e4m3/q8) — the reference's quantization acceptance test
+   (reference src/main.cpp:198-268): quantized ppl must sit within noise of
+   the f32 baseline for the good formats.
+3. Wrapped-context ppl: a document longer than the window runs through the
+   sink+ring path (per-token stepping after the wrap).
+4. Passkey retrieval at the window limit (reference main.cpp:270-352) and a
+   code-native copy probe (the model is trained on Python source).
+5. A greedy completion sample ("sensible output" check).
+
+Writes RESULTS.md. Usage:
+  python tools/eval_real_model.py --model models/xalm-mini [--out RESULTS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+DTYPES = ["f32", "f16", "bf16", "i8", "f8_e4m3", "q8"]
+
+
+def hf_crosscheck(model_dir: str, eng, tokens: list[int]) -> float:
+    """Max |logit delta| between torch HF Mistral and our engine (f32)."""
+    import torch
+    from transformers import MistralForCausalLM
+
+    hf = MistralForCausalLM.from_pretrained(model_dir, torch_dtype=torch.float32)
+    hf.eval()
+    with torch.no_grad():
+        want = hf(torch.tensor([tokens])).logits[0].numpy()
+    got, _, _ = eng.prefill(tokens, eng.new_cache(1), logits_mode="all")
+    return float(np.abs(np.asarray(got) - want).max())
+
+
+def ppl_segments(eng, ids: np.ndarray, seg_len: int, n_seg: int):
+    """ppl +- stderr over n_seg disjoint held-out segments (chunked prefill
+    path — every segment fits the window)."""
+    import math
+
+    sum_lp = sum_lp2 = 0.0
+    count = 0
+    from xalm_tpu.sampler import token_logprobs
+    import jax.numpy as jnp
+
+    for i in range(n_seg):
+        seg = ids[i * seg_len : (i + 1) * seg_len].tolist()
+        logits, _, _ = eng.prefill(seg, eng.new_cache(1), logits_mode="all")
+        tgt = np.asarray(seg[1:], np.int32)
+        lps = np.asarray(
+            token_logprobs(jnp.asarray(logits[: len(seg) - 1]), jnp.asarray(tgt))
+        ).astype(np.float64)
+        sum_lp += lps.sum()
+        sum_lp2 += (lps**2).sum()
+        count += len(lps)
+    ppl = math.exp(-sum_lp / count)
+    err = ppl * math.sqrt((sum_lp2 - sum_lp * sum_lp / count) / count / count)
+    return ppl, err, count
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="models/xalm-mini")
+    ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--work", default="/tmp/xalm_eval")
+    ap.add_argument("--segments", type=int, default=6)
+    args = ap.parse_args()
+    model_dir = str(Path(args.model).resolve())
+    work = Path(args.work)
+    work.mkdir(parents=True, exist_ok=True)
+
+    from xalm_tpu.convert import convert as cvt
+    from xalm_tpu.runtime.engine import Engine
+
+    heldout = np.load(Path(model_dir) / "heldout_ids.npy")
+    lines = [
+        "# RESULTS — quality gate on the locally-trained real checkpoint",
+        "",
+        "Zero-egress environment: no public checkpoint is fetchable, so the",
+        "gate runs on `models/xalm-mini` — a 39.9M-param Mistral-architecture",
+        "model trained on ~100 MB of locally installed Python/Markdown source",
+        "(tools/train_tiny_lm.py), exported as a standard HF checkpoint and",
+        "pushed through the exact converter -> container -> engine pipeline a",
+        "downloaded model would use.",
+        "",
+    ]
+
+    # ---- convert every dtype --------------------------------------------
+    paths = {}
+    for dt in DTYPES:
+        out = str(work / f"mini_{dt}.xalm")
+        t0 = time.time()
+        rc = cvt.main(["--input", model_dir, "--output", out, "--type", dt])
+        assert rc == 0, f"convert {dt} failed"
+        paths[dt] = out
+        print(f"converted {dt} ({time.time() - t0:.1f}s)", flush=True)
+
+    # ---- HF cross-check on the f32 container ----------------------------
+    eng32 = Engine.from_xalm(paths["f32"], progress=False)
+    probe = heldout[:256].tolist()
+    delta = hf_crosscheck(model_dir, eng32, probe)
+    lines += [
+        "## HF-transformers cross-check",
+        "",
+        f"Max |logit delta| vs torch `MistralForCausalLM` over a 256-token",
+        f"held-out probe, f32 end to end: **{delta:.2e}**",
+        "",
+    ]
+    print(f"HF cross-check max|dlogit| = {delta:.3e}", flush=True)
+
+    # ---- ppl per dtype ---------------------------------------------------
+    lines += [
+        "## Held-out perplexity by container dtype",
+        "",
+        "Reference discipline (src/main.cpp:198-268): quantized containers",
+        "must match the full-precision ppl within noise. Segments of 512",
+        f"tokens x {args.segments}, chunked-prefill path:",
+        "",
+        "| dtype | ppl | +- stderr | delta vs f32 |",
+        "|---|---|---|---|",
+    ]
+    base = None
+    for dt in DTYPES:
+        eng = Engine.from_xalm(paths[dt], progress=False)
+        ppl, err, n = ppl_segments(eng, heldout, 512, args.segments)
+        if base is None:
+            base = ppl
+        lines.append(f"| {dt} | {ppl:.3f} | {err:.3f} | {ppl - base:+.3f} |")
+        print(f"[{dt}] ppl {ppl:.3f} +- {err:.3f} (n={n})", flush=True)
+    lines.append("")
+
+    # ---- wrapped-context ppl (sink+ring on a real model) ----------------
+    eng = Engine.from_xalm(paths["i8"], progress=False)
+    long_ids = heldout[: 512 + 256].tolist()  # 1.5x window: wraps the ring
+    ppl_w, err_w, n_w = eng.perplexity(long_ids)
+    lines += [
+        "## Wrapped-context perplexity (StreamingLLM sink+ring)",
+        "",
+        f"768 held-out tokens through the 512-token window (i8 container):",
+        f"ppl **{ppl_w:.3f} +- {err_w:.3f}** over {n_w} tokens — finite and",
+        "in range, i.e. the ring wrap + sink re-rotation keeps the model",
+        "coherent past its window.",
+        "",
+    ]
+    print(f"wrapped ppl {ppl_w:.3f} +- {err_w:.3f}", flush=True)
+
+    # ---- passkey + copy probe -------------------------------------------
+    from xalm_tpu.harness.main import build_passkey_prompt
+
+    tok = eng32.tokenizer
+    import random
+
+    random.seed(7)
+    passkey = random.randint(1, 50000)
+    prompt = build_passkey_prompt(40, 20, passkey)
+    ids = tok.encode(prompt)
+    out, _ = eng32.generate(ids, 16)
+    pk_text = tok.decode(out)
+    pk_ok = str(passkey) in pk_text
+    print(f"passkey ({len(ids)} tokens): {'OK' if pk_ok else 'MISS'} -> {pk_text!r}", flush=True)
+
+    copy_src = f"PASS_KEY = {passkey}\n" + "x = 1\n" * 60 + "print(PASS_KEY)\nPASS_KEY = "
+    cids = tok.encode(copy_src)
+    cout, _ = eng32.generate(cids, 8)
+    copy_text = tok.decode(cout)
+    copy_ok = str(passkey) in copy_text
+    print(f"code copy probe: {'OK' if copy_ok else 'MISS'} -> {copy_text!r}", flush=True)
+    lines += [
+        "## Retrieval (reference run_passkey, main.cpp:270-352)",
+        "",
+        f"- English passkey prompt ({len(ids)} tokens, key at 20/40):",
+        f"  {'**retrieved**' if pk_ok else 'missed'} — answer {pk_text.strip()!r}",
+        f"- Code-native copy probe (`PASS_KEY = {passkey}` ... `PASS_KEY = `):",
+        f"  {'**retrieved**' if copy_ok else 'missed'} — answer {copy_text.strip()!r}",
+        "",
+        "(A 40M model trained on Python source is not expected to ace",
+        "English passkey retrieval; the probes exercise the wrapped-prompt",
+        "hydrate -> decode path on a real model and report honestly.)",
+        "",
+    ]
+
+    # ---- sample ----------------------------------------------------------
+    sample_prompt = "def binary_search(arr, target):\n"
+    sids = tok.encode(sample_prompt)
+    sout, stats = eng32.generate(sids, 64)
+    sample = tok.decode(sout)
+    lines += [
+        "## Greedy completion sample (f32)",
+        "",
+        "Prompt: `def binary_search(arr, target):`",
+        "",
+        "```python",
+        sample_prompt + sample,
+        "```",
+        "",
+        f"decode: {stats.tok_per_s:.1f} tok/s on this backend",
+        "",
+    ]
+    print("sample:\n" + sample_prompt + sample, flush=True)
+
+    Path(args.out).write_text("\n".join(lines))
+    print(f"wrote {args.out}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
