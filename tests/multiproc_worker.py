@@ -37,6 +37,18 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     prompts = rng.integers(3, 350, size=(2, 8)).astype(np.int32)
+
+    # per-host dp feeding: each process contributes only ITS row of the
+    # global batch; the assembled global array must equal the full batch
+    from jax.sharding import PartitionSpec as P
+
+    from xalm_tpu.parallel.multihost import host_local_to_global
+
+    local_rows = prompts[int(pid) : int(pid) + 1]
+    fed = host_local_to_global(mesh, P("dp", None), local_rows)
+    assert fed.shape == prompts.shape
+    np.testing.assert_array_equal(all_hosts(fed), prompts)
+
     cache = eng.new_cache(2)
     logits, cache = eng.step(
         prompts, np.zeros(2, np.int32), cache, logits_mode="last"
