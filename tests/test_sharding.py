@@ -110,3 +110,26 @@ def test_dp_batch_padding(tiny_xalm):
     want, _ = ref.generate(prompt, 7, stop_on_eos=False)
     got, _ = eng.generate(prompt, 7, stop_on_eos=False)  # batch 1 on dp=2
     assert got == want
+
+
+def test_sharded_engine_long_prefill(tmp_path_factory):
+    """Engine.prefill's scanned fast path must not break the sharded
+    subclass (which builds its own jitted steps): a multi-chunk prompt
+    through ShardedEngine matches the plain Engine."""
+    import numpy as np
+
+    from tests.make_tiny_model import make_tiny_model
+    from xalm_tpu.convert import convert as cvt
+    from xalm_tpu.parallel.mesh import make_mesh
+    from xalm_tpu.parallel.sharded_engine import ShardedEngine
+    from xalm_tpu.runtime.engine import Engine
+
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    prompt = np.random.default_rng(3).integers(3, 350, size=40).tolist()
+    ref = Engine.from_xalm(out, context=64)
+    sh = ShardedEngine.from_xalm(out, make_mesh(dp=2, tp=2), context=64)
+    lr, _, _ = ref.prefill(prompt, ref.new_cache(1), logits_mode="last")
+    ls, _, _ = sh.prefill(prompt, sh.new_cache(1), logits_mode="last")
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(ls)[:1], rtol=2e-4, atol=2e-4)

@@ -253,7 +253,7 @@ class Engine:
         # leading full chunks in one scanned dispatch ("none" logits); the
         # tail (and "all" mode) goes through the per-chunk loop below
         ch = _CHUNK_BUCKETS[-1]
-        if logits_mode != "all":
+        if logits_mode != "all" and hasattr(self, "_prefill_chunks"):
             c_full = min((n - pos - 1) // ch, max((s - pos) // ch, 0))
             if c_full >= 2:
                 toks = np.asarray(
