@@ -114,6 +114,16 @@ def main() -> int:
         dt_s = time.perf_counter() - t0
         tok_s = n / dt_s
         log(f"prefill: {n} tokens in {dt_s:.3f}s -> {tok_s:.1f} tok/s (MXU-bound hydrate)")
+        # sustained: 3 prompts queued back-to-back, one readback — amortizes
+        # the per-call host/tunnel overhead a serving loop wouldn't pay
+        caches = [eng.new_cache(1) for _ in range(3)]
+        t0 = time.perf_counter()
+        for c in caches:
+            _, c2, _ = eng.prefill(ids, c, logits_mode="none")
+            caches[-1] = c2
+        force(caches[-1])
+        sus = 3 * n / (time.perf_counter() - t0)
+        log(f"prefill sustained (3 prompts): {sus:.1f} tok/s")
         print(json.dumps({
             "metric": f"mistral7b_{args.dtype}_prefill_tok_s_per_chip",
             "value": round(tok_s, 1),
