@@ -56,6 +56,9 @@ def main() -> int:
                     help="kv cache dtype (i8 = quantized, halves KV bytes)")
     ap.add_argument("--prefill", type=int, default=0,
                     help="measure prefill instead: hydrate N prompt tokens, report tok/s")
+    ap.add_argument("--a8", action="store_true",
+                    help="W8A8 prefill: per-token int8 activations (s8xs8 "
+                    "MXU at 2x bf16 rate; quality-gated, see RESULTS.md)")
     ap.add_argument("--fp8", default="recode", choices=["keep", "recode"],
                     help="fp8 weights: recode to i8 at load (the TPU fast "
                     "path; v5e has no fp8 MXU) or keep true fp8 (XLA "
@@ -91,6 +94,7 @@ def main() -> int:
     eng = Engine(
         cfg, params, None, kv_dtype=kv_dt,
         compute_dtype={"auto": "auto", "f32": jnp.float32, "bf16": jnp.bfloat16}[args.compute],
+        a8_prefill=args.a8,
     )
     weight_gb = params.nbytes() / 1e9
     log(f"params resident: {weight_gb:.2f} GB (built in {time.time() - t0:.1f}s)")

@@ -263,6 +263,7 @@ def forward(
     logits_mode: LogitsMode = "last",
     compute_dtype=jnp.float32,
     matmul_impl: str = "auto",
+    a8_prefill: bool = False,
     tp_axis: str | None = None,
 ):
     """One jitted step over a (B, T) token block. Returns (logits, cache).
@@ -335,7 +336,15 @@ def forward(
             if layer is None:
                 return pallas_qmatmul(xx, qw)
             xm = xx.reshape(-1, xx.shape[-1])
-            if qw.scale is not None:
+            if a8_prefill and qw.values.dtype == jnp.int8:
+                # W8A8 prefill: per-token int8 activations, s8 x s8 MXU at
+                # 2x the bf16 rate; weight scales fold into the epilogue
+                y = pallas_qmatmul_stacked(
+                    xm, qw.values, layer, scale=qw.scale,
+                    q8_scale=Q8_FIXED_SCALE if qw.scale is None else None,
+                    a8=True,
+                )
+            elif qw.scale is not None:
                 y = pallas_qmatmul_stacked_full(xm, qw.values, qw.scale, layer)
             else:
                 y = pallas_qmatmul_stacked(xm, qw.values, layer)

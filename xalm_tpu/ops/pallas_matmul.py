@@ -95,7 +95,7 @@ def _tile_d(d: int, n: int, itemsize: int, block_bytes: int = _WEIGHT_BLOCK_BYTE
 
 
 def _kernel(
-    l_ref, *refs, compute_dtype, norm_eps=None, fixed_scale=None,
+    l_ref, *refs, compute_dtype, norm_eps=None, fixed_scale=None, a8=False,
 ):
     """Fused [rmsnorm] -> dequant matmul -> [row scale] tile kernel.
 
@@ -122,13 +122,21 @@ def _kernel(
     # cycles than the DMA of the tile and caps the stream well below HBM
     # speed-of-light (measured).
     x = x_ref[:]
-    if norm_eps is not None:
-        ms = jnp.mean(x * x, axis=-1, keepdims=True)
-        x = x * jax.lax.rsqrt(ms + norm_eps) * nw_ref[0]
-    x = x.astype(compute_dtype)
-    y = jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if a8:
+        # W8A8: int8 x int8 feeds the MXU at 2x the bf16 rate (v5e: 394
+        # TOPS s8 vs 197 TFLOPs bf16); int32 accumulation. The caller
+        # quantized x per row and multiplies its scale into the output.
+        y = jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        if norm_eps is not None:
+            ms = jnp.mean(x * x, axis=-1, keepdims=True)
+            x = x * jax.lax.rsqrt(ms + norm_eps) * nw_ref[0]
+        x = x.astype(compute_dtype)
+        y = jax.lax.dot_general(
+            x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
     if s_ref is not None:
         y = y * s_ref[0]
     elif isinstance(fixed_scale, float):
@@ -150,6 +158,7 @@ def pallas_qmatmul_stacked(
     norm_eps: float | None = None,
     scale: jax.Array | None = None,  # (L, D) stacked per-row scales (epilogue)
     q8_scale: float | None = None,  # fixed scale epilogue (q8)
+    a8: bool = False,  # quantize activations per row: int8 x int8 MXU path
 ) -> jax.Array:
     """y[M, D] = [scale *] dequant(values[layer]) @ rmsnorm?(x)^T, fused.
 
@@ -167,13 +176,24 @@ def pallas_qmatmul_stacked(
     assert n == n2, (x.shape, values.shape)
     compute_dtype = jnp.float32 if values.dtype == jnp.float32 else jnp.bfloat16
     small_m = m < 256
-    assert small_m or (norm_w is None and scale is None and q8_scale is None), (
-        "prologue/epilogue fusion is a decode-shape optimization"
+    # the rmsnorm prologue recomputes per weight tile: worthwhile only at
+    # decode shapes; the scale epilogue is one output pass at any M
+    assert small_m or norm_w is None, (
+        "norm prologue fusion is a decode-shape optimization"
     )
-    # decode (small M): cast inside the kernel — a separate (1, N) XLA cast
-    # kernel costs ~20 us of launch for trivial work. Prefill (large M):
-    # pre-cast once so the VPU doesn't re-cast the tile per weight block.
-    xq = x if small_m else x.astype(compute_dtype)
+    sx = None
+    if a8:
+        assert values.dtype == jnp.int8 and norm_w is None
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+        xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    elif small_m:
+        # decode: cast inside the kernel — a separate (1, N) XLA cast kernel
+        # costs ~20 us of launch for trivial work
+        xq = x
+    else:
+        # prefill: pre-cast once so the VPU doesn't re-cast per weight block
+        xq = x.astype(compute_dtype)
     # decode (small M) is HBM-bound: 1 MiB tiles won the sweep. Prefill
     # (M >= 256) is MXU-bound: larger tiles amortize per-tile overhead.
     blk = _WEIGHT_BLOCK_BYTES if small_m else 4 * _WEIGHT_BLOCK_BYTES
@@ -220,9 +240,10 @@ def pallas_qmatmul_stacked(
         out_specs=pl.BlockSpec((tm, td), lambda mi, i, lr: (mi, i), memory_space=pltpu.VMEM),
     )
     bytes_accessed = nm * td * n * values.dtype.itemsize * pl.cdiv(d, td) + m * n * 4 + m * d * 4
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
-            _kernel, compute_dtype=compute_dtype, norm_eps=eps, fixed_scale=fixed_scale
+            _kernel, compute_dtype=compute_dtype, norm_eps=eps,
+            fixed_scale=fixed_scale, a8=a8,
         ),
         out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
         grid_spec=grid_spec,
@@ -234,6 +255,9 @@ def pallas_qmatmul_stacked(
         # CPU mesh (SURVEY.md §4: jit-vs-interpret pallas kernel checks)
         interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+    if sx is not None:
+        out = out * sx  # per-row activation scale (fused into the next op)
+    return out
 
 
 def pallas_qmatmul_stacked_full(

@@ -75,6 +75,7 @@ class Engine:
         kv_dtype="auto",
         compute_dtype="auto",
         matmul_impl: str = "auto",
+        a8_prefill: bool = False,
     ):
         self.cfg = cfg
         self.params = params
@@ -108,6 +109,7 @@ class Engine:
                 logits_mode=logits_mode,
                 compute_dtype=compute_dtype,
                 matmul_impl=matmul_impl,
+                a8_prefill=a8_prefill,
             )
 
         # cache (arg 3) donated: decode updates it in place in HBM.
@@ -164,6 +166,7 @@ class Engine:
                     logits_mode="none",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
+                    a8_prefill=a8_prefill,
                 )
                 return (p + toks.shape[-1], c), None
 
@@ -184,6 +187,7 @@ class Engine:
         compute_dtype="auto",
         matmul_impl: str = "auto",
         fp8_mode: str = "auto",
+        a8_prefill: bool = False,
         progress: bool = True,
     ) -> "Engine":
         from xalm_tpu.models.params import load_units
@@ -208,6 +212,7 @@ class Engine:
             kv_dtype=kv_dtype,
             compute_dtype=compute_dtype,
             matmul_impl=matmul_impl,
+            a8_prefill=a8_prefill,
         )
 
     # ----------------------------------------------------------------- steps
