@@ -155,3 +155,33 @@ def test_fp8_recode_matches_fp8_logits(tiny_hf, tmp_path, hf_logits):
     lr, _, _ = eng_rec.prefill(TOKENS, eng_rec.new_cache(1), logits_mode="all")
     assert np.abs(lk - lr).max() < 0.05
     assert np.abs(lr - hf_logits).max() < 0.3
+
+
+def test_wrapped_perplexity_matches_per_token(tiny_hf, tmp_path):
+    """The scanned wrapped-tail ppl must equal per-token stepping."""
+    out = str(tmp_path / "tiny_ppl.xalm")
+    assert cvt.main(["--input", str(tiny_hf), "--output", out, "--type", "f32"]) == 0
+    eng = Engine.from_xalm(out, context=16, progress=False)
+    rng = np.random.default_rng(11)
+    ids = rng.integers(3, 350, size=40).tolist()  # wraps the 16-token window
+    ppl, err, n = eng.perplexity(ids)
+    assert n == len(ids) - 1
+
+    # manual per-token reference over the same wrapped tail
+    import math
+
+    from xalm_tpu.sampler import token_logprobs
+
+    cache = eng.new_cache(1)
+    logits_all, cache, pos = eng.prefill(ids[:16], cache, logits_mode="all")
+    lps = list(
+        np.asarray(
+            token_logprobs(jnp.asarray(logits_all[:16]), jnp.asarray(ids[1:17]))
+        )
+    )
+    while pos < len(ids) - 1:
+        lg, cache = eng.decode(np.array([ids[pos]]), np.array([pos]), cache)
+        lps.append(float(np.asarray(token_logprobs(lg, jnp.asarray([ids[pos + 1]])))[0]))
+        pos += 1
+    want = math.exp(-np.mean(lps))
+    np.testing.assert_allclose(ppl, want, rtol=1e-4)

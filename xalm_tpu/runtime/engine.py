@@ -175,6 +175,36 @@ class Engine:
 
         self._prefill_chunks = jax.jit(_prefill_chunks, donate_argnums=(3,))
 
+        def _ppl_scan(params, toks, tgts, pos0, cache):
+            """Teacher-forced log-prob scan for the wrapped perplexity tail:
+            feed toks[:, i] at pos0+i, accumulate log p(tgts[:, i]) — one
+            dispatch per segment instead of per token (the reference's
+            per-token loop, main.cpp:198-268, is free on CPU; on TPU it
+            costs a dispatch round-trip per token)."""
+
+            def step(carry, inp):
+                p, c = carry
+                t, tgt = inp
+                logits, c = forward(
+                    params,
+                    cfg,
+                    t[:, None],
+                    p,
+                    c,
+                    logits_mode="last",
+                    compute_dtype=compute_dtype,
+                    matmul_impl=self.matmul_impl,
+                )
+                lp = token_logprobs(logits, tgt)
+                return (p + 1, c), lp
+
+            (_, cache), lps = jax.lax.scan(
+                step, (pos0, cache), (toks.T, tgts.T)
+            )
+            return lps.T, cache  # (B, K)
+
+        self._ppl_scan = jax.jit(_ppl_scan, donate_argnums=(4,))
+
     # ------------------------------------------------------------------ load
 
     @classmethod
@@ -435,21 +465,35 @@ class Engine:
         # fast path: chunked "all"-logits prefill while inside the window
         head = min(n, s)
         logits_all, cache, pos = self.prefill(token_ids[:head], cache, logits_mode="all")
-        targets = np.asarray(token_ids[1:head], np.int32)
-        lps = np.asarray(token_logprobs(jnp.asarray(logits_all[: head - 1]), jnp.asarray(targets)))
+        # position head-1's logits predict token_ids[head] (when it exists):
+        # count it here so head + tail covers all n-1 predictions
+        targets = np.asarray(token_ids[1 : min(head + 1, n)], np.int32)
+        lps = np.asarray(
+            token_logprobs(jnp.asarray(logits_all[: len(targets)]), jnp.asarray(targets))
+        )
         sum_lp += float(lps.sum())
         sum_lp2 += float((lps.astype(np.float64) ** 2).sum())
         count += len(lps)
-        # wrapped tail: per-token stepping (ring + sink active)
+        # wrapped tail (ring + sink active): teacher-forced device scan in
+        # bucketed segments — the last (partial) segment pads by repeating
+        # its final token (those positions are never counted and the junk
+        # KV is past every counted query)
         while pos < n - 1:
-            logits, cache = self.decode(
-                np.array([token_ids[pos]], np.int32), np.array([pos], np.int32), cache
+            k = min(n - 1 - pos, _CHUNK_BUCKETS[-1])
+            bucket = _bucket(k)
+            toks = np.full((1, bucket), token_ids[n - 1], np.int32)
+            tgts = np.full((1, bucket), token_ids[n - 1], np.int32)
+            toks[0, :k] = token_ids[pos : pos + k]
+            tgts[0, :k] = token_ids[pos + 1 : pos + 1 + k]
+            lps_seg, cache = self._ppl_scan(
+                self.params, jnp.asarray(toks), jnp.asarray(tgts),
+                np.array([pos], np.int32), cache,
             )
-            lp = float(np.asarray(token_logprobs(logits, jnp.asarray([token_ids[pos + 1]])))[0])
-            sum_lp += lp
-            sum_lp2 += lp * lp
-            count += 1
-            pos += 1
+            lps_seg = np.asarray(lps_seg)[0, :k].astype(np.float64)
+            sum_lp += float(lps_seg.sum())
+            sum_lp2 += float((lps_seg**2).sum())
+            count += k
+            pos += k
 
         ppl = math.exp(-sum_lp / count)
         err = ppl * math.sqrt((sum_lp2 - sum_lp * sum_lp / count) / count / count)
