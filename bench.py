@@ -118,14 +118,17 @@ def main() -> int:
         dt_s = time.perf_counter() - t0
         tok_s = n / dt_s
         log(f"prefill: {n} tokens in {dt_s:.3f}s -> {tok_s:.1f} tok/s (MXU-bound hydrate)")
-        # sustained: 3 prompts queued back-to-back, one readback — amortizes
-        # the per-call host/tunnel overhead a serving loop wouldn't pay
+        # sustained: 3 DISTINCT prompts queued back-to-back, one readback —
+        # amortizes the per-call host/tunnel overhead a serving loop wouldn't
+        # pay. Prompts differ per call so the tunnel's memoization of
+        # identical dispatches (CLAUDE.md) can't fake the number.
         caches = [eng.new_cache(1) for _ in range(3)]
+        prompts = [[(t + 7 * i) % (cfg.vocab_size - 2) + 1 for t in ids] for i in range(3)]
         t0 = time.perf_counter()
-        for c in caches:
-            _, c2, _ = eng.prefill(ids, c, logits_mode="none")
-            caches[-1] = c2
-        force(caches[-1])
+        last = None
+        for c, p_ids in zip(caches, prompts):
+            _, last, _ = eng.prefill(p_ids, c, logits_mode="none")
+        force(last)
         sus = 3 * n / (time.perf_counter() - t0)
         log(f"prefill sustained (3 prompts): {sus:.1f} tok/s")
         print(json.dumps({

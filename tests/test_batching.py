@@ -164,3 +164,25 @@ def test_latency_stats_ordering(engine):
     batcher.run()
     for r in reqs:
         assert r.submitted_s <= r.admitted_s <= r.first_token_s <= r.finished_s
+
+
+def test_segmented_scan_masks_prefilling_slots(engine):
+    """Review regression: with segment>1, an admitting prompt at/past the
+    window must not let the scan's junk decodes wrap the ring and corrupt a
+    neighboring slot's cache (window=16 here, prompt=40)."""
+    rng = np.random.default_rng(12)
+    short = rng.integers(3, 350, size=5).tolist()
+    long = rng.integers(3, 350, size=40).tolist()  # wraps the 16-slot window
+    solo_short = _solo(engine, short, 10)
+    solo_long = _solo(engine, long, 6)
+
+    batcher = ContinuousBatcher(engine, max_batch=2, segment=4, prefill_budget=8)
+    r_short = Request(prompt_ids=short, max_new_tokens=10, stop_on_eos=False)
+    r_long = Request(prompt_ids=long, max_new_tokens=6, stop_on_eos=False)
+    batcher.submit(r_short)
+    for _ in range(2):
+        batcher.step()
+    batcher.submit(r_long)
+    batcher.run()
+    assert r_short.out_tokens == solo_short
+    assert r_long.out_tokens == solo_long

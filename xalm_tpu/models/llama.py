@@ -432,7 +432,19 @@ def forward(
                     jnp.asarray(sexp),
                 )
             attn_out = attn_out[:, None]  # (B, 1, q_dim)
-        elif t > 1 and use_pallas and ks is None and _fused_cache_ok(ck):
+        elif (
+            t > 1
+            and use_pallas
+            and ks is None
+            and _fused_cache_ok(ck)
+            # kernel tiling constraints: q blocks are tq=min(t,128) rows
+            # (t must divide evenly) and the (tq*g, hd) scratch wants
+            # 8-row-aligned shapes; odd chunk sizes (ring-boundary buckets
+            # with non-512-multiple contexts, batcher remainders) fall back
+            # to the XLA path instead of tripping kernel asserts
+            and (t <= 128 or t % 128 == 0)
+            and (min(t, 128) * (q.shape[2] // ck.shape[2])) % 8 == 0
+        ):
             # chunked-prefill fast path: contiguous in-place KV writes + a
             # causal flash kernel over the stacked cache — the (T, S) score
             # matrix never exists in HBM (ops/pallas_attention.py).

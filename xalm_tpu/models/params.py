@@ -236,11 +236,20 @@ def recode_fp8_rows(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     Error: each value moves by <= scale/2 = row_absmax/254, strictly finer
     than the fp8 grid spacing near the row max (e4m3: absmax/16 per step at
     the top binade)."""
-    xf32 = vals.astype(np.float32)
-    rows = xf32.reshape(-1, xf32.shape[-1])
-    amax = np.abs(rows).max(axis=1)
-    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.round(rows / scale[:, None]), -127, 127).astype(np.int8)
+    rows = vals.reshape(-1, vals.shape[-1])
+    n = rows.shape[0]
+    q = np.empty(rows.shape, np.int8)
+    scale = np.empty((n,), np.float32)
+    # blocked: the f32 temporaries stay at slab size (a full-tensor astype
+    # of a stacked 7B weight would transiently need tens of GB of host RAM)
+    slab = max(1, (64 << 20) // (rows.shape[-1] * 4))
+    for at in range(0, n, slab):
+        f = rows[at : at + slab].astype(np.float32)
+        amax = np.abs(f).max(axis=1)
+        sc = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        scale[at : at + slab] = sc
+        np.clip(np.round(f / sc[:, None]), -127, 127, out=f)
+        q[at : at + slab] = f.astype(np.int8)
     return q.reshape(vals.shape), scale.reshape(vals.shape[:-1])
 
 

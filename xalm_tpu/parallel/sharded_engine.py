@@ -165,8 +165,11 @@ class ShardedEngine(Engine):
 
         self._fwd = jax.jit(_fwd, static_argnames=("logits_mode",), donate_argnums=(3,))
 
-        def _decode_scan(params, token0, pos0, cache, n_steps: int):
-            def local(params, token0, pos0, cache):
+        def _decode_scan(params, token0, pos0, cache, n_steps: int, valid=None):
+            if valid is None:
+                valid = jnp.ones(token0.shape, bool)
+
+            def local(params, token0, pos0, cache, valid):
                 def step(carry, _):
                     tok, p, cache = carry
                     logits, cache = forward(
@@ -175,6 +178,7 @@ class ShardedEngine(Engine):
                         tok[:, None],
                         p,
                         cache,
+                        valid[:, None],
                         logits_mode="last",
                         compute_dtype=compute_dtype,
                         matmul_impl=matmul_impl,
@@ -191,10 +195,10 @@ class ShardedEngine(Engine):
             return jax.shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(pspecs, data_spec, data_spec, cspecs),
+                in_specs=(pspecs, data_spec, data_spec, cspecs, data_spec),
                 out_specs=(tok2, cspecs),
                 check_vma=False,
-            )(params, token0, pos0, cache)
+            )(params, token0, pos0, cache, valid)
 
         self._decode_scan = jax.jit(
             _decode_scan, static_argnames=("n_steps",), donate_argnums=(3,)
@@ -254,32 +258,41 @@ class ShardedEngine(Engine):
         tokens = np.asarray(tokens, np.int32)
         pos = np.asarray(pos, np.int32)
         b, bp = tokens.shape[0], cache.batch
-        if valid is None:
+        if valid is None and b != bp:
             valid = np.ones(tokens.shape, bool)
         tokens = self._pad_to(tokens, bp)
         pos = self._pad_to(pos, bp)
-        valid = self._pad_to(np.asarray(valid, bool), bp, fill=False)
+        if valid is not None:
+            valid = self._pad_to(np.asarray(valid, bool), bp, fill=False)
         out, cache = self._fwd(
             self.params,
             self._global(tokens, P(AXIS_DP, None)),
             self._global(pos, P(AXIS_DP)),
             cache,
-            self._global(valid, P(AXIS_DP, None)),
+            # valid=None keeps the blind in-place chunk-write fast path
+            None if valid is None else self._global(valid, P(AXIS_DP, None)),
             logits_mode=logits_mode,
         )
         if out is not None and b != bp and jax.process_count() == 1:
             out = out[:b]
         return out, cache
 
-    def decode_scan(self, tokens, pos, cache: KVCache, n_steps: int):
+    def decode_scan(self, tokens, pos, cache: KVCache, n_steps: int, valid=None):
         tokens = np.asarray(tokens, np.int32)
         b, bp = tokens.shape[0], cache.batch
+        if valid is None and b != bp:
+            valid = np.ones((b,), bool)
+        if valid is not None:
+            valid = self._global(
+                self._pad_to(np.asarray(valid, bool), bp, fill=False), P(AXIS_DP)
+            )
         toks, cache = self._decode_scan(
             self.params,
             self._global(self._pad_to(tokens, bp).astype(np.int32), P(AXIS_DP)),
             self._global(self._pad_to(np.asarray(pos, np.int32), bp), P(AXIS_DP)),
             cache,
             n_steps,
+            valid,
         )
         if b != bp and jax.process_count() == 1:
             toks = toks[:b]

@@ -115,11 +115,16 @@ class Engine:
         # cache (arg 3) donated: decode updates it in place in HBM.
         self._fwd = jax.jit(_fwd, static_argnames=("logits_mode",), donate_argnums=(3,))
 
-        def _decode_scan(params, token0, pos0, cache, n_steps: int):
+        def _decode_scan(params, token0, pos0, cache, n_steps: int, valid):
             """n_steps of greedy decode entirely on device — one dispatch for
             the whole generation (the reference's per-token host loop costs
             nothing on CPU but would gate TPU tok/s on dispatch latency,
-            SURVEY.md §7 'hard parts')."""
+            SURVEY.md §7 'hard parts').
+
+            ``valid``: (B,) bool or None. Inactive rows (a serving slot that
+            is free or mid-prefill) must not write: their junk decode would
+            otherwise advance through the ring and — once past the window —
+            clobber live slots and re-rotate sinks."""
 
             def step(carry, _):
                 # the WHOLE cache pytree rides the carry (scale planes
@@ -132,6 +137,7 @@ class Engine:
                     token[:, None],
                     p,
                     c,
+                    None if valid is None else valid[:, None],
                     logits_mode="last",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
@@ -256,15 +262,17 @@ class Engine:
         pos = jnp.asarray(pos, jnp.int32)
         return self._fwd(self.params, tokens, pos, cache, valid, logits_mode=logits_mode)
 
-    def decode_scan(self, tokens, pos, cache: KVCache, n_steps: int):
+    def decode_scan(self, tokens, pos, cache: KVCache, n_steps: int, valid=None):
         """Greedy-decode n_steps on device. tokens (B,), pos (B,) ->
-        (generated (B, n_steps) int32, cache)."""
+        (generated (B, n_steps) int32, cache). ``valid``: (B,) bool mask —
+        False rows neither write the cache nor rotate sinks."""
         return self._decode_scan(
             self.params,
             jnp.asarray(tokens, jnp.int32),
             jnp.asarray(pos, jnp.int32),
             cache,
             n_steps,
+            None if valid is None else jnp.asarray(valid, bool),
         )
 
     def decode(self, tokens, pos, cache: KVCache):
@@ -478,6 +486,17 @@ class Engine:
         # bucketed segments — the last (partial) segment pads by repeating
         # its final token (those positions are never counted and the junk
         # KV is past every counted query)
+        while pos < n - 1 and not hasattr(self, "_ppl_scan"):
+            # engine subclasses without the scan (ShardedEngine builds its
+            # own jitted steps): per-token stepping
+            logits, cache = self.decode(
+                np.array([token_ids[pos]], np.int32), np.array([pos], np.int32), cache
+            )
+            lp = float(np.asarray(token_logprobs(logits, jnp.asarray([token_ids[pos + 1]])))[0])
+            sum_lp += lp
+            sum_lp2 += lp * lp
+            count += 1
+            pos += 1
         while pos < n - 1:
             k = min(n - 1 - pos, _CHUNK_BUCKETS[-1])
             bucket = _bucket(k)

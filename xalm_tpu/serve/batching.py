@@ -15,12 +15,11 @@ targets ("continuous batching across hosts"). Design:
   active decodes for more than one chunk (no head-of-line blocking).
 - Greedy sampling, matching the reference's argmax semantics.
 
-Why the decode scan may safely run while a slot is mid-prefill: the scan
-writes junk KV for that slot at its prefill frontier, but every cache slot
-is overwritten by its real token *before* any query can attend it (a
-token's KV write precedes attention within the same forward pass), so junk
-at not-yet-reached positions is unobservable. Junk decode for a prefilling
-slot also never triggers sink rotation (its position is pre-wrap).
+The decode scan valid-masks every non-decoding slot (free or
+mid-prefill): an unmasked junk decode would advance through the ring and —
+for prompts at or past the window — wrap into live slots and re-rotate
+sinks. Masked rows neither write KV nor rotate (the forward's sentinel
+mechanism).
 
 Works with both the single-chip Engine and the ShardedEngine (dp shards the
 slot dimension).
@@ -221,12 +220,16 @@ class ContinuousBatcher:
         b = self.max_batch
         if self.segment > 1:
             # device-side scan: all slots step `segment` tokens in one
-            # dispatch. Free slots decode junk into their own (about to be
-            # re-prefilled, kv_len-masked) cache regions; mid-prefill slots'
-            # junk lands at their frontier, overwritten by the real tokens
-            # before anything attends it (see module docstring) — harmless.
+            # dispatch. Non-decoding rows are valid-masked — they must not
+            # write: a free or mid-prefill slot's junk decode would advance
+            # through the ring and, once its position passed the window,
+            # clobber live KV and re-rotate sinks (found by review: a long
+            # prompt admitted mid-flight corrupted neighbors' generations).
+            mask = np.zeros(b, bool)
+            mask[decoding] = True
             out, self.cache = self.engine.decode_scan(
-                self._next_tok.copy(), self._pos.copy(), self.cache, self.segment
+                self._next_tok.copy(), self._pos.copy(), self.cache,
+                self.segment, valid=mask,
             )
             out = np.asarray(out)
             delivered = 0
