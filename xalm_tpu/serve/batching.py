@@ -133,10 +133,18 @@ class ContinuousBatcher:
                 t = 1  # ring would wrap: per-token stepping
             else:
                 t = min(n - pos, budget, _CHUNK, max(s - pos, 1))
-            tokens = np.zeros((b, t), np.int32)
+            # bucket the chunk shape (padding masked by `valid`): every
+            # distinct (B, T) is a separately compiled program, and random
+            # prompt lengths would otherwise compile one per tail remainder
+            bucket = 16  # floor: keeps the compiled shape set at {16,32,64}
+            while bucket < t:
+                bucket *= 2
+            if pos + bucket > s:
+                bucket = t  # never let padding cross the ring boundary
+            tokens = np.zeros((b, bucket), np.int32)
             tokens[slot, :t] = ids[pos : pos + t]
-            valid = np.zeros((b, t), bool)
-            valid[slot] = True
+            valid = np.zeros((b, bucket), bool)
+            valid[slot, :t] = True
             posv = self._pos.copy()
             posv[slot] = pos
             is_last = pos + t >= n
@@ -148,8 +156,10 @@ class ContinuousBatcher:
                 logits_mode="all" if is_last else "none",
             )
             if is_last:
-                logits = np.asarray(out)[slot, t - 1]
-                self._next_tok[slot] = int(np.argmax(logits))
+                # argmax on device: reading the (B, T, vocab) logits back
+                # costs ~65 MB per request at 7B vocab (measured ~seconds
+                # through a remote-device link); the argmax is 4 bytes
+                self._next_tok[slot] = int(jnp.argmax(out[slot, t - 1]))
                 self._prefill_pos[slot] = -1
                 self._pos[slot] = n
                 return
