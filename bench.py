@@ -33,6 +33,7 @@ from xalm_tpu.runtime.engine import Engine
 from xalm_tpu.utils.synthetic import MISTRAL_7B, synthetic_params
 
 BASELINE_TOK_S = 63.8  # yalm FP16 @ RTX 4090, ~120-token generations
+BASELINE_LONG_TOK_S = 58.7  # same setup, ~4800-token generations (wrapped)
 V5E_HBM_GB_S = 819.0  # TPU v5e HBM speed of light
 
 
@@ -56,6 +57,10 @@ def main() -> int:
                     help="kv cache dtype (i8 = quantized, halves KV bytes)")
     ap.add_argument("--prefill", type=int, default=0,
                     help="measure prefill instead: hydrate N prompt tokens, report tok/s")
+    ap.add_argument("--wrap", action="store_true",
+                    help="long-generation regime (reference's ~4800-token "
+                    "row): advance past the sliding window first, then time "
+                    "decode at full kv_len with sink re-rotation active")
     ap.add_argument("--a8", action="store_true",
                     help="W8A8 prefill: per-token int8 activations (s8xs8 "
                     "MXU at 2x bf16 rate; quality-gated, see RESULTS.md)")
@@ -166,6 +171,19 @@ def main() -> int:
     log(f"decode compile+warmup({args.steps} steps): {time.time() - t0:.1f}s")
     pos += args.steps
 
+    if args.wrap:
+        # run (untimed) until the ring wraps: the timed steps below then
+        # measure the steady long-generation state — full-window kv reads
+        # plus per-step sink re-rotation (reference's ~4800-token regime)
+        t0 = time.time()
+        while pos < cfg.max_seq_len + 64:
+            toks, cache = eng.decode_scan(
+                toks[:, -1].copy(), np.full((b,), pos, np.int32), cache, args.steps
+            )
+            toks = np.asarray(toks)
+            pos += args.steps
+        log(f"advanced past the window to pos {pos} ({time.time() - t0:.1f}s)")
+
     # timed runs (np.asarray forces a real host readback — block_until_ready
     # alone is unreliable through the axon tunnel). Best of 2: the first
     # post-warmup call can carry a one-time donation/relayout cost.
@@ -196,10 +214,13 @@ def main() -> int:
         json.dumps(
             {
                 "metric": f"mistral7b_{args.dtype}_decode_tok_s_per_chip"
+                + ("_wrapped" if args.wrap else "")
                 + (f"_b{args.batch}" if args.batch > 1 else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
-                "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+                "vs_baseline": round(
+                    tok_s / (BASELINE_LONG_TOK_S if args.wrap else BASELINE_TOK_S), 3
+                ),
             }
         )
     )
