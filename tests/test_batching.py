@@ -166,10 +166,16 @@ def test_latency_stats_ordering(engine):
         assert r.submitted_s <= r.admitted_s <= r.first_token_s <= r.finished_s
 
 
-def test_segmented_scan_masks_prefilling_slots(engine):
+def test_segmented_scan_masks_prefilling_slots(tmp_path):
     """Review regression: with segment>1, an admitting prompt at/past the
     window must not let the scan's junk decodes wrap the ring and corrupt a
-    neighboring slot's cache (window=16 here, prompt=40)."""
+    neighboring slot's cache. The engine is built with context=16 so the
+    40-token prompt genuinely wraps (the module fixture's window is 256 —
+    a first version of this test was vacuous)."""
+    hf = make_tiny_model(str(tmp_path / "hf"))
+    out = str(tmp_path / "tiny16.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    engine = Engine.from_xalm(out, context=16, progress=False)
     rng = np.random.default_rng(12)
     short = rng.integers(3, 350, size=5).tolist()
     long = rng.integers(3, 350, size=40).tolist()  # wraps the 16-slot window

@@ -218,9 +218,9 @@ class ShardedEngine(Engine):
 
     # ------------------------------------------------------ batch padding
     # dp shards the batch dimension, so every global batch must be a
-    # multiple of dp. Pad transparently: extra rows are valid=False (writes
-    # dropped) in step(); in decode_scan they decode junk into their own
-    # padding cache rows, which no real sequence ever attends.
+    # multiple of dp. Pad transparently: extra rows are valid=False in both
+    # step() and decode_scan(), so they neither write the cache nor rotate
+    # sinks (their logits/tokens are sliced away before returning).
 
     def _pad_to(self, arr, bp: int, fill=0):
         arr = np.asarray(arr)

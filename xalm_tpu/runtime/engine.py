@@ -66,6 +66,12 @@ class GenerationStats:
 
 
 class Engine:
+    # jitted fast-path helpers built by Engine.__init__; subclasses that
+    # construct their own jitted steps (ShardedEngine) leave these None and
+    # the workloads take the portable per-chunk / per-token paths instead
+    _prefill_chunks = None
+    _ppl_scan = None
+
     def __init__(
         self,
         cfg: ModelConfig,
@@ -296,7 +302,7 @@ class Engine:
         # leading full chunks in one scanned dispatch ("none" logits); the
         # tail (and "all" mode) goes through the per-chunk loop below
         ch = _CHUNK_BUCKETS[-1]
-        if logits_mode != "all" and hasattr(self, "_prefill_chunks"):
+        if logits_mode != "all" and self._prefill_chunks is not None:
             c_full = min((n - pos - 1) // ch, max((s - pos) // ch, 0))
             if c_full >= 2:
                 toks = np.asarray(
@@ -486,9 +492,9 @@ class Engine:
         # bucketed segments — the last (partial) segment pads by repeating
         # its final token (those positions are never counted and the junk
         # KV is past every counted query)
-        while pos < n - 1 and not hasattr(self, "_ppl_scan"):
-            # engine subclasses without the scan (ShardedEngine builds its
-            # own jitted steps): per-token stepping
+        while pos < n - 1 and self._ppl_scan is None:
+            # engine subclasses without the scan (see class attrs):
+            # per-token stepping
             logits, cache = self.decode(
                 np.array([token_ids[pos]], np.int32), np.array([pos], np.int32), cache
             )

@@ -34,7 +34,7 @@ from typing import Callable
 import jax.numpy as jnp
 import numpy as np
 
-from xalm_tpu.runtime.engine import Engine
+from xalm_tpu.runtime.engine import Engine, _bucket
 
 __all__ = ["Request", "ContinuousBatcher"]
 
@@ -135,10 +135,9 @@ class ContinuousBatcher:
                 t = min(n - pos, budget, _CHUNK, max(s - pos, 1))
             # bucket the chunk shape (padding masked by `valid`): every
             # distinct (B, T) is a separately compiled program, and random
-            # prompt lengths would otherwise compile one per tail remainder
-            bucket = 16  # floor: keeps the compiled shape set at {16,32,64}
-            while bucket < t:
-                bucket *= 2
+            # prompt lengths would otherwise compile one per tail remainder.
+            # Same bucket series as Engine.prefill, capped at _CHUNK.
+            bucket = min(_bucket(t), _CHUNK)
             if pos + bucket > s:
                 bucket = t  # never let padding cross the ring boundary
             tokens = np.zeros((b, bucket), np.int32)
