@@ -171,7 +171,11 @@ def test_segmented_scan_masks_prefilling_slots(tmp_path):
     window must not let the scan's junk decodes wrap the ring and corrupt a
     neighboring slot's cache. The engine is built with context=16 so the
     40-token prompt genuinely wraps (the module fixture's window is 256 —
-    a first version of this test was vacuous)."""
+    a first version of this test was vacuous). Note: junk WRITES are
+    provably benign (each slot is rewritten by its real token before any
+    query attends it), so what the mask actually prevents is spurious sink
+    re-rotation of mid-prefill wrapped slots — an effect this tiny model's
+    argmax only weakly observes; the test pins the end-to-end behavior."""
     hf = make_tiny_model(str(tmp_path / "hf"))
     out = str(tmp_path / "tiny16.xalm")
     assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
