@@ -91,6 +91,21 @@ def test_f8_e4m3_matches_hardware_dtype():
     assert (err <= step / 2 + 1e-7).mean() > 0.99
 
 
+def test_f8_e2m5_e3m4_variants():
+    """The reference instantiates all four E+M==7 software-f8 splits
+    (reference src/types.h:317-320); the lab names them all. E2M5/E3M4 are
+    analysis-only formats: fine mantissa grids, narrow exponent range."""
+    for spec, emax in ((floatlab.F8_E2M5, 4), (floatlab.F8_E3M4, 16)):
+        assert spec.exp_bits + spec.man_bits == 7
+        # max normal = (2 - 2^-M) * 2^(e_max - bias)
+        assert spec.max_value() == (2 - 2.0 ** -spec.man_bits) * emax
+        x = RNG.standard_normal(256).astype(np.float32)
+        once = spec.roundtrip(x)
+        np.testing.assert_array_equal(spec.roundtrip(once), once)
+        # E2M5's 5-bit mantissa resolves 1/32 steps around 1.0
+    assert float(floatlab.F8_E2M5.roundtrip(np.array([1.0 + 1 / 32]))[0]) == 1.0 + 1 / 32
+
+
 def test_describe_lists_all_codes():
     out = floatlab.F4_E2M1.describe()
     assert len(out.splitlines()) == 1 + 16

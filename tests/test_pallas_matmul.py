@@ -135,8 +135,6 @@ def test_a8_prefill_close_to_reference(tmp_path):
     out = str(tmp_path / "tiny_i8.xalm")
     assert cvt.main(["--input", hf, "--output", out, "--type", "i8"]) == 0
     ref = Engine.from_xalm(out, matmul_impl="pallas", progress=False)
-    a8 = Engine.from_xalm(out, matmul_impl="pallas", progress=False)
-    # rebuild with the flag (from_xalm has no kwarg; construct directly)
     a8 = Engine(ref.cfg, ref.params, ref.tokenizer, matmul_impl="pallas", a8_prefill=True)
     toks = np.random.default_rng(4).integers(3, 350, size=32).tolist()
     lr, _, _ = ref.prefill(toks, ref.new_cache(1), logits_mode="last")

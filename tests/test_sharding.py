@@ -112,6 +112,56 @@ def test_dp_batch_padding(tiny_xalm):
     assert got == want
 
 
+def test_sharded_wrapped_perplexity_matches_single(tiny_xalm):
+    """Sharded perplexity must use the scanned teacher-forced path (one
+    dispatch per segment) and match the single-device number on a document
+    longer than the window (ring + sink active in the tail)."""
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    eng = ShardedEngine.from_xalm(tiny_xalm, mesh, context=16)
+    ref = Engine.from_xalm(tiny_xalm, context=16)
+    assert eng._ppl_scan is not None  # parity: the fast path exists
+    toks = np.random.default_rng(7).integers(3, 350, size=48).tolist()
+    p_ref, e_ref, n_ref = ref.perplexity(toks)
+    p_sh, e_sh, n_sh = eng.perplexity(toks)
+    assert n_sh == n_ref == 47
+    assert p_sh == pytest.approx(p_ref, rel=1e-3)
+    assert e_sh == pytest.approx(e_ref, rel=1e-2)
+
+
+def test_sharded_scanned_prefill_chunks(tmp_path_factory):
+    """>= 2 full 512-token chunks route through the sharded scanned
+    _prefill_chunks (one dispatch for the chunk block); logits must match
+    the single-device engine."""
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    prompt = np.random.default_rng(11).integers(3, 350, size=1100).tolist()
+    ref = Engine.from_xalm(out, context=2048)
+    sh = ShardedEngine.from_xalm(out, make_mesh(dp=2, tp=2), context=2048)
+    assert sh._prefill_chunks is not None
+    lr, _, pr = ref.prefill(prompt, ref.new_cache(1), logits_mode="last")
+    ls, _, ps = sh.prefill(prompt, sh.new_cache(1), logits_mode="last")
+    assert pr == ps == 1100
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(ls)[:1], rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_a8_prefill(tmp_path_factory):
+    """ShardedEngine(a8_prefill=True) runs the W8A8 kernel path under
+    shard_map and stays close to the bf16-activation sharded engine."""
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny_i8.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "i8"]) == 0
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    ref = ShardedEngine.from_xalm(out, mesh, matmul_impl="pallas")
+    a8 = ShardedEngine.from_xalm(out, mesh, matmul_impl="pallas", a8_prefill=True)
+    toks = np.random.default_rng(4).integers(3, 350, size=32).tolist()
+    lr, _, _ = ref.prefill(toks, ref.new_cache(1), logits_mode="last")
+    la, _, _ = a8.prefill(toks, a8.new_cache(1), logits_mode="last")
+    lr, la = np.asarray(lr)[0], np.asarray(la)[0]
+    assert np.abs(lr - la).max() < 0.35
+    assert lr.argmax() == la.argmax()
+
+
 def test_sharded_engine_long_prefill(tmp_path_factory):
     """Engine.prefill's scanned fast path must not break the sharded
     subclass (which builds its own jitted steps): a multi-chunk prompt

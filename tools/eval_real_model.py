@@ -112,7 +112,14 @@ def main() -> int:
         print(f"converted {dt} ({time.time() - t0:.1f}s)", flush=True)
 
     # ---- HF cross-check on the f32 container ----------------------------
-    eng32 = Engine.from_xalm(paths["f32"], progress=False)
+    # force full f32 compute/cache so "f32 end to end" is true as written
+    # (Engine's "auto" resolves to bf16 compute + bf16 KV on TPU)
+    import jax.numpy as jnp
+
+    eng32 = Engine.from_xalm(
+        paths["f32"], progress=False,
+        compute_dtype=jnp.float32, kv_dtype=jnp.float32, matmul_impl="xla",
+    )
     probe = heldout[:256].tolist()
     delta = hf_crosscheck(model_dir, eng32, probe)
     lines += [

@@ -18,7 +18,17 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["FloatSpec", "MAPPINGS", "F4_E2M1", "F6_E2M3", "F6_E3M2", "F8_E4M3", "F8_E5M2"]
+__all__ = [
+    "FloatSpec",
+    "MAPPINGS",
+    "F4_E2M1",
+    "F6_E2M3",
+    "F6_E3M2",
+    "F8_E2M5",
+    "F8_E3M4",
+    "F8_E4M3",
+    "F8_E5M2",
+]
 
 
 # Mantissa mappings: fraction-in-[0,1) -> multiplier-in-[1,2) and inverse.
@@ -180,3 +190,8 @@ F6_E2M3 = FloatSpec(2, 3, name="f6_e2m3")
 F6_E3M2 = FloatSpec(3, 2, name="f6_e3m2")
 F8_E4M3 = FloatSpec(4, 3, has_nan=True, name="f8_e4m3")
 F8_E5M2 = FloatSpec(5, 2, has_nan=True, name="f8_e5m2")
+# the reference's software f8_t instantiates all four E+M==7 splits
+# (reference src/types.h:317-320); e2m5/e3m4 have no hardware dtype — they
+# exist only as analysis formats, saturating like the reference (no NaN code)
+F8_E2M5 = FloatSpec(2, 5, name="f8_e2m5")
+F8_E3M4 = FloatSpec(3, 4, name="f8_e3m4")

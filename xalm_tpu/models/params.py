@@ -245,6 +245,15 @@ def recode_fp8_rows(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     slab = max(1, (64 << 20) // (rows.shape[-1] * 4))
     for at in range(0, n, slab):
         f = rows[at : at + slab].astype(np.float32)
+        if not np.isfinite(f).all():
+            # e5m2 can encode inf/NaN: amax=inf would give scale=inf and a
+            # NaN->int8 cast (undefined) — a silently corrupted model. The
+            # recode contract is exact-format-preserving for finite weights
+            # (the converter saturates, xalm_tpu/quant.py), so fail loudly.
+            raise ValueError(
+                "non-finite fp8 weight values: container is corrupt or was "
+                "not produced by a saturating converter (cannot recode to i8)"
+            )
         amax = np.abs(f).max(axis=1)
         sc = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
         scale[at : at + slab] = sc

@@ -28,7 +28,25 @@ from xalm_tpu.runtime.cache import KVCache
 from xalm_tpu.runtime.engine import Engine
 from xalm_tpu.tokenizer import Tokenizer
 
-__all__ = ["ShardedEngine", "sharded_argmax"]
+__all__ = ["ShardedEngine", "sharded_argmax", "sharded_token_logprobs"]
+
+
+def sharded_token_logprobs(logits: jax.Array, targets: jax.Array, axis_name: str) -> jax.Array:
+    """log softmax(logits)[target] over a vocab-sharded (B, V_local) logits
+    array (the tp analogue of sampler.token_logprobs): local max/sum-exp with
+    pmax/psum reductions, target logit fetched from whichever shard owns the
+    global index — no full-vocab all-gather."""
+    logits = logits.astype(jnp.float32)
+    vloc = logits.shape[-1]
+    shard = jax.lax.axis_index(axis_name)
+    m = jax.lax.pmax(jnp.max(logits, axis=-1), axis_name)  # (B,)
+    se = jax.lax.psum(jnp.sum(jnp.exp(logits - m[:, None]), axis=-1), axis_name)
+    lse = m + jnp.log(se)
+    loc_t = targets.astype(jnp.int32) - shard * vloc
+    in_shard = (loc_t >= 0) & (loc_t < vloc)
+    tl = jnp.take_along_axis(logits, jnp.clip(loc_t, 0, vloc - 1)[:, None], axis=-1)[:, 0]
+    tl = jax.lax.psum(jnp.where(in_shard, tl, 0.0), axis_name)
+    return tl - lse
 
 
 def sharded_argmax(logits: jax.Array, axis_name: str) -> jax.Array:
@@ -81,6 +99,7 @@ class ShardedEngine(Engine):
         kv_dtype="auto",
         compute_dtype="auto",
         matmul_impl: str = "auto",
+        a8_prefill: bool = False,
     ):
         self.mesh = mesh
         tp = mesh.shape[AXIS_TP]
@@ -126,6 +145,7 @@ class ShardedEngine(Engine):
                 logits_mode=logits_mode,
                 compute_dtype=compute_dtype,
                 matmul_impl=matmul_impl,
+                a8_prefill=a8_prefill,
                 tp_axis=AXIS_TP,
             )
             return logits, cache
@@ -204,14 +224,116 @@ class ShardedEngine(Engine):
             _decode_scan, static_argnames=("n_steps",), donate_argnums=(3,)
         )
 
+        # ---- scanned fast paths (feature parity with Engine: prefill whole
+        # chunk blocks / score wrapped-ppl segments in ONE dispatch instead of
+        # per-chunk / per-token stepping — the dispatch-latency trap the
+        # engine docstrings warn about applies just the same under shard_map)
+
+        def _prefill_chunks_local(params, tokens_c, pos0, cache):
+            def body(carry, toks):
+                p, c = carry
+                _, c = forward(
+                    params, cfg, toks, p, c, None,
+                    logits_mode="none", compute_dtype=compute_dtype,
+                    matmul_impl=matmul_impl, a8_prefill=a8_prefill,
+                    tp_axis=AXIS_TP,
+                )
+                return (p + toks.shape[-1], c), None
+
+            (_, cache), _ = jax.lax.scan(body, (pos0, cache), tokens_c)
+            return cache
+
+        prefill_chunks_sm = jax.jit(
+            jax.shard_map(
+                _prefill_chunks_local,
+                mesh=mesh,
+                in_specs=(pspecs, P(None, AXIS_DP, None), data_spec, cspecs),
+                out_specs=cspecs,
+                check_vma=False,
+            ),
+            donate_argnums=(3,),
+        )
+
+        def _prefill_chunks(params, tokens_c, pos0, cache):
+            # pad the batch to the dp-padded cache batch; padding rows run an
+            # unmasked junk prefill of their OWN rows (chunk contract: no
+            # wrap), which real use later overwrites — same safety argument
+            # as Engine's blind full-chunk writes
+            bp = cache.batch
+            toks = np.asarray(tokens_c, np.int32)
+            c, b, ch = toks.shape
+            if b != bp:
+                toks = np.concatenate(
+                    [toks, np.zeros((c, bp - b, ch), np.int32)], axis=1
+                )
+            pos = self._pad_to(np.asarray(pos0, np.int32), bp)
+            return prefill_chunks_sm(
+                params,
+                self._global(toks, P(None, AXIS_DP, None)),
+                self._global(pos, P(AXIS_DP)),
+                cache,
+            )
+
+        self._prefill_chunks = _prefill_chunks
+
+        def _ppl_scan_local(params, toks, tgts, pos0, cache):
+            def step(carry, inp):
+                p, c = carry
+                t, tgt = inp
+                logits, c = forward(
+                    params, cfg, t[:, None], p, c,
+                    logits_mode="last", compute_dtype=compute_dtype,
+                    matmul_impl=matmul_impl, tp_axis=AXIS_TP,
+                )
+                lp = sharded_token_logprobs(logits, tgt, AXIS_TP)
+                return (p + 1, c), lp
+
+            (_, cache), lps = jax.lax.scan(step, (pos0, cache), (toks.T, tgts.T))
+            return lps.T, cache
+
+        ppl_scan_sm = jax.jit(
+            jax.shard_map(
+                _ppl_scan_local,
+                mesh=mesh,
+                in_specs=(pspecs, tok2, tok2, data_spec, cspecs),
+                out_specs=(tok2, cspecs),
+                check_vma=False,
+            ),
+            donate_argnums=(4,),
+        )
+
+        def _ppl_scan(params, toks, tgts, pos0, cache):
+            bp = cache.batch
+            toks = np.asarray(toks, np.int32)
+            b = toks.shape[0]
+            # padding rows teacher-force token 0 through their own (junk)
+            # rows; their log-probs are sliced away below
+            toksp = self._pad_to(toks, bp)
+            tgtsp = self._pad_to(np.asarray(tgts, np.int32), bp)
+            posp = self._pad_to(np.asarray(pos0, np.int32), bp)
+            lps, cache = ppl_scan_sm(
+                params,
+                self._global(toksp, P(AXIS_DP, None)),
+                self._global(tgtsp, P(AXIS_DP, None)),
+                self._global(posp, P(AXIS_DP)),
+                cache,
+            )
+            if b != bp and jax.process_count() == 1:
+                lps = lps[:b]
+            return lps, cache
+
+        self._ppl_scan = _ppl_scan
+
     @classmethod
-    def from_xalm(cls, path: str, mesh: Mesh, *, context: int = 0, **kw) -> "ShardedEngine":
+    def from_xalm(
+        cls, path: str, mesh: Mesh, *, context: int = 0, fp8_mode: str = "auto", **kw
+    ) -> "ShardedEngine":
         from xalm_tpu.io import XalmFile
         from xalm_tpu.models.params import load_params
 
         xf = XalmFile(path)
         cfg = ModelConfig.from_metadata(xf.config, context)
-        params = load_params(xf, cfg, device_put=False)
+        params = load_params(xf, cfg, device_put=False, fp8_mode=fp8_mode)
         tokenizer = Tokenizer.from_xalm(xf) if "tokenizer.tokens" in xf else None
         xf.close()
         return cls(cfg, params, tokenizer, mesh, **kw)

@@ -66,9 +66,9 @@ class GenerationStats:
 
 
 class Engine:
-    # jitted fast-path helpers built by Engine.__init__; subclasses that
-    # construct their own jitted steps (ShardedEngine) leave these None and
-    # the workloads take the portable per-chunk / per-token paths instead
+    # jitted fast-path helpers built by Engine.__init__ (ShardedEngine builds
+    # shard_map equivalents); a subclass that leaves these None falls back to
+    # the portable per-chunk / per-token paths in prefill()/perplexity()
     _prefill_chunks = None
     _ppl_scan = None
 
@@ -370,7 +370,7 @@ class Engine:
         """Greedy completion (reference run_completion, main.cpp:44-128).
 
         On TPU, tokens are generated in device-side scan segments (default
-        32) so per-call dispatch latency amortizes; EOS is checked between
+        16) so per-call dispatch latency amortizes; EOS is checked between
         segments (greedy output is identical to per-token stepping).
 
         ``resume``: a runtime.session.Session to continue (its pending last
@@ -378,7 +378,11 @@ class Engine:
         ``return_session=True`` returns (out, stats, Session) for saving.
         """
         if segment is None:
-            segment = 32 if jax.default_backend() == "tpu" else 1
+            # 16 balances dispatch amortization (~10 ms/call through the
+            # device tunnel ~= 6% at 94 tok/s) against interactive streaming
+            # burstiness: on_token sees ~170 ms batches instead of ~350 ms at
+            # the old 32 (the reference prints per token, main.cpp:105-115)
+            segment = 16 if jax.default_backend() == "tpu" else 1
         stats = GenerationStats(prompt_tokens=len(prompt_ids))
         if resume is None:
             cache = self.new_cache(1)

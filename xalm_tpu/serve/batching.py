@@ -9,10 +9,13 @@ targets ("continuous batching across hosts"). Design:
   reshaping or recompiling the decode step (static shapes — XLA-friendly).
 - Idle/prefilling slots are masked with the forward's ``valid`` mechanism
   (their KV writes drop out-of-bounds, their logits are ignored).
-- **Prefill is incremental and budgeted**: each scheduler tick advances at
-  most ``prefill_budget`` prompt tokens of one admitting request, then runs
-  a decode segment for every active slot — a long prompt never stalls
-  active decodes for more than one chunk (no head-of-line blocking).
+- **Prefill is incremental, budgeted, and packed**: each scheduler tick
+  advances EVERY admitting request by one chunk of at most
+  ``prefill_budget`` tokens in a single valid-masked step call (positions
+  are per-sequence vectors, so rows at different prompt offsets share the
+  dispatch), then runs a decode segment for every active slot — a long
+  prompt never stalls active decodes for more than one chunk width, and
+  concurrent admissions no longer serialize their prefills.
 - Greedy sampling, matching the reference's argmax semantics.
 
 The decode scan valid-masks every non-decoding slot (free or
@@ -38,7 +41,10 @@ from xalm_tpu.runtime.engine import Engine, _bucket
 
 __all__ = ["Request", "ContinuousBatcher"]
 
-_CHUNK = 64
+# widest packed prefill call: the engine's largest compiled chunk bucket —
+# a single tick can then use the big buckets instead of paying up to 8x the
+# dispatches at the old 64 cap; the per-tick stall bound stays prefill_budget
+_MAX_CHUNK = 512
 
 
 @dataclasses.dataclass
@@ -118,54 +124,69 @@ class ContinuousBatcher:
                 self._prefill_pos[i] = 0
                 self._pos[i] = 0
 
-    def _prefill_chunk(self, slot: int) -> None:
-        """Advance one budgeted prompt chunk for ``slot``; other slots are
-        valid-masked out. Marks the slot decoding when the prompt is done."""
-        req = self.slots[slot]
-        ids = req.prompt_ids
+    def _prefill_tick(self, slots: list[int]) -> None:
+        """Advance EVERY admitting slot by one budgeted chunk in one packed,
+        valid-masked step call (per-sequence position vectors let rows sit at
+        different prompt offsets; the one-slot-per-tick design left B-1 rows
+        of each chunk call as masked padding). Slots whose padded bucket
+        would cross the ring boundary fall back to a solo exact-width call
+        (rare: prompt at/past the window)."""
         s = self.engine.cfg.max_seq_len
-        b = self.max_batch
-        pos = int(self._prefill_pos[slot])
-        n = len(ids)
-        budget = self.prefill_budget
-        while budget > 0 and pos < n:
+        chunk = min(self.prefill_budget, _MAX_CHUNK)
+        plan = []  # (slot, pos, t)
+        for i in slots:
+            pos = int(self._prefill_pos[i])
+            n = len(self.slots[i].prompt_ids)
             if pos + 1 >= s and n - pos > 1:
                 t = 1  # ring would wrap: per-token stepping
             else:
-                t = min(n - pos, budget, _CHUNK, max(s - pos, 1))
-            # bucket the chunk shape (padding masked by `valid`): every
-            # distinct (B, T) is a separately compiled program, and random
-            # prompt lengths would otherwise compile one per tail remainder.
-            # Same bucket series as Engine.prefill, capped at _CHUNK.
-            bucket = min(_bucket(t), _CHUNK)
-            if pos + bucket > s:
-                bucket = t  # never let padding cross the ring boundary
-            tokens = np.zeros((b, bucket), np.int32)
-            tokens[slot, :t] = ids[pos : pos + t]
-            valid = np.zeros((b, bucket), bool)
-            valid[slot, :t] = True
-            posv = self._pos.copy()
-            posv[slot] = pos
-            is_last = pos + t >= n
-            out, self.cache = self.engine.step(
-                tokens,
-                posv,
-                self.cache,
-                jnp.asarray(valid),
-                logits_mode="all" if is_last else "none",
-            )
-            if is_last:
-                # argmax on device: reading the (B, T, vocab) logits back
-                # costs ~65 MB per request at 7B vocab (measured ~seconds
-                # through a remote-device link); the argmax is 4 bytes
-                self._next_tok[slot] = int(jnp.argmax(out[slot, t - 1]))
-                self._prefill_pos[slot] = -1
-                self._pos[slot] = n
-                return
-            pos += t
-            budget -= t
-        self._prefill_pos[slot] = pos
-        self._pos[slot] = pos
+                t = min(n - pos, chunk, max(s - pos, 1))
+            plan.append((i, pos, t))
+        # bucket the packed call's shape (padding masked by `valid`): every
+        # distinct (B, T) is a separately compiled program, and random prompt
+        # lengths would otherwise compile one per tail remainder. Same bucket
+        # series as Engine.prefill.
+        bucket = min(_bucket(max(t for _, _, t in plan)), chunk)
+        packed = [e for e in plan if e[1] + bucket <= s]
+        solo = [e for e in plan if e[1] + bucket > s]
+        if packed:
+            self._prefill_call(packed, bucket)
+        for e in solo:
+            # exact width: padding must never cross the ring boundary (the
+            # contiguous chunk write clamps its window start, which would
+            # misplace valid rows)
+            self._prefill_call([e], e[2])
+
+    def _prefill_call(self, entries: list[tuple[int, int, int]], bucket: int) -> None:
+        b = self.max_batch
+        tokens = np.zeros((b, bucket), np.int32)
+        valid = np.zeros((b, bucket), bool)
+        posv = self._pos.copy()
+        finishing = []
+        for i, pos, t in entries:
+            ids = self.slots[i].prompt_ids
+            tokens[i, :t] = ids[pos : pos + t]
+            valid[i, :t] = True
+            posv[i] = pos
+            if pos + t >= len(ids):
+                finishing.append((i, t))
+        out, self.cache = self.engine.step(
+            tokens,
+            posv,
+            self.cache,
+            jnp.asarray(valid),
+            logits_mode="all" if finishing else "none",
+        )
+        for i, t in finishing:
+            # argmax on device: reading the (B, T, vocab) logits back costs
+            # ~65 MB per request at 7B vocab (measured ~seconds through a
+            # remote-device link); the argmax is 4 bytes
+            self._next_tok[i] = int(jnp.argmax(out[i, t - 1]))
+        for i, pos, t in entries:
+            n = len(self.slots[i].prompt_ids)
+            done = pos + t >= n
+            self._prefill_pos[i] = -1 if done else pos + t
+            self._pos[i] = n if done else pos + t
 
     def _retire(self, slot: int) -> None:
         req = self.slots[slot]
@@ -193,17 +214,18 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------ tick
 
     def step(self) -> bool:
-        """One scheduler tick: admit -> one budgeted prefill chunk -> batched
-        decode segment -> retire. Returns False when nothing is left to do."""
+        """One scheduler tick: admit -> packed budgeted prefill chunks ->
+        batched decode segment -> retire. Returns False when nothing is left
+        to do."""
         self._admit()
         prefilling = [
             i for i, s in enumerate(self.slots)
             if s is not None and self._prefill_pos[i] >= 0
         ]
         if prefilling:
-            # one budgeted chunk for the oldest admitting request; the other
-            # prefilling slots wait their turn (decode below still runs)
-            self._prefill_chunk(prefilling[0])
+            # one budgeted chunk for every admitting request, packed into a
+            # single masked call (decode below still runs)
+            self._prefill_tick(prefilling)
 
         decoding = [
             i for i, s in enumerate(self.slots)
