@@ -1,0 +1,119 @@
+"""Megakernel decode (ops/fused_decode.py) vs the reference XLA path.
+
+The whole-layer-stack fused kernel must be numerically interchangeable with
+the per-op forward: same logits, same cache contents, through ring wrap and
+sink re-rotation (the gate SURVEY.md §4 sets for every kernel: jit-vs-
+interpret equivalence on the same inputs).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.make_tiny_model import make_tiny_model
+from xalm_tpu.convert import convert as cvt
+from xalm_tpu.runtime.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def tiny_i8(tmp_path_factory):
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny_i8.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "i8"]) == 0
+    return out
+
+
+def _engines(tiny_i8, context=0):
+    """(fused megakernel, per-layer pallas) — identical bf16 MXU compute, so
+    equivalence is tight; the XLA engine differs by activation dtype."""
+    fused = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.float32, context=context,
+        progress=False,
+    )
+    ref = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.float32, context=context,
+        progress=False, fused_step=False,
+    )
+    return fused, ref
+
+
+def test_fused_gate_is_active(tiny_i8):
+    from xalm_tpu.ops.fused_decode import fused_step_supported
+
+    eng, _ = _engines(tiny_i8)
+    cache = eng.new_cache(1)
+    assert fused_step_supported(eng.cfg, eng.params, cache.k, 1, 1)
+
+
+def test_fused_decode_matches_xla(tiny_i8):
+    """Per-token decode from scratch: logits AND cache must match."""
+    fused, ref = _engines(tiny_i8)
+    rng = np.random.default_rng(0)
+    toks = rng.integers(3, 350, size=12)
+    cf, cr = fused.new_cache(1), ref.new_cache(1)
+    for i, t in enumerate(toks):
+        lf, cf = fused.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=2e-4, atol=2e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cf.v), np.asarray(cr.v), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_decode_wrap_and_sinks(tiny_i8):
+    """Decode through >2 ring wraps at a tiny window: the in-kernel ring
+    insert, sink re-rotation, and patched attention reads must track the
+    XLA path exactly."""
+    fused, ref = _engines(tiny_i8, context=16)
+    rng = np.random.default_rng(1)
+    toks = rng.integers(3, 350, size=40)
+    cf, cr = fused.new_cache(1), ref.new_cache(1)
+    for i, t in enumerate(toks):
+        lf, cf = fused.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=3e-4, atol=3e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_generate_matches_xla(tiny_i8):
+    """End-to-end greedy generation (scan path) agrees token-for-token."""
+    fused, ref = _engines(tiny_i8)
+    prompt = np.random.default_rng(2).integers(3, 350, size=6).tolist()
+    want, _ = ref.generate(prompt, 8, stop_on_eos=False)
+    got, _ = fused.generate(prompt, 8, stop_on_eos=False)
+    assert got == want
+
+
+def test_fused_close_to_xla_engine(tiny_i8):
+    """Against the f32 XLA engine the fused path differs only by the bf16
+    MXU activation cast (same bound the per-layer pallas tests use)."""
+    fused = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.float32, progress=False
+    )
+    xla = Engine.from_xalm(
+        tiny_i8, matmul_impl="xla", kv_dtype=jnp.float32, progress=False
+    )
+    lf, cf = fused.decode(np.array([7]), np.array([0]), fused.new_cache(1))
+    lx, cx = xla.decode(np.array([7]), np.array([0]), xla.new_cache(1))
+    lf, lx = np.asarray(lf), np.asarray(lx)
+    assert np.abs(lf - lx).max() < 2e-2
+    assert lf.argmax() == lx.argmax()
+
+
+def test_fused_respects_kill_switch(tiny_i8, monkeypatch):
+    monkeypatch.setenv("XALM_NO_MEGAKERNEL", "1")
+    from xalm_tpu.ops.fused_decode import fused_step_supported
+
+    eng, _ = _engines(tiny_i8)
+    cache = eng.new_cache(1)
+    assert not fused_step_supported(eng.cfg, eng.params, cache.k, 1, 1)

@@ -265,6 +265,7 @@ def forward(
     matmul_impl: str = "auto",
     a8_prefill: bool = False,
     tp_axis: str | None = None,
+    fused_step: bool = True,
 ):
     """One jitted step over a (B, T) token block. Returns (logits, cache).
 
@@ -294,6 +295,62 @@ def forward(
 
     lp = params.layers
     use_pallas = matmul_impl == "pallas"
+
+    # --- megakernel decode fast path: the WHOLE layer stack in one
+    # pallas_call with manual-DMA weight streaming (ops/fused_decode.py).
+    # b=1, T=1, i8 weights, float cache — the headline decode regime.
+    if (
+        fused_step
+        and t == 1
+        and b == 1
+        and use_pallas
+        and tp_axis is None
+        and valid is None
+        and cache.k_scale is None
+    ):
+        from xalm_tpu.ops.fused_decode import (
+            fused_decode_step,
+            fused_step_supported,
+        )
+
+        if fused_step_supported(cfg, params, cache.k, b, t):
+            from xalm_tpu.ops.pallas_attention import rope_cos_sin_plus1
+
+            ang = positions[:, 0, None].astype(jnp.float32) * jnp.asarray(freqs)
+            cexp_p = jnp.repeat(jnp.cos(ang), 2, axis=-1)  # (1, hd)
+            sexp_p = jnp.repeat(jnp.sin(ang), 2, axis=-1)
+            cexp1, sexp1 = rope_cos_sin_plus1(freqs)
+            active = (positions[:, 0] >= s).astype(jnp.int32)
+            xf, ck, cv = fused_decode_step(
+                params,
+                cfg,
+                x[:, 0, :],
+                cache.k,
+                cache.v,
+                kv_pos[:, 0],
+                kv_len[:, 0],
+                active,
+                cexp_p,
+                sexp_p,
+                jnp.asarray(cexp1),
+                jnp.asarray(sexp1),
+            )
+            new_cache = KVCache(k=ck, v=cv, k_scale=None, v_scale=None)
+            if logits_mode == "none":
+                return None, new_cache
+            xn = rmsnorm(xf[:, None, :], params.out_norm, cfg.norm_eps)
+            from xalm_tpu.ops.pallas_matmul import (
+                pallas_qmatmul,
+                supported_weight_dtype,
+            )
+
+            if supported_weight_dtype(params.wcls.values.dtype):
+                logits = pallas_qmatmul(xn, params.wcls)
+            else:
+                logits = qmatmul(
+                    xn, params.wcls, compute_dtype=compute_dtype, impl="xla"
+                )
+            return logits[:, 0] if logits_mode == "last" else logits, new_cache
 
     def mm(xx, qw: QWeight, layer=None, norm_sw=None):
         """Stacked-weight matmul. With the pallas impl, the kernel indexes the

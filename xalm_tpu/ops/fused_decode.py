@@ -1,0 +1,546 @@
+"""Whole-step fused decode megakernel: all L layers in ONE pallas_call.
+
+The per-layer kernel chain (4 matmul launches + update + flash + XLA glue,
+reference's per-op decomposition in src/infer.cpp:365-496) leaves the HBM
+stream idle wherever compute serializes between launches: pipeline ramps on
+the small weight streams, attention's fixed cost, rope/silu/residual glue —
+~0.7 ms of a 10.6 ms step (docs/PERF.md). This kernel replaces the whole
+layer stack with one grid=(L,) program that streams weights with MANUAL
+async DMA, so the memory system never waits for compute:
+
+- wqkv for layer l+1 is prefetched as one 25 MB contiguous copy while layer
+  l's attention/FFN run; wo streams during attention; w13/w2 stream through
+  multi-buffered tile pools. Every weight byte moves exactly once, in
+  ~largest-possible DMAs, with no per-launch pipeline ramp.
+- attention (GQA flash over the ring cache), rope, sink re-rotation, the
+  silu GLU, residual adds, and all norms/scales run on the VPU/MXU *under*
+  the weight DMAs — their time is hidden, their XLA launches gone.
+- the KV ring insert is a 2-DMA in-place write (one strided (KH,1,hd) row
+  copy each for K and V); attention reads are patched in-register so no
+  write->read ordering stall exists.
+
+b=1, int8 weights (per-row scales), bf16/f32 KV only — the headline decode
+regime (BASELINE.json). Other shapes fall back to the per-layer kernels in
+models/llama.py. Weight layouts are the stacked fused (L, D, N) buffers of
+models/params.py (wqkv kv-head-grouped, w13 chunk-pair-interleaved).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xalm_tpu.models.config import KV_SINKS
+
+__all__ = ["fused_decode_step", "fused_step_supported"]
+
+_NB13 = 3  # w13 tile buffers
+_NB2 = 2  # w2 tile buffers
+
+
+def _pick_div(n: int, want: int) -> int:
+    t = want
+    while t > 1 and n % t != 0:
+        t //= 2
+    return t
+
+
+def _rope_lane(v, cexp, sexp, hd):
+    """Interleaved-pair rotation, lane-wise (same identity as
+    pallas_attention: swap[2j] = -v[2j+1], swap[2j+1] = v[2j])."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    even = (lane % 2) == 0
+    sw = jnp.where(even, -pltpu.roll(v, hd - 1, 1), pltpu.roll(v, 1, 1))
+    return v * cexp + sw * sexp
+
+
+def _kernel(
+    meta_ref,  # scalar prefetch: [kv_pos, kv_len, rotate]
+    # --- pipelined VMEM inputs
+    x0_ref, cexp_ref, sexp_ref, c1_ref, s1_ref,
+    anorm_ref, mnorm_ref, sqkv_ref, so_ref, s13_ref, s2_ref,
+    # --- ANY (HBM) inputs
+    wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, ck_in, cv_in,
+    # --- outputs
+    xout_ref, ck_out, cv_out,
+    # --- scratch
+    x_ref, qkv_slab, wo_slab, w13_buf, w2_buf,
+    kblk, vblk, sinkw, kwin, vwin, kw_ref, vw_ref,
+    acc_ref, m_ref, l_ref, act_ref,
+    s_wqkv, s_wo, s_w13, s_w2, s_kb, s_vb, s_kw, s_vw, s_sink,
+    *,
+    L: int, N: int, DQ: int, KH: int, G: int, hd: int,
+    H2: int, S: int, sb: int, T13: int, T2: int, c13: int,
+    eps: float, clip: float | None, act: str, cdtype,
+):
+    l = pl.program_id(0)
+    kvp = meta_ref[0]
+    kvl = meta_ref[1]
+    rot = meta_ref[2]
+    nt13 = H2 // T13
+    nt2 = N // T2
+    neg_inf = -1e30
+
+    def dma_wqkv(layer, slot):
+        return pltpu.make_async_copy(
+            wqkv_hbm.at[layer], qkv_slab.at[slot], s_wqkv.at[slot]
+        )
+
+    def dma_wo(layer):
+        return pltpu.make_async_copy(wo_hbm.at[layer], wo_slab, s_wo)
+
+    def dma_w13(layer, i, slot):
+        return pltpu.make_async_copy(
+            w13_hbm.at[layer, pl.ds(i * T13, T13), :], w13_buf.at[slot],
+            s_w13.at[slot],
+        )
+
+    def dma_w2(layer, i, slot):
+        return pltpu.make_async_copy(
+            w2_hbm.at[layer, pl.ds(i * T2, T2), :], w2_buf.at[slot],
+            s_w2.at[slot],
+        )
+
+    def dma_kb(t, slot):
+        return pltpu.make_async_copy(
+            ck_in.at[l, 0, :, pl.ds(t * sb, sb), :], kblk.at[slot], s_kb.at[slot]
+        )
+
+    def dma_vb(t, slot):
+        return pltpu.make_async_copy(
+            cv_in.at[l, 0, :, pl.ds(t * sb, sb), :], vblk.at[slot], s_vb.at[slot]
+        )
+
+    # ---- layer entry: residual init + wqkv slab availability ------------
+    @pl.when(l == 0)
+    def _boot():
+        x_ref[...] = x0_ref[...]
+        dma_wqkv(0, 0).start(priority=1)
+
+    slot_q = l % 2
+    dma_wqkv(l, slot_q).wait()
+
+    # ---- fused qkv projection (norm prologue + row-scale epilogue) ------
+    x = x_ref[...]
+    ms = jnp.mean(x * x, axis=-1, keepdims=True)
+    xn = (x * jax.lax.rsqrt(ms + eps) * anorm_ref[0]).astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        xn, qkv_slab[slot_q], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sqkv_ref[0]  # (1, DQ)
+
+    # prefetch next layer's wqkv + this layer's wo + w13 bootstrap: the DMA
+    # queue must never drain — compute stalls are free, stream stalls are not
+    @pl.when(l + 1 < L)
+    def _pref():
+        dma_wqkv(l + 1, (l + 1) % 2).start(priority=1)
+
+    dma_wo(l).start(priority=1)
+    for i in range(min(_NB13, nt13)):
+        dma_w13(l, i, i).start(priority=1)
+
+    # ---- rope + clip + KV row build -------------------------------------
+    cexp = cexp_ref[...]
+    sexp = sexp_ref[...]
+    inv = 1.0 / math.sqrt(hd)
+    qs = []  # HQ rotated query rows, (1, hd) f32, pre-scaled
+    kw_f = []  # per-kv-head rotated K rows as written (cache-dtype rounded)
+    for j in range(KH):
+        base = j * (G + 2) * hd
+        for a in range(G):
+            qh = y[:, base + a * hd : base + (a + 1) * hd]
+            if clip is not None:
+                qh = jnp.clip(qh, -clip, clip)
+            qs.append(_rope_lane(qh, cexp, sexp, hd) * inv)
+        kh = y[:, base + G * hd : base + (G + 1) * hd]
+        vh = y[:, base + (G + 1) * hd : base + (G + 2) * hd]
+        if clip is not None:
+            kh = jnp.clip(kh, -clip, clip)
+            vh = jnp.clip(vh, -clip, clip)
+        kh = _rope_lane(kh, cexp, sexp, hd).astype(cdtype)
+        kw_ref[j] = kh
+        vw_ref[j] = vh.astype(cdtype)
+        kw_f.append(kh.astype(jnp.float32))
+
+    # ---- in-place ring insert + sink re-rotation --------------------------
+    # HBM DMA slices on the sequence dim must be sublane-tile (8) aligned, so
+    # both are 8-row-window read-modify-writes (the same window discipline as
+    # the per-layer _update_kernel). Window 0 (holding the pinned sinks,
+    # reference infer.cpp:416-431) is always read — its rotated values feed
+    # the attention patch — and written back when the rotation or an
+    # in-window insert changed it; the insert window at blk=(kvp//8)*8 is
+    # RMW'd when kvp lands outside window 0. Sentinel kvp == S drops writes.
+    sw_rows = sinkw.shape[1]
+    blk = jnp.minimum(kvp, S - 1) // sw_rows * sw_rows
+    pltpu.make_async_copy(
+        ck_in.at[l, 0, :, pl.ds(0, sw_rows), :], sinkw, s_sink
+    ).start()
+    pltpu.make_async_copy(
+        cv_in.at[l, 0, :, pl.ds(blk, sw_rows), :], vwin, s_vw
+    ).start()
+    pltpu.make_async_copy(
+        ck_in.at[l, 0, :, pl.ds(blk, sw_rows), :], kwin, s_kw
+    ).start()
+    pltpu.make_async_copy(
+        ck_in.at[l, 0, :, pl.ds(0, sw_rows), :], sinkw, s_sink
+    ).wait()
+    c1 = c1_ref[...]
+    s1 = s1_ref[...]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sw_rows, 1), 0)
+    rs = []  # per head: (KV_SINKS, hd) rotated sink rows (cache-rounded) f32
+    for j in range(KH):
+        win = sinkw[j].astype(jnp.float32)  # (sw_rows, hd)
+        rotw = _rope_lane(win, c1, s1, hd).astype(cdtype)
+        new = jnp.where(
+            rows == kvp, jnp.broadcast_to(kw_ref[j], (sw_rows, hd)),
+            jnp.where((rows < KV_SINKS) & (rot != 0), rotw, sinkw[j]),
+        )
+        sinkw[j] = new
+        rs.append(rotw[:KV_SINKS].astype(jnp.float32))
+
+    @pl.when((kvp < sw_rows) | (rot != 0))
+    def _sink_wb():
+        pltpu.make_async_copy(
+            sinkw, ck_out.at[l, 0, :, pl.ds(0, sw_rows), :], s_sink
+        ).start()
+        pltpu.make_async_copy(
+            sinkw, ck_out.at[l, 0, :, pl.ds(0, sw_rows), :], s_sink
+        ).wait()
+
+    pltpu.make_async_copy(
+        ck_in.at[l, 0, :, pl.ds(blk, sw_rows), :], kwin, s_kw
+    ).wait()
+    pltpu.make_async_copy(
+        cv_in.at[l, 0, :, pl.ds(blk, sw_rows), :], vwin, s_vw
+    ).wait()
+    for j in range(KH):
+        kwin[j] = jnp.where(
+            rows == kvp - blk, jnp.broadcast_to(kw_ref[j], (sw_rows, hd)),
+            kwin[j],
+        )
+        vwin[j] = jnp.where(
+            rows == kvp - blk, jnp.broadcast_to(vw_ref[j], (sw_rows, hd)),
+            vwin[j],
+        )
+
+    @pl.when((kvp >= sw_rows) & (kvp < S))
+    def _ins_k():
+        pltpu.make_async_copy(
+            kwin, ck_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_kw
+        ).start()
+        pltpu.make_async_copy(
+            kwin, ck_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_kw
+        ).wait()
+
+    @pl.when(kvp < S)
+    def _ins_v():
+        pltpu.make_async_copy(
+            vwin, cv_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_vw
+        ).start()
+        pltpu.make_async_copy(
+            vwin, cv_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_vw
+        ).wait()
+
+    # ---- flash attention over the ring (in-register patched reads) ------
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, neg_inf)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    nblk = (kvl + sb - 1) // sb
+    dma_kb(0, 0).start()
+    dma_vb(0, 0).start()
+
+    def blk_body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < nblk)
+        def _next():
+            dma_kb(t + 1, (t + 1) % 2).start()
+            dma_vb(t + 1, (t + 1) % 2).start()
+
+        dma_kb(t, slot).wait()
+        dma_vb(t, slot).wait()
+        rel = kvp - t * sb  # new row's index inside this block (may be OOR)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (sb, hd), 0)
+        rg = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+        live = rg < kvl  # (1, sb)
+        for j in range(KH):
+            kb = kblk[slot, j].astype(jnp.float32)  # (sb, hd)
+            vb = vblk[slot, j].astype(jnp.float32)
+            # patch: this step's row + (wrapped) rotated sinks — the HBM
+            # writes race harmlessly, every read is fixed up here
+            kb = jnp.where(rows2 == rel, kw_f[j], kb)
+            vb = jnp.where(rows2 == rel, vw_ref[j].astype(jnp.float32), vb)
+            for si in range(KV_SINKS):
+                kb = jnp.where(
+                    (rows2 == (si - t * sb)) & (rot != 0), rs[j][si : si + 1], kb
+                )
+            qj = jnp.concatenate(qs[j * G : (j + 1) * G], axis=0)  # (G, hd)
+            scores = jax.lax.dot_general(
+                qj, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, sb)
+            scores = jnp.where(live, scores, neg_inf)
+            lo = j * G
+            m_old = m_ref[lo : lo + G, :1]
+            m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.where(live, jnp.exp(scores - m_new), 0.0)
+            m_ref[lo : lo + G, :1] = m_new
+            l_ref[lo : lo + G, :1] = l_ref[lo : lo + G, :1] * alpha + jnp.sum(
+                p, axis=-1, keepdims=True
+            )
+            acc_ref[lo : lo + G, :] = acc_ref[lo : lo + G, :] * alpha + (
+                jax.lax.dot_general(
+                    p, vb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        return 0
+
+    jax.lax.fori_loop(0, nblk, blk_body, 0)
+
+    # ---- wo projection (row-parallel over query heads) + residual -------
+    hq = KH * G
+    lsafe = jnp.where(l_ref[:hq, :1] > 0, l_ref[:hq, :1], 1.0)
+    attn = acc_ref[:hq, :] / lsafe  # (HQ, hd) f32
+    dma_wo(l).wait()
+    yo = None
+    for h in range(hq):
+        ah = attn[h : h + 1].astype(jnp.bfloat16)  # (1, hd)
+        part = jax.lax.dot_general(
+            ah, wo_slab[:, h * hd : (h + 1) * hd], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, N)
+        yo = part if yo is None else yo + part
+    x = x + yo * so_ref[0]
+    x_ref[...] = x
+
+    # ---- GLU FFN: w13 tile stream -> silu*up -> w2 tile stream ----------
+    ms2 = jnp.mean(x * x, axis=-1, keepdims=True)
+    xn2 = (x * jax.lax.rsqrt(ms2 + eps) * mnorm_ref[0]).astype(jnp.bfloat16)
+    s13 = s13_ref[0]
+    for i in range(nt13):
+        slot = i % _NB13
+        dma_w13(l, i, slot).wait()
+        yt = jax.lax.dot_general(
+            xn2, w13_buf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * s13[:, i * T13 : (i + 1) * T13]  # (1, T13)
+        if i + _NB13 < nt13:
+            dma_w13(l, i + _NB13, slot).start(priority=1)
+        for p in range(T13 // (2 * c13)):
+            off = p * 2 * c13
+            gate = yt[:, off : off + c13]
+            up = yt[:, off + c13 : off + 2 * c13]
+            if act == "silu":
+                a = jax.nn.silu(gate) * up
+            else:
+                a = jax.nn.gelu(gate, approximate=True) * up
+            o = i * (T13 // 2) + p * c13
+            act_ref[:, o : o + c13] = a
+
+    for i in range(min(_NB2, nt2)):
+        dma_w2(l, i, i).start(priority=1)
+    actb = act_ref[...].astype(jnp.bfloat16)
+    s2 = s2_ref[0]
+    for i in range(nt2):
+        slot = i % _NB2
+        dma_w2(l, i, slot).wait()
+        y2 = jax.lax.dot_general(
+            actb, w2_buf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * s2[:, i * T2 : (i + 1) * T2]  # (1, T2)
+        if i + _NB2 < nt2:
+            dma_w2(l, i + _NB2, slot).start(priority=1)
+        x_ref[:, i * T2 : (i + 1) * T2] = (
+            x_ref[:, i * T2 : (i + 1) * T2] + y2
+        )
+
+    @pl.when(l == L - 1)
+    def _emit():
+        xout_ref[...] = x_ref[...]
+
+
+def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
+    """Shape/dtype gate for the megakernel decode path."""
+    if batch != 1 or t != 1:
+        return False
+    if jnp.dtype(cache_k.dtype) not in (
+        jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)
+    ):
+        return False
+    lp = params.layers
+    for qw in (lp.wqkv, lp.wo, lp.w13, lp.w2):
+        if qw.values.dtype != jnp.int8 or qw.scale is None:
+            return False
+    from xalm_tpu.models.params import ffn_chunk
+
+    c13 = ffn_chunk(cfg.hidden_dim)
+    h2 = 2 * cfg.hidden_dim
+    t13 = _pick_div(h2, 1024)
+    if t13 % (2 * c13) != 0:
+        return False
+    if cfg.head_dim % 2 != 0:
+        return False
+    import os
+
+    if os.environ.get("XALM_NO_MEGAKERNEL"):
+        return False
+    return True
+
+
+def fused_decode_step(
+    params,
+    cfg,
+    x0: jax.Array,  # (1, N) f32 — post-embed residual input
+    cache_k: jax.Array,  # (L, 1, KH, S, hd) bf16/f32 — updated in place
+    cache_v: jax.Array,
+    kv_pos: jax.Array,  # (1,) int32 (S = dropped write)
+    kv_len: jax.Array,  # (1,) int32
+    rotate: jax.Array,  # (1,) int32 — sink re-rotation active
+    cexp_p: jax.Array,  # (1, hd) f32 — cos at the current position
+    sexp_p: jax.Array,
+    cexp1: jax.Array,  # (1, hd) f32 — +1-position rotation (sinks)
+    sexp1: jax.Array,
+):
+    """One full decode-layer-stack step. Returns (x (1, N) f32, ck, cv)."""
+    lp = params.layers
+    L, DQ, N = lp.wqkv.values.shape
+    QD = lp.wo.values.shape[2]  # wo: (L, N, QD)
+    H2 = lp.w13.values.shape[1]
+    H = lp.w2.values.shape[2]
+    _, _, KH, S, hd = cache_k.shape
+    G = cfg.n_heads // cfg.n_kv_heads
+    from xalm_tpu.models.params import ffn_chunk
+
+    c13 = ffn_chunk(cfg.hidden_dim)
+    assert DQ == KH * (G + 2) * hd, (DQ, KH, G, hd)
+    sb = _pick_div(S, 512)
+    T13 = _pick_div(H2, 1024)
+    T2 = _pick_div(N, 512)
+    cdtype = cache_k.dtype
+    sw_rows = min(8, S)
+    hq = KH * G
+    hq_p = -(-hq // 8) * 8
+    clip = cfg.qkv_clip if math.isfinite(cfg.qkv_clip) else None
+    interp = jax.default_backend() != "tpu"
+
+    meta = jnp.stack(
+        [
+            jnp.asarray(kv_pos, jnp.int32).reshape(()),
+            jnp.asarray(kv_len, jnp.int32).reshape(()),
+            jnp.asarray(rotate, jnp.int32).reshape(()),
+        ]
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, H2=H2, S=S, sb=sb,
+        T13=T13, T2=T2, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
+        cdtype=cdtype,
+    )
+    const = lambda l, m: (0, 0)
+    row = lambda l, m: (l, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, DQ), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H2), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, N), jnp.float32),  # x residual
+            pltpu.VMEM((2, DQ, N), jnp.int8),  # wqkv slabs
+            pltpu.VMEM((N, QD), jnp.int8),  # wo slab
+            pltpu.VMEM((_NB13, T13, N), jnp.int8),  # w13 tile pool
+            pltpu.VMEM((_NB2, T2, H), jnp.int8),  # w2 tile pool
+            pltpu.VMEM((2, KH, sb, hd), cdtype),  # K blocks
+            pltpu.VMEM((2, KH, sb, hd), cdtype),  # V blocks
+            pltpu.VMEM((KH, sw_rows, hd), cdtype),  # sink window
+            pltpu.VMEM((KH, sw_rows, hd), cdtype),  # K insert window
+            pltpu.VMEM((KH, sw_rows, hd), cdtype),  # V insert window
+            pltpu.VMEM((KH, 1, hd), cdtype),  # K row to insert
+            pltpu.VMEM((KH, 1, hd), cdtype),  # V row to insert
+            pltpu.VMEM((hq_p, hd), jnp.float32),  # flash acc
+            pltpu.VMEM((hq_p, 128), jnp.float32),  # flash m
+            pltpu.VMEM((hq_p, 128), jnp.float32),  # flash l
+            pltpu.VMEM((1, H), jnp.float32),  # act
+            pltpu.SemaphoreType.DMA((2,)),  # wqkv
+            pltpu.SemaphoreType.DMA(()),  # wo
+            pltpu.SemaphoreType.DMA((_NB13,)),  # w13
+            pltpu.SemaphoreType.DMA((_NB2,)),  # w2
+            pltpu.SemaphoreType.DMA((2,)),  # k blocks
+            pltpu.SemaphoreType.DMA((2,)),  # v blocks
+            pltpu.SemaphoreType.DMA(()),  # k row write
+            pltpu.SemaphoreType.DMA(()),  # v row write
+            pltpu.SemaphoreType.DMA(()),  # sink rmw
+        ],
+    )
+    weight_bytes = (
+        lp.wqkv.values.nbytes + lp.wo.values.nbytes
+        + lp.w13.values.nbytes + lp.w2.values.nbytes
+    )
+    x, ck, cv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ),
+        grid_spec=grid_spec,
+        # inputs counted incl. the scalar-prefetch arg: 16=cache_k, 17=cache_v
+        input_output_aliases={16: 1, 17: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=124 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (DQ * N + N * QD + H2 * N + N * H) * L,
+            bytes_accessed=weight_bytes,
+            transcendentals=0,
+        ),
+        interpret=interp,
+    )(
+        meta,
+        x0,
+        cexp_p, sexp_p, cexp1, sexp1,
+        lp.attn_norm.reshape(L, 1, N).astype(jnp.float32),
+        lp.mlp_norm.reshape(L, 1, N).astype(jnp.float32),
+        lp.wqkv.scale.reshape(L, 1, DQ).astype(jnp.float32),
+        lp.wo.scale.reshape(L, 1, N).astype(jnp.float32),
+        lp.w13.scale.reshape(L, 1, H2).astype(jnp.float32),
+        lp.w2.scale.reshape(L, 1, N).astype(jnp.float32),
+        lp.wqkv.values,
+        lp.wo.values,
+        lp.w13.values,
+        lp.w2.values,
+        cache_k,
+        cache_v,
+    )
+    return x, ck, cv

@@ -178,24 +178,38 @@ def _sink_q_kernel(
     ksout_ref[0, 0] = jnp.where(slive, padded, stripe)
 
 
+def _batch_mask_cols(kv_len_ref, b: int, sb: int, t):
+    """(1, b*sb) per-column live-position count: column c belongs to batch
+    row c // sb and covers cache slot t*sb + c % sb. Built from the
+    scalar-prefetched kv_len with b cheap lane selects (the only remaining
+    per-batch work — O(b) selects, not O(b) MXU dots)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, b * sb), 1)
+    col_bi = col // sb
+    kvl = jnp.zeros((1, b * sb), jnp.int32)
+    for bi in range(b):
+        kvl = jnp.where(col_bi == bi, kv_len_ref[bi], kvl)
+    pos = t * sb + col % sb
+    return col_bi, pos, kvl
+
+
 def _attn_q_kernel(
     layer_ref, blkmax_ref, kv_len_ref,  # scalar prefetch
     q_ref, kin_ref, vin_ref, ks_ref, vs_ref,  # inputs
     out_ref,
     acc_ref, m_ref, l_ref,
-    *, b: int, gp: int, sb: int, nsb: int, hd: int, g: int,
+    *, b: int, sb: int, nsb: int, hd: int, g: int,
 ):
-    """Flash-decoding over an int8 cache, batched like _attn_kernel (grid
-    (kh, nsb), all batch rows per cell). Per-row scales factor OUT of both
-    dots so the int8 codes feed the MXU directly and dequant is O(sb) per
-    head, not O(sb*hd) — a full VPU dequant caps decode at ~240 GB/s
-    (measured; the fp8-dequant trap)."""
+    """Flash-decoding over an int8 cache, batch-vectorized like _attn_kernel
+    (grid (kh, nsb); ONE block-diagonal-masked dot for the whole batch).
+    Per-row scales factor OUT of both dots so the int8 codes feed the MXU
+    directly and dequant is O(sb) per head, not O(sb*hd) — a full VPU
+    dequant caps decode at ~240 GB/s (measured; the fp8-dequant trap)."""
     j = pl.program_id(0)
     t = pl.program_id(1)
-    kvls = [kv_len_ref[bi] for bi in range(b)]
-    kvl_max = kvls[0]
-    for kv_b in kvls[1:]:
-        kvl_max = jnp.maximum(kvl_max, kv_b)
+    bg = b * g
+    kvl_max = kv_len_ref[0]
+    for bi in range(1, b):
+        kvl_max = jnp.maximum(kvl_max, kv_len_ref[bi])
 
     @pl.when(t == 0)
     def _init():
@@ -205,39 +219,45 @@ def _attn_q_kernel(
 
     @pl.when(t * sb < kvl_max)
     def _block():
-        for bi in range(b):
-            lo = bi * gp
-            kscale = ks_ref[0, bi, pl.ds(j, 1), :]  # (1, sb)
-            vscale = vs_ref[0, bi, pl.ds(j, 1), :]
-            q = q_ref[bi, 0].astype(jnp.bfloat16)
-            scores = jax.lax.dot_general(
-                q, kin_ref[0, bi, 0], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (kscale * (1.0 / math.sqrt(hd)))
-            rows = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
-            scores = jnp.where(rows < kvls[bi], scores, _NEG_INF)
-            m_old = m_ref[lo : lo + g, :1]
-            m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_old - m_new)
-            # explicit p mask: in a fully-masked block m_new stays _NEG_INF
-            # and exp(scores - m_new) would be 1, not 0 (kv_len == 0 rows)
-            p = jnp.where(rows < kvls[bi], jnp.exp(scores - m_new), 0.0)
-            m_ref[lo : lo + g, :1] = m_new
-            l_ref[lo : lo + g, :1] = l_ref[lo : lo + g, :1] * alpha + jnp.sum(
-                p, axis=-1, keepdims=True
-            )
-            acc_ref[lo : lo + g, :] = acc_ref[lo : lo + g, :] * alpha + jax.lax.dot_general(
-                (p * vscale).astype(jnp.bfloat16), vin_ref[0, bi, 0],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
+        q_all = q_ref[...].reshape(bg, hd).astype(jnp.bfloat16)
+        k_all = kin_ref[...].reshape(b * sb, hd)
+        v_all = vin_ref[...].reshape(b * sb, hd)
+        # per-column scale rows, concatenated on the lane axis (lane-dim
+        # concat is layout-free; a (b, sb) -> (1, b*sb) reshape would move
+        # sublanes into lanes, which Mosaic rejects)
+        kscale = jnp.concatenate(
+            [ks_ref[0, bi, pl.ds(j, 1), :] for bi in range(b)], axis=-1
+        )  # (1, b*sb)
+        vscale = jnp.concatenate(
+            [vs_ref[0, bi, pl.ds(j, 1), :] for bi in range(b)], axis=-1
+        )
+        scores = jax.lax.dot_general(
+            q_all, k_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (kscale * (1.0 / math.sqrt(hd)))  # (bg, b*sb)
+        col_bi, pos, kvl = _batch_mask_cols(kv_len_ref, b, sb, t)
+        row_bi = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) // g
+        live = (row_bi == col_bi) & (pos < kvl)
+        scores = jnp.where(live, scores, _NEG_INF)
+        m_old = m_ref[:bg, :1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        # explicit p mask: in a fully-masked block m_new stays _NEG_INF and
+        # exp(scores - m_new) would be 1, not 0 (kv_len == 0 rows)
+        p = jnp.where(live, jnp.exp(scores - m_new), 0.0)
+        m_ref[:bg, :1] = m_new
+        l_ref[:bg, :1] = l_ref[:bg, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:bg, :] = acc_ref[:bg, :] * alpha + jax.lax.dot_general(
+            (p * vscale).astype(jnp.bfloat16), v_all,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
 
     @pl.when(t == nsb - 1)
     def _finish():
-        for bi in range(b):
-            lo = bi * gp
-            l = l_ref[lo : lo + g, :1]
-            # kv_len == 0 rows have l == 0: emit 0, not 0/0 NaN
-            out_ref[bi, 0] = acc_ref[lo : lo + g, :] / jnp.where(l > 0, l, 1.0)
+        l = l_ref[:bg, :1]
+        # kv_len == 0 rows have l == 0: emit 0, not 0/0 NaN
+        out = acc_ref[:bg, :] / jnp.where(l > 0, l, 1.0)
+        out_ref[...] = out.reshape(b, 1, g, hd)
 
 
 def _attn_kernel(
@@ -245,7 +265,7 @@ def _attn_kernel(
     q_ref, kin_ref, vin_ref,  # inputs (read-only cache sequence blocks)
     out_ref,  # output
     acc_ref, m_ref, l_ref,  # VMEM scratch, persistent across the t axis
-    *, b: int, gp: int, sb: int, nsb: int, hd: int, g: int,
+    *, b: int, sb: int, nsb: int, hd: int, g: int,
 ):
     """Flash-decoding: the sequence axis is grid dimension t over ``sb``-row
     blocks with a running max/denominator, so HBM traffic scales with
@@ -253,17 +273,21 @@ def _attn_kernel(
     are clamped by the index_map to the last live block (the pipeline skips
     re-fetching an unchanged block) and their compute is skipped.
 
-    The whole batch rides in each block (statically unrolled per-row 2-D
-    dots): grid cells are (kh, nsb) — independent of B — so batched serving
-    doesn't drown in per-cell launch overhead (measured ~0.3 us/cell: a
-    (B, KH, NSB) grid cost ~5 ms/step at batch 8)."""
+    The whole batch rides in each block: grid cells are (kh, nsb) —
+    independent of B — so batched serving doesn't drown in per-cell launch
+    overhead (measured ~0.3 us/cell: a (B, KH, NSB) grid cost ~5 ms/step at
+    batch 8). The batch is vectorized as ONE block-diagonal-masked
+    (b*g, b*sb) dot rather than b unrolled per-row dots: the off-diagonal
+    MXU work is free at decode (HBM-bound, systolic array idle) while
+    compile time and code size stop scaling with b (the old unrolled form
+    emitted 16 flash updates per cell at the advertised serving batch)."""
     j = pl.program_id(0)
     t = pl.program_id(1)
     del j
-    kvls = [kv_len_ref[bi] for bi in range(b)]
-    kvl_max = kvls[0]
-    for kv_b in kvls[1:]:
-        kvl_max = jnp.maximum(kvl_max, kv_b)
+    bg = b * g
+    kvl_max = kv_len_ref[0]
+    for bi in range(1, b):
+        kvl_max = jnp.maximum(kvl_max, kv_len_ref[bi])
 
     @pl.when(t == 0)
     def _init():
@@ -273,48 +297,39 @@ def _attn_kernel(
 
     @pl.when(t * sb < kvl_max)
     def _block():
-        for bi in range(b):
-            _attn_block_row(
-                q_ref, kin_ref, vin_ref, acc_ref, m_ref, l_ref,
-                bi, t, kvls[bi], sb=sb, hd=hd, g=g, gp=gp,
-            )
+        # f32 MXU inputs on purpose: decode is HBM-bound (the array is idle)
+        # and the f32 dot keeps this path bit-comparable with the golden XLA
+        # attention at test tolerances
+        q_all = q_ref[...].reshape(bg, hd).astype(jnp.float32) * (1.0 / math.sqrt(hd))
+        k_all = kin_ref[...].reshape(b * sb, hd).astype(jnp.float32)
+        v_all = vin_ref[...].reshape(b * sb, hd).astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q_all, k_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bg, b*sb)
+        col_bi, pos, kvl = _batch_mask_cols(kv_len_ref, b, sb, t)
+        row_bi = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) // g
+        live = (row_bi == col_bi) & (pos < kvl)
+        scores = jnp.where(live, scores, _NEG_INF)
+        m_old = m_ref[:bg, :1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        # explicit p mask: in a fully-masked block m_new stays _NEG_INF and
+        # exp(scores - m_new) would be 1, not 0 (kv_len == 0 rows)
+        p = jnp.where(live, jnp.exp(scores - m_new), 0.0)
+        m_ref[:bg, :1] = m_new
+        l_ref[:bg, :1] = l_ref[:bg, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:bg, :] = acc_ref[:bg, :] * alpha + jax.lax.dot_general(
+            p, v_all, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(t == nsb - 1)
     def _finish():
-        for bi in range(b):
-            lo = bi * gp
-            l = l_ref[lo : lo + g, :1]
-            # kv_len == 0 rows have l == 0: emit 0, not 0/0 NaN
-            out_ref[bi, 0] = acc_ref[lo : lo + g, :] / jnp.where(l > 0, l, 1.0)
-
-
-def _attn_block_row(
-    q_ref, kin_ref, vin_ref, acc_ref, m_ref, l_ref, bi, t, kvl,
-    *, sb: int, hd: int, g: int, gp: int,
-):
-    """One batch row's flash update for sequence block t (2-D math only)."""
-    lo = bi * gp
-    kv = kin_ref[0, bi, 0].astype(jnp.float32)  # (sb, hd)
-    vv = vin_ref[0, bi, 0].astype(jnp.float32)
-    q = q_ref[bi, 0].astype(jnp.float32) * (1.0 / math.sqrt(hd))  # (G, hd)
-    scores = jax.lax.dot_general(
-        q, kv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (G, sb)
-    rows = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
-    scores = jnp.where(rows < kvl, scores, _NEG_INF)
-    m_old = m_ref[lo : lo + g, :1]
-    m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_old - m_new)
-    # explicit p mask: in a fully-masked block m_new stays _NEG_INF and
-    # exp(scores - m_new) would be 1, not 0 (kv_len == 0 rows)
-    p = jnp.where(rows < kvl, jnp.exp(scores - m_new), 0.0)
-    m_ref[lo : lo + g, :1] = m_new
-    l_ref[lo : lo + g, :1] = l_ref[lo : lo + g, :1] * alpha + jnp.sum(
-        p, axis=-1, keepdims=True
-    )
-    acc_ref[lo : lo + g, :] = acc_ref[lo : lo + g, :] * alpha + jax.lax.dot_general(
-        p, vv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        l = l_ref[:bg, :1]
+        # kv_len == 0 rows have l == 0: emit 0, not 0/0 NaN
+        out = acc_ref[:bg, :] / jnp.where(l > 0, l, 1.0)
+        out_ref[...] = out.reshape(b, 1, g, hd)
 
 
 def fused_decode_attention_q(
@@ -407,7 +422,7 @@ def fused_decode_attention_q(
     # batched kernel: one sequence-block index per cell (max over the batch;
     # shorter sequences mask their tail rows)
     blkmax = jnp.max(jnp.maximum(kv_len - 1, 0))[None] // sb
-    gp = max(g, 8)
+    rows_p = -(-(b * g) // _ROWBLK) * _ROWBLK  # scratch rows, sublane-padded
 
     seq_spec = pl.BlockSpec(
         (1, b, 1, sb, hd),
@@ -421,7 +436,7 @@ def fused_decode_attention_q(
     )
     def attn_call(nsb_eff: int):
         return pl.pallas_call(
-            functools.partial(_attn_q_kernel, b=b, gp=gp, sb=sb, nsb=nsb_eff, hd=hd, g=g),
+            functools.partial(_attn_q_kernel, b=b, sb=sb, nsb=nsb_eff, hd=hd, g=g),
             out_shape=jax.ShapeDtypeStruct((b, kh, g, hd), jnp.float32),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -435,9 +450,9 @@ def fused_decode_attention_q(
                 ],
                 out_specs=pl.BlockSpec((b, 1, g, hd), lambda j, t, *sp: (0, j, 0, 0), memory_space=pltpu.VMEM),
                 scratch_shapes=[
-                    pltpu.VMEM((b * gp, hd), jnp.float32),
-                    pltpu.VMEM((b * gp, 128), jnp.float32),
-                    pltpu.VMEM((b * gp, 128), jnp.float32),
+                    pltpu.VMEM((rows_p, hd), jnp.float32),
+                    pltpu.VMEM((rows_p, 128), jnp.float32),
+                    pltpu.VMEM((rows_p, 128), jnp.float32),
                 ],
             ),
             compiler_params=pltpu.CompilerParams(
@@ -451,15 +466,24 @@ def fused_decode_attention_q(
     return out.reshape(b, h * hd), ck, cv, ks, vs
 
 
+def _n_tiers() -> int:
+    """Flash-grid context-tier count (XALM_ATTN_TIERS overrides; perf knob —
+    each tier is a separately Mosaic-compiled program, see _tiered)."""
+    import os
+
+    return max(1, int(os.environ.get("XALM_ATTN_TIERS", "3")))
+
+
 def _tiered(attn_call, nsb: int, blkmax):
     """Run the flash grid at a context-sized tier: short contexts (the
     common serving regime) iterate 1 sequence-block cell per head instead
     of nsb mostly-skipped ones (~10 us/layer/step of pure cell overhead at
     a 4k window); mid contexts use nsb/2. The index maps already clamp
     block fetches to blkmax, so every tier computes identically."""
-    if nsb <= 1:
+    n = _n_tiers()
+    if nsb <= 1 or n == 1:
         return attn_call(nsb)
-    tiers = [1, nsb] if nsb < 4 else [1, nsb // 2, nsb]
+    tiers = [1, nsb] if (nsb < 4 or n == 2) else [1, nsb // 2, nsb]
     idx = sum(jnp.int32(blkmax[0] >= t) for t in tiers[:-1])
     return jax.lax.switch(idx, [functools.partial(attn_call, t) for t in tiers])
 
@@ -749,7 +773,7 @@ def fused_decode_attention(
     # sequence-block index per cell; shorter sequences mask their tail rows
     blkmax = jnp.max(jnp.maximum(kv_len - 1, 0))[None] // sb
 
-    gp = max(g, 8)  # scratch rows padded to the sublane tile, per batch row
+    rows_p = -(-(b * g) // _ROWBLK) * _ROWBLK  # scratch rows, sublane-padded
     seq_spec = pl.BlockSpec(
         (1, b, 1, sb, hd),
         lambda j, t, lr, bm, *sp: (lr[0], 0, j, jnp.minimum(t, bm[0]), 0),
@@ -758,7 +782,7 @@ def fused_decode_attention(
 
     def attn_call(nsb_eff: int):
         return pl.pallas_call(
-            functools.partial(_attn_kernel, b=b, gp=gp, sb=sb, nsb=nsb_eff, hd=hd, g=g),
+            functools.partial(_attn_kernel, b=b, sb=sb, nsb=nsb_eff, hd=hd, g=g),
             out_shape=jax.ShapeDtypeStruct((b, kh, g, hd), jnp.float32),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -770,9 +794,9 @@ def fused_decode_attention(
                 ],
                 out_specs=pl.BlockSpec((b, 1, g, hd), lambda j, t, *sp: (0, j, 0, 0), memory_space=pltpu.VMEM),
                 scratch_shapes=[
-                    pltpu.VMEM((b * gp, hd), jnp.float32),
-                    pltpu.VMEM((b * gp, 128), jnp.float32),
-                    pltpu.VMEM((b * gp, 128), jnp.float32),
+                    pltpu.VMEM((rows_p, hd), jnp.float32),
+                    pltpu.VMEM((rows_p, 128), jnp.float32),
+                    pltpu.VMEM((rows_p, 128), jnp.float32),
                 ],
             ),
             compiler_params=pltpu.CompilerParams(

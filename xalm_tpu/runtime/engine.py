@@ -82,6 +82,7 @@ class Engine:
         compute_dtype="auto",
         matmul_impl: str = "auto",
         a8_prefill: bool = False,
+        fused_step: bool = True,
     ):
         self.cfg = cfg
         self.params = params
@@ -104,6 +105,8 @@ class Engine:
             matmul_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.matmul_impl = matmul_impl
 
+        self.fused_step = fused_step
+
         def _fwd(params, tokens, pos, cache, valid, *, logits_mode):
             return forward(
                 params,
@@ -116,6 +119,7 @@ class Engine:
                 compute_dtype=compute_dtype,
                 matmul_impl=matmul_impl,
                 a8_prefill=a8_prefill,
+                fused_step=fused_step,
             )
 
         # cache (arg 3) donated: decode updates it in place in HBM.
@@ -147,6 +151,7 @@ class Engine:
                     logits_mode="last",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
+                    fused_step=fused_step,
                 )
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return (nxt, p + 1, c), nxt
@@ -206,6 +211,7 @@ class Engine:
                     logits_mode="last",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
+                    fused_step=fused_step,
                 )
                 lp = token_logprobs(logits, tgt)
                 return (p + 1, c), lp
@@ -230,6 +236,7 @@ class Engine:
         matmul_impl: str = "auto",
         fp8_mode: str = "auto",
         a8_prefill: bool = False,
+        fused_step: bool = True,
         progress: bool = True,
     ) -> "Engine":
         from xalm_tpu.models.params import load_units
@@ -255,6 +262,7 @@ class Engine:
             compute_dtype=compute_dtype,
             matmul_impl=matmul_impl,
             a8_prefill=a8_prefill,
+            fused_step=fused_step,
         )
 
     # ----------------------------------------------------------------- steps
