@@ -1,0 +1,108 @@
+"""Pin the distributed decode path's collective structure.
+
+docs/SCALING.md's projected multi-chip efficiency rests on an exact claim:
+the tp decode step issues TWO all-reduces per layer (the row-parallel wo and
+w2 partial sums) and nothing else on the hot path, while dp adds ZERO
+per-layer collectives. If a refactor silently adds a collective (an
+all-gather of the cache, a reshard of activations), the projection — and
+the >=85% 2-host BASELINE leg it argues — is invalid. This test counts
+collectives in the lowered HLO so that regression is loud.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.make_tiny_model import make_tiny_model
+from xalm_tpu.convert import convert as cvt
+from xalm_tpu.parallel.mesh import make_mesh
+from xalm_tpu.parallel.sharded_engine import ShardedEngine
+
+
+@pytest.fixture(scope="module")
+def tiny_xalm(tmp_path_factory):
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    return out
+
+
+def _hlo_counts(lowered) -> dict:
+    txt = lowered.as_text()  # StableHLO (region ops print as "op"(...))
+    return {
+        "all-reduce": txt.count("stablehlo.all_reduce"),
+        "all-gather": txt.count("stablehlo.all_gather"),
+        "all-to-all": txt.count("stablehlo.all_to_all"),
+        "collective-permute": txt.count("stablehlo.collective_permute"),
+    }
+
+
+def test_tp_decode_step_collective_count(tiny_xalm):
+    """One tp decode step: exactly 2 all-reduces (wo + w2 row-parallel
+    psums) inside the layer-scan body; no all-to-alls, no permutes.
+    The scan appears once in HLO, so the static count IS the per-layer
+    count. Ref: docs/SCALING.md comm model; SURVEY.md section 2.4."""
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    eng = ShardedEngine.from_xalm(tiny_xalm, mesh)
+    cache = eng.new_cache(1)
+    toks = np.zeros((1, 1), np.int32)
+    pos = np.zeros((1,), np.int32)
+    lowered = eng._fwd.lower(
+        eng.params, toks, pos, cache, None, logits_mode="last"
+    )
+    counts = _hlo_counts(lowered)
+    assert counts["all-reduce"] == 2, counts
+    assert counts["all-to-all"] == 0 and counts["collective-permute"] == 0, counts
+    # vocab-sharded logits come back shard-local: no gather on the step path
+    assert counts["all-gather"] == 0, counts
+
+
+def test_dp_decode_scan_has_no_extra_collectives(tiny_xalm):
+    """dp=2, tp=2 decode scan: still only the 2 per-layer psums plus the
+    distributed-argmax gathers (2 small (tp, B) gathers per step — vals and
+    global indices, sharded_engine.sharded_argmax). dp itself contributes
+    nothing: batch rows are independent."""
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    eng = ShardedEngine.from_xalm(tiny_xalm, mesh)
+    cache = eng.new_cache(2)
+    toks = np.zeros((2,), np.int32)
+    pos = np.zeros((2,), np.int32)
+    lowered = eng._decode_scan.lower(
+        eng.params, toks, pos, cache, 4, np.ones((2,), bool)
+    )
+    counts = _hlo_counts(lowered)
+    assert counts["all-reduce"] == 2, counts
+    assert counts["all-gather"] == 2, counts  # argmax winner pick only
+    assert counts["all-to-all"] == 0 and counts["collective-permute"] == 0, counts
+
+
+def test_comm_model_numbers_match_shapes(tiny_xalm):
+    """The SCALING.md per-token comm-volume formula (2 * L * dim * 4 B
+    all-reduced per token) matches the traced shapes: each psum moves one
+    (B, 1, dim) f32 activation."""
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    eng = ShardedEngine.from_xalm(tiny_xalm, mesh)
+    cache = eng.new_cache(1)
+    lowered = eng._fwd.lower(
+        eng.params, np.zeros((1, 1), np.int32), np.zeros((1,), np.int32),
+        cache, None, logits_mode="last",
+    )
+    txt = lowered.as_text()
+    d = eng.cfg.dim
+    shapes = []
+    at = 0
+    while True:
+        at = txt.find("stablehlo.all_reduce", at)
+        if at < 0:
+            break
+        # the op's result type follows its (multi-line) reduction region
+        m = re.search(r"-> tensor<([0-9x]+)xf32>", txt[at : at + 4000])
+        assert m is not None
+        shapes.append(tuple(int(x) for x in m.group(1).split("x")))
+        at += 1
+    assert len(shapes) == 2, shapes
+    for s in shapes:
+        assert int(np.prod(s)) == d, (s, d)

@@ -8,9 +8,15 @@ prefill kernel) + greedy decode through >=2 ring wraps on both backends
 (separate subprocesses — the jax platform latches once per process) and
 compares logits/argmax step by step across:
 
-- batch B in {1, 4} (B=4 exercises the batched (kh, nsb) flash-decode grid
-  with in-kernel batch unroll — the trickiest revisiting pattern),
-- kv cache dtype in {bf16, int8-quantized}.
+- batch B in {1, 4} (B=1/bf16 runs the whole-step megakernel,
+  ops/fused_decode.py — manual DMA + inline flash through real Mosaic;
+  B=4 exercises the batch-vectorized (kh, nsb) flash-decode grid),
+- kv cache dtype in {bf16, int8-quantized},
+- a ShardedEngine leg on a (dp=1, tp=1) mesh — shard_map + psum + the
+  Pallas kernels lowering through real Mosaic (the sharded path otherwise
+  only ever runs in interpret mode on the CPU test mesh),
+- a tp-local-shapes leg: a 1-kv-head, half-vocab config — the exact local
+  array shapes a tp=2 shard of the 2-kv-head config would hand the kernels.
 
 Usage: python tools/check_tpu.py  (exits non-zero on any divergence)
 """
@@ -50,24 +56,46 @@ def run(backend: str | None):
     params = synthetic_params(cfg, weight_dtype=jnp.int8, embed_dtype=jnp.bfloat16)
     rng = np.random.default_rng(7)
     out = {}
+    def drive(eng, b, vocab, tag):
+        prompt = rng.integers(3, vocab - 2, size=(b, PREFILL)).astype(np.int32)
+        toks = rng.integers(3, vocab - 2, size=(b, STEPS)).astype(np.int32)
+        cache = eng.new_cache(b)
+        # chunked prefill (T>1): the fused flash-prefill kernel + DUS
+        # writes on TPU
+        _, cache = eng.step(prompt, np.zeros(b, np.int32), cache, logits_mode="none")
+        logits = []
+        for i in range(STEPS):
+            lg, cache = eng.decode(
+                toks[:, i], np.full(b, PREFILL + i, np.int32), cache
+            )
+            logits.append(np.asarray(lg))
+        out[tag] = np.stack(logits).astype(np.float32)
+
     for b in (1, 4):
-        prompt = rng.integers(3, cfg.vocab_size - 2, size=(b, PREFILL)).astype(np.int32)
-        toks = rng.integers(3, cfg.vocab_size - 2, size=(b, STEPS)).astype(np.int32)
         for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):
             eng = Engine(cfg, params, None, kv_dtype=kv, compute_dtype=jnp.float32)
-            cache = eng.new_cache(b)
-            # chunked prefill (T>1): the fused flash-prefill kernel + DUS
-            # writes on TPU
-            _, cache = eng.step(
-                prompt, np.zeros(b, np.int32), cache, logits_mode="none"
-            )
-            logits = []
-            for i in range(STEPS):
-                lg, cache = eng.decode(
-                    toks[:, i], np.full(b, PREFILL + i, np.int32), cache
-                )
-                logits.append(np.asarray(lg))
-            out[f"b{b}/kv={name}"] = np.stack(logits).astype(np.float32)
+            drive(eng, b, cfg.vocab_size, f"b{b}/kv={name}")
+
+    # --- ShardedEngine: shard_map + psum + Pallas through the real backend
+    from xalm_tpu.parallel.mesh import make_mesh
+    from xalm_tpu.parallel.sharded_engine import ShardedEngine
+
+    mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):
+        eng = ShardedEngine(
+            cfg, params, None, mesh, kv_dtype=kv, compute_dtype=jnp.float32
+        )
+        drive(eng, 1, cfg.vocab_size, f"sharded/kv={name}")
+
+    # --- tp-local shapes: what a tp=2 shard of cfg hands the kernels
+    # (half the kv heads, half the q heads, half the vocab)
+    import dataclasses
+
+    cfg_loc = dataclasses.replace(cfg, n_heads=2, n_kv_heads=1, vocab_size=256)
+    params_loc = synthetic_params(cfg_loc, weight_dtype=jnp.int8, embed_dtype=jnp.bfloat16)
+    for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):
+        eng = Engine(cfg_loc, params_loc, None, kv_dtype=kv, compute_dtype=jnp.float32)
+        drive(eng, 1, cfg_loc.vocab_size, f"tplocal/kv={name}")
     return jax.default_backend(), out
 
 

@@ -43,6 +43,15 @@ _NB13 = 3  # w13 tile buffers
 _NB2 = 2  # w2 tile buffers
 
 
+def _probe() -> set[str]:
+    """Perf-ablation switches (XALM_MK_PROBE=a,b,...): correctness-breaking
+    kernel variants for isolating where step time goes on hardware. Never
+    set outside bench probing."""
+    import os
+
+    return set(filter(None, os.environ.get("XALM_MK_PROBE", "").split(",")))
+
+
 def _pick_div(n: int, want: int) -> int:
     t = want
     while t > 1 and n % t != 0:
@@ -78,6 +87,8 @@ def _kernel(
     H2: int, S: int, sb: int, T13: int, T2: int, c13: int,
     eps: float, clip: float | None, act: str, cdtype,
 ):
+    PR = _probe()
+    prio = 0 if "prio0" in PR else 1
     l = pl.program_id(0)
     kvp = meta_ref[0]
     kvl = meta_ref[1]
@@ -120,7 +131,7 @@ def _kernel(
     @pl.when(l == 0)
     def _boot():
         x_ref[...] = x0_ref[...]
-        dma_wqkv(0, 0).start(priority=1)
+        dma_wqkv(0, 0).start(priority=prio)
 
     slot_q = l % 2
     dma_wqkv(l, slot_q).wait()
@@ -138,11 +149,11 @@ def _kernel(
     # queue must never drain — compute stalls are free, stream stalls are not
     @pl.when(l + 1 < L)
     def _pref():
-        dma_wqkv(l + 1, (l + 1) % 2).start(priority=1)
+        dma_wqkv(l + 1, (l + 1) % 2).start(priority=prio)
 
-    dma_wo(l).start(priority=1)
+    dma_wo(l).start(priority=prio)
     for i in range(min(_NB13, nt13)):
-        dma_w13(l, i, i).start(priority=1)
+        dma_w13(l, i, i).start(priority=prio)
 
     # ---- rope + clip + KV row build -------------------------------------
     cexp = cexp_ref[...]
@@ -167,6 +178,7 @@ def _kernel(
         vw_ref[j] = vh.astype(cdtype)
         kw_f.append(kh.astype(jnp.float32))
 
+    skip_attn = "noattn" in PR  # probe: weight streams only
     # ---- in-place ring insert + sink re-rotation --------------------------
     # HBM DMA slices on the sequence dim must be sublane-tile (8) aligned, so
     # both are 8-row-window read-modify-writes (the same window discipline as
@@ -175,148 +187,160 @@ def _kernel(
     # the attention patch — and written back when the rotation or an
     # in-window insert changed it; the insert window at blk=(kvp//8)*8 is
     # RMW'd when kvp lands outside window 0. Sentinel kvp == S drops writes.
-    sw_rows = sinkw.shape[1]
-    blk = jnp.minimum(kvp, S - 1) // sw_rows * sw_rows
-    pltpu.make_async_copy(
-        ck_in.at[l, 0, :, pl.ds(0, sw_rows), :], sinkw, s_sink
-    ).start()
-    pltpu.make_async_copy(
-        cv_in.at[l, 0, :, pl.ds(blk, sw_rows), :], vwin, s_vw
-    ).start()
-    pltpu.make_async_copy(
-        ck_in.at[l, 0, :, pl.ds(blk, sw_rows), :], kwin, s_kw
-    ).start()
-    pltpu.make_async_copy(
-        ck_in.at[l, 0, :, pl.ds(0, sw_rows), :], sinkw, s_sink
-    ).wait()
-    c1 = c1_ref[...]
-    s1 = s1_ref[...]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (sw_rows, 1), 0)
-    rs = []  # per head: (KV_SINKS, hd) rotated sink rows (cache-rounded) f32
-    for j in range(KH):
-        win = sinkw[j].astype(jnp.float32)  # (sw_rows, hd)
-        rotw = _rope_lane(win, c1, s1, hd).astype(cdtype)
-        new = jnp.where(
-            rows == kvp, jnp.broadcast_to(kw_ref[j], (sw_rows, hd)),
-            jnp.where((rows < KV_SINKS) & (rot != 0), rotw, sinkw[j]),
-        )
-        sinkw[j] = new
-        rs.append(rotw[:KV_SINKS].astype(jnp.float32))
+    def _attn_section():
+        sw_rows = sinkw.shape[1]
+        blk = jnp.minimum(kvp, S - 1) // sw_rows * sw_rows
 
-    @pl.when((kvp < sw_rows) | (rot != 0))
-    def _sink_wb():
         pltpu.make_async_copy(
-            sinkw, ck_out.at[l, 0, :, pl.ds(0, sw_rows), :], s_sink
+            ck_in.at[l, 0, :, pl.ds(0, sw_rows), :], sinkw, s_sink
         ).start()
         pltpu.make_async_copy(
-            sinkw, ck_out.at[l, 0, :, pl.ds(0, sw_rows), :], s_sink
-        ).wait()
-
-    pltpu.make_async_copy(
-        ck_in.at[l, 0, :, pl.ds(blk, sw_rows), :], kwin, s_kw
-    ).wait()
-    pltpu.make_async_copy(
-        cv_in.at[l, 0, :, pl.ds(blk, sw_rows), :], vwin, s_vw
-    ).wait()
-    for j in range(KH):
-        kwin[j] = jnp.where(
-            rows == kvp - blk, jnp.broadcast_to(kw_ref[j], (sw_rows, hd)),
-            kwin[j],
-        )
-        vwin[j] = jnp.where(
-            rows == kvp - blk, jnp.broadcast_to(vw_ref[j], (sw_rows, hd)),
-            vwin[j],
-        )
-
-    @pl.when((kvp >= sw_rows) & (kvp < S))
-    def _ins_k():
-        pltpu.make_async_copy(
-            kwin, ck_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_kw
+            cv_in.at[l, 0, :, pl.ds(blk, sw_rows), :], vwin, s_vw
         ).start()
         pltpu.make_async_copy(
-            kwin, ck_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_kw
-        ).wait()
-
-    @pl.when(kvp < S)
-    def _ins_v():
-        pltpu.make_async_copy(
-            vwin, cv_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_vw
+            ck_in.at[l, 0, :, pl.ds(blk, sw_rows), :], kwin, s_kw
         ).start()
         pltpu.make_async_copy(
-            vwin, cv_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_vw
+            ck_in.at[l, 0, :, pl.ds(0, sw_rows), :], sinkw, s_sink
         ).wait()
-
-    # ---- flash attention over the ring (in-register patched reads) ------
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    m_ref[...] = jnp.full_like(m_ref, neg_inf)
-    l_ref[...] = jnp.zeros_like(l_ref)
-    nblk = (kvl + sb - 1) // sb
-    dma_kb(0, 0).start()
-    dma_vb(0, 0).start()
-
-    def blk_body(t, _):
-        slot = t % 2
-
-        @pl.when(t + 1 < nblk)
-        def _next():
-            dma_kb(t + 1, (t + 1) % 2).start()
-            dma_vb(t + 1, (t + 1) % 2).start()
-
-        dma_kb(t, slot).wait()
-        dma_vb(t, slot).wait()
-        rel = kvp - t * sb  # new row's index inside this block (may be OOR)
-        rows2 = jax.lax.broadcasted_iota(jnp.int32, (sb, hd), 0)
-        rg = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
-        live = rg < kvl  # (1, sb)
+        c1 = c1_ref[...]
+        s1 = s1_ref[...]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (sw_rows, 1), 0)
+        rs = []  # per head: (KV_SINKS, hd) rotated sink rows (cache-rounded) f32
         for j in range(KH):
-            kb = kblk[slot, j].astype(jnp.float32)  # (sb, hd)
-            vb = vblk[slot, j].astype(jnp.float32)
-            # patch: this step's row + (wrapped) rotated sinks — the HBM
-            # writes race harmlessly, every read is fixed up here
-            kb = jnp.where(rows2 == rel, kw_f[j], kb)
-            vb = jnp.where(rows2 == rel, vw_ref[j].astype(jnp.float32), vb)
-            for si in range(KV_SINKS):
-                kb = jnp.where(
-                    (rows2 == (si - t * sb)) & (rot != 0), rs[j][si : si + 1], kb
-                )
-            qj = jnp.concatenate(qs[j * G : (j + 1) * G], axis=0)  # (G, hd)
-            scores = jax.lax.dot_general(
-                qj, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (G, sb)
-            scores = jnp.where(live, scores, neg_inf)
-            lo = j * G
-            m_old = m_ref[lo : lo + G, :1]
-            m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_old - m_new)
-            p = jnp.where(live, jnp.exp(scores - m_new), 0.0)
-            m_ref[lo : lo + G, :1] = m_new
-            l_ref[lo : lo + G, :1] = l_ref[lo : lo + G, :1] * alpha + jnp.sum(
-                p, axis=-1, keepdims=True
+            win = sinkw[j].astype(jnp.float32)  # (sw_rows, hd)
+            rotw = _rope_lane(win, c1, s1, hd).astype(cdtype)
+            new = jnp.where(
+                rows == kvp, jnp.broadcast_to(kw_ref[j], (sw_rows, hd)),
+                jnp.where((rows < KV_SINKS) & (rot != 0), rotw, sinkw[j]),
             )
-            acc_ref[lo : lo + G, :] = acc_ref[lo : lo + G, :] * alpha + (
-                jax.lax.dot_general(
-                    p, vb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-        return 0
+            sinkw[j] = new
+            rs.append(rotw[:KV_SINKS].astype(jnp.float32))
 
-    jax.lax.fori_loop(0, nblk, blk_body, 0)
+        @pl.when((kvp < sw_rows) | (rot != 0))
+        def _sink_wb():
+            pltpu.make_async_copy(
+                sinkw, ck_out.at[l, 0, :, pl.ds(0, sw_rows), :], s_sink
+            ).start()
+            pltpu.make_async_copy(
+                sinkw, ck_out.at[l, 0, :, pl.ds(0, sw_rows), :], s_sink
+            ).wait()
+
+        pltpu.make_async_copy(
+            ck_in.at[l, 0, :, pl.ds(blk, sw_rows), :], kwin, s_kw
+        ).wait()
+        pltpu.make_async_copy(
+            cv_in.at[l, 0, :, pl.ds(blk, sw_rows), :], vwin, s_vw
+        ).wait()
+        for j in range(KH):
+            kwin[j] = jnp.where(
+                rows == kvp - blk, jnp.broadcast_to(kw_ref[j], (sw_rows, hd)),
+                kwin[j],
+            )
+            vwin[j] = jnp.where(
+                rows == kvp - blk, jnp.broadcast_to(vw_ref[j], (sw_rows, hd)),
+                vwin[j],
+            )
+
+        @pl.when((kvp >= sw_rows) & (kvp < S))
+        def _ins_k():
+            pltpu.make_async_copy(
+                kwin, ck_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_kw
+            ).start()
+            pltpu.make_async_copy(
+                kwin, ck_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_kw
+            ).wait()
+
+        @pl.when(kvp < S)
+        def _ins_v():
+            pltpu.make_async_copy(
+                vwin, cv_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_vw
+            ).start()
+            pltpu.make_async_copy(
+                vwin, cv_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_vw
+            ).wait()
+
+        # ---- flash attention over the ring (in-register patched reads) ------
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, neg_inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        nblk = (kvl + sb - 1) // sb
+        dma_kb(0, 0).start()
+        dma_vb(0, 0).start()
+
+        def blk_body(t, _):
+            slot = t % 2
+
+            @pl.when(t + 1 < nblk)
+            def _next():
+                dma_kb(t + 1, (t + 1) % 2).start()
+                dma_vb(t + 1, (t + 1) % 2).start()
+
+            dma_kb(t, slot).wait()
+            dma_vb(t, slot).wait()
+            rel = kvp - t * sb  # new row's index inside this block (may be OOR)
+            rows2 = jax.lax.broadcasted_iota(jnp.int32, (sb, hd), 0)
+            rg = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+            live = rg < kvl  # (1, sb)
+            for j in range(KH):
+                kb = kblk[slot, j].astype(jnp.float32)  # (sb, hd)
+                vb = vblk[slot, j].astype(jnp.float32)
+                # patch: this step's row + (wrapped) rotated sinks — the HBM
+                # writes race harmlessly, every read is fixed up here
+                kb = jnp.where(rows2 == rel, kw_f[j], kb)
+                vb = jnp.where(rows2 == rel, vw_ref[j].astype(jnp.float32), vb)
+                for si in range(KV_SINKS):
+                    kb = jnp.where(
+                        (rows2 == (si - t * sb)) & (rot != 0), rs[j][si : si + 1], kb
+                    )
+                qj = jnp.concatenate(qs[j * G : (j + 1) * G], axis=0)  # (G, hd)
+                scores = jax.lax.dot_general(
+                    qj, kb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, sb)
+                scores = jnp.where(live, scores, neg_inf)
+                lo = j * G
+                m_old = m_ref[lo : lo + G, :1]
+                m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_old - m_new)
+                p = jnp.where(live, jnp.exp(scores - m_new), 0.0)
+                m_ref[lo : lo + G, :1] = m_new
+                l_ref[lo : lo + G, :1] = l_ref[lo : lo + G, :1] * alpha + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                acc_ref[lo : lo + G, :] = acc_ref[lo : lo + G, :] * alpha + (
+                    jax.lax.dot_general(
+                        p, vb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            return 0
+
+        jax.lax.fori_loop(0, nblk, blk_body, 0)
+
+    if skip_attn:  # probe: weight streams only
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        l_ref[...] = jnp.full_like(l_ref, 1.0)
+    else:
+        _attn_section()
+
 
     # ---- wo projection (row-parallel over query heads) + residual -------
     hq = KH * G
     lsafe = jnp.where(l_ref[:hq, :1] > 0, l_ref[:hq, :1], 1.0)
     attn = acc_ref[:hq, :] / lsafe  # (HQ, hd) f32
     dma_wo(l).wait()
-    yo = None
-    for h in range(hq):
-        ah = attn[h : h + 1].astype(jnp.bfloat16)  # (1, hd)
-        part = jax.lax.dot_general(
-            ah, wo_slab[:, h * hd : (h + 1) * hd], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (1, N)
-        yo = part if yo is None else yo + part
+    if "nowo" in PR:  # probe: skip the per-head wo dots
+        yo = jnp.zeros((1, N), jnp.float32)
+    else:
+        yo = None
+        for h in range(hq):
+            ah = attn[h : h + 1].astype(jnp.bfloat16)  # (1, hd)
+            part = jax.lax.dot_general(
+                ah, wo_slab[:, h * hd : (h + 1) * hd], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, N)
+            yo = part if yo is None else yo + part
     x = x + yo * so_ref[0]
     x_ref[...] = x
 
@@ -327,12 +351,16 @@ def _kernel(
     for i in range(nt13):
         slot = i % _NB13
         dma_w13(l, i, slot).wait()
+        if "noffn" in PR:
+            if i + _NB13 < nt13:
+                dma_w13(l, i + _NB13, slot).start(priority=prio)
+            continue
         yt = jax.lax.dot_general(
             xn2, w13_buf[slot], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * s13[:, i * T13 : (i + 1) * T13]  # (1, T13)
         if i + _NB13 < nt13:
-            dma_w13(l, i + _NB13, slot).start(priority=1)
+            dma_w13(l, i + _NB13, slot).start(priority=prio)
         for p in range(T13 // (2 * c13)):
             off = p * 2 * c13
             gate = yt[:, off : off + c13]
@@ -345,18 +373,22 @@ def _kernel(
             act_ref[:, o : o + c13] = a
 
     for i in range(min(_NB2, nt2)):
-        dma_w2(l, i, i).start(priority=1)
+        dma_w2(l, i, i).start(priority=prio)
     actb = act_ref[...].astype(jnp.bfloat16)
     s2 = s2_ref[0]
     for i in range(nt2):
         slot = i % _NB2
         dma_w2(l, i, slot).wait()
+        if "noffn" in PR:
+            if i + _NB2 < nt2:
+                dma_w2(l, i + _NB2, slot).start(priority=prio)
+            continue
         y2 = jax.lax.dot_general(
             actb, w2_buf[slot], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * s2[:, i * T2 : (i + 1) * T2]  # (1, T2)
         if i + _NB2 < nt2:
-            dma_w2(l, i + _NB2, slot).start(priority=1)
+            dma_w2(l, i + _NB2, slot).start(priority=prio)
         x_ref[:, i * T2 : (i + 1) * T2] = (
             x_ref[:, i * T2 : (i + 1) * T2] + y2
         )
