@@ -182,23 +182,50 @@ def main() -> int:
     pk_ok = str(passkey) in pk_text
     print(f"passkey ({len(ids)} tokens): {'OK' if pk_ok else 'MISS'} -> {pk_text!r}", flush=True)
 
-    copy_src = f"PASS_KEY = {passkey}\n" + "x = 1\n" * 60 + "print(PASS_KEY)\nPASS_KEY = "
-    cids = tok.encode(copy_src)
-    cout, _ = eng32.generate(cids, 8)
-    copy_text = tok.decode(cout)
-    copy_ok = str(passkey) in copy_text
-    print(f"code copy probe: {'OK' if copy_ok else 'MISS'} -> {copy_text!r}", flush=True)
+    def copy_probe(filler_lines: int, lead_lines: int = 0):
+        """`PASS_KEY = <key>` ... filler ... `print(PASS_KEY)\\nPASS_KEY = `.
+        ``lead_lines`` of filler BEFORE the key push the prompt past the
+        window (wrapped hydrate; the key itself stays within the last
+        window tokens, so the ring retains it — reference run_passkey
+        truncates the same way, main.cpp:270-352)."""
+        src = (
+            "y = 0\n" * lead_lines
+            + f"PASS_KEY = {passkey}\n"
+            + "x = 1\n" * filler_lines
+            + "print(PASS_KEY)\nPASS_KEY = "
+        )
+        cids = tok.encode(src)
+        cout, _ = eng32.generate(cids, 8)
+        text = tok.decode(cout)
+        return str(passkey) in text, text, len(cids)
+
+    copy_ok, copy_text, copy_n = copy_probe(60)
+    print(f"code copy probe ({copy_n} tok): {'OK' if copy_ok else 'MISS'} -> {copy_text!r}", flush=True)
+    # wrapped variant: prompt ~1.4x the window; the key sits < window from
+    # the end so the sink+ring hydrate must retain and retrieve it
+    s_win = eng32.cfg.max_seq_len
+    wrap_ok, wrap_text, wrap_n = copy_probe(60, lead_lines=s_win // 2)
+    assert wrap_n > s_win, (wrap_n, s_win)
+    print(
+        f"wrapped copy probe ({wrap_n} tok > window {s_win}): "
+        f"{'OK' if wrap_ok else 'MISS'} -> {wrap_text!r}",
+        flush=True,
+    )
     lines += [
         "## Retrieval (reference run_passkey, main.cpp:270-352)",
         "",
         f"- English passkey prompt ({len(ids)} tokens, key at 20/40):",
         f"  {'**retrieved**' if pk_ok else 'missed'} — answer {pk_text.strip()!r}",
-        f"- Code-native copy probe (`PASS_KEY = {passkey}` ... `PASS_KEY = `):",
+        f"- Code-native copy probe (`PASS_KEY = {passkey}` ... `PASS_KEY = `,",
+        f"  {copy_n} tokens, in-window):",
         f"  {'**retrieved**' if copy_ok else 'missed'} — answer {copy_text.strip()!r}",
+        f"- Same probe with the prompt wrapped past the window ({wrap_n} tokens",
+        f"  through the {s_win}-token sink+ring):",
+        f"  {'**retrieved**' if wrap_ok else 'missed'} — answer {wrap_text.strip()!r}",
         "",
-        "(A 40M model trained on Python source is not expected to ace",
-        "English passkey retrieval; the probes exercise the wrapped-prompt",
-        "hydrate -> decode path on a real model and report honestly.)",
+        "(Training mixes {:.0%} key-recall rows — tools/train_tiny_lm.py".format(0.15),
+        "build_recall_pool — so the copy circuit is in distribution; the",
+        "English passkey phrasing is not and reports honestly.)",
         "",
     ]
 

@@ -122,6 +122,36 @@ def xalm_tokenizer(tokenizer_json: Path, vocab_size: int):
     return Tokenizer(blob, "1", "2")
 
 
+RECALL_MIX = 0.15  # fraction of training rows carrying a recall pattern
+
+
+def build_recall_pool(tok, train_ids: np.ndarray, rng, n: int = 2048, seq: int = SEQ):
+    """Synthetic key-recall rows: ``NAME = <digits>`` ... real-corpus filler
+    ... ``print(NAME)\\nNAME = <digits>``. Mixing these in teaches the
+    induction behavior the retrieval gate probes (reference run_passkey,
+    main.cpp:270-352) — a 40M model learns the copy circuit readily, but
+    only if the pattern is in distribution. Filler comes from the corpus so
+    the rows stay on-distribution; key distance varies from ~20 tokens to
+    nearly the full window."""
+    names = ["PASS_KEY", "KEY", "SECRET", "value_a", "token_id", "MAGIC", "x_key"]
+    pool = np.zeros((n, seq), np.int32)
+    for i in range(n):
+        name = names[int(rng.integers(len(names)))]
+        key = str(int(rng.integers(1, 100000)))
+        head = tok.encode(f"{name} = {key}\n", bos=False)
+        tail = tok.encode(f"\nprint({name})\n{name} = {key}", bos=False)
+        budget = seq - len(head) - len(tail)
+        # distance between write and read varies per row
+        fill_len = int(rng.integers(16, budget + 1))
+        s = int(rng.integers(0, len(train_ids) - budget - 1))
+        filler = train_ids[s : s + fill_len].tolist()
+        row = head + filler + tail
+        lead = train_ids[s + fill_len : s + fill_len + (seq - len(row))].tolist()
+        row = row + lead  # pad with corpus continuation to exactly seq
+        pool[i] = np.asarray(row[:seq], np.int32)
+    return pool
+
+
 # -------------------------------------------------------------------- model
 
 
@@ -344,6 +374,8 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     n_tok = len(train_ids)
     t0 = time.time()
+    recall_pool = build_recall_pool(tok, train_ids, rng)
+    print(f"recall pool: {len(recall_pool)} rows, mix {RECALL_MIX:.0%}", flush=True)
     done = 0
     while done < args.steps:
         k = min(STEPS_PER_DISPATCH, args.steps - done)
@@ -354,6 +386,10 @@ def main() -> int:
                 for row in starts
             ]
         ).astype(np.int32)
+        # retrieval-friendly mixing: some rows carry a key-recall pattern
+        mix = rng.random((k, BATCH)) < RECALL_MIX
+        picks = rng.integers(0, len(recall_pool), size=(k, BATCH))
+        batches = np.where(mix[:, :, None], recall_pool[picks], batches)
         params, opt_state, losses = multi_step(params, opt_state, jnp.asarray(batches))
         done += k
         if done % 200 == 0 or done == args.steps:
