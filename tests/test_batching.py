@@ -151,6 +151,26 @@ def test_incremental_prefill_interleaves_decode(engine):
         assert stats[k] >= 0.0
 
 
+def test_packed_prefill_advances_all_admitting_slots(engine):
+    """Concurrent admissions prefill in the SAME tick (one packed masked
+    call per tick, not one slot per tick): after a single step(), every
+    admitting slot has advanced by a chunk, and outputs still equal solo."""
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(3, 350, size=20).tolist() for _ in range(3)]
+    solos = [_solo(engine, p, 4) for p in prompts]
+
+    b = ContinuousBatcher(engine, max_batch=4, segment=1, prefill_budget=8)
+    reqs = [Request(prompt_ids=p, max_new_tokens=4, stop_on_eos=False) for p in prompts]
+    for r in reqs:
+        b.submit(r)
+    b.step()
+    advanced = [int(b._prefill_pos[i]) for i in range(3)]
+    assert all(a == 8 for a in advanced), advanced  # all 3 moved, same tick
+    b.run()
+    for r, want in zip(reqs, solos):
+        assert r.out_tokens == want
+
+
 def test_latency_stats_ordering(engine):
     rng = np.random.default_rng(6)
     batcher = ContinuousBatcher(engine, max_batch=2)
