@@ -9,9 +9,11 @@ This probe isolates pure streaming: reduce-sum a large int8 array via
   b) pltpu.emit_pipeline
   c) the standard pallas grid pipeline (BlockSpec)
 
-Each variant reads the SAME bytes; wall time over a fresh array (the device
-tunnel memoizes identical dispatches, so every timed call uses a distinct
-input offset) gives GB/s.
+Per-dispatch tunnel RTT on this host is ~30 ms — far above the stream time
+— so each variant runs its full sweep R times INSIDE one dispatch (an outer
+grid dimension) and the reported rate is the MARGINAL rate between R=4 and
+R=20 dispatches: (t20 - t4) / (16 * bytes), which cancels the RTT and any
+fixed compile/launch cost.
 
 Usage: python tools/dma_probe.py [--mb 512]
 """
@@ -51,7 +53,7 @@ def main() -> int:
     ]
     jax.block_until_ready(arrs)
 
-    def manual(nbuf: int, tile_rows: int):
+    def manual(nbuf: int, tile_rows: int, reps: int):
         nt = rows // tile_rows
 
         def kernel(hbm, out_ref, buf, sem):
@@ -71,21 +73,31 @@ def main() -> int:
                 ) * (1.0 / rows)
                 if i + nbuf < nt:
                     dma(i + nbuf, slot).start()
-            out_ref[...] = acc
+            out_ref[...] = out_ref[...] + acc
+
+        def outer(hbm, out_ref, buf, sem):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                out_ref[...] = jnp.zeros_like(out_ref)
+            kernel(hbm, out_ref, buf, sem)
 
         return pl.pallas_call(
-            kernel,
+            outer,
             out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+            grid=(reps,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, N), lambda r: (0, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((nbuf, tile_rows, N), jnp.int8),
                 pltpu.SemaphoreType.DMA((nbuf,)),
             ],
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20,
+                dimension_semantics=("arbitrary",),
+            ),
         )
 
-    def emit(tile_rows: int):
+    def emit(tile_rows: int, reps: int):
         nt = rows // tile_rows
 
         def kernel(hbm, out_ref, acc):
@@ -103,24 +115,32 @@ def main() -> int:
                     pl.BlockSpec((tile_rows, N), lambda i: (i, 0)),
                 ],
             )(hbm)
-            out_ref[...] = acc[...]
+            out_ref[...] = out_ref[...] + acc[...]
+
+        def outer(hbm, out_ref, acc):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                out_ref[...] = jnp.zeros_like(out_ref)
+            kernel(hbm, out_ref, acc)
 
         return pl.pallas_call(
-            kernel,
+            outer,
             out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+            grid=(reps,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, N), lambda r: (0, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((1, N), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20,
+                dimension_semantics=("arbitrary",),
+            ),
         )
 
-    def gridpipe(tile_rows: int):
+    def gridpipe(tile_rows: int, reps: int):
         nt = rows // tile_rows
 
         def kernel(x_ref, out_ref):
-            i = pl.program_id(0)
-
-            @pl.when(i == 0)
+            @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
             def _():
                 out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -131,35 +151,53 @@ def main() -> int:
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
-            grid=(nt,),
+            grid=(reps, nt),
             in_specs=[
-                pl.BlockSpec((tile_rows, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((tile_rows, N), lambda r, i: (i, 0), memory_space=pltpu.VMEM)
             ],
-            out_specs=pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+            out_specs=pl.BlockSpec((1, N), lambda r, i: (0, 0), memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20,
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
         )
 
     gb = rows * N / 1e9
+    R_LO, R_HI = 4, 20
 
-    def bench(name, fn):
-        f = jax.jit(fn)
-        np.asarray(f(arrs[0]))  # compile+warm
-        best = float("inf")
-        for r in range(args.reps):
-            t0 = time.perf_counter()
-            np.asarray(f(arrs[(r + 1) % 2]))
-            best = min(best, time.perf_counter() - t0)
-        print(f"{name:34s} {gb / best:7.1f} GB/s  ({best * 1e3:.2f} ms)", flush=True)
+    def bench(name, make):
+        f_lo = jax.jit(make(R_LO))
+        f_hi = jax.jit(make(R_HI))
+        np.asarray(f_lo(arrs[0]))
+        np.asarray(f_hi(arrs[0]))  # compile+warm both
+
+        def t(f):
+            best = float("inf")
+            for r in range(args.reps):
+                t0 = time.perf_counter()
+                np.asarray(f(arrs[(r + 1) % 2]))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = t(f_hi) - t(f_lo)
+        rate = gb * (R_HI - R_LO) / max(dt, 1e-9)
+        print(f"{name:34s} {rate:7.1f} GB/s marginal", flush=True)
 
     for tile in (256, 512, 1024):
-        bench(f"gridpipe tile={tile}r ({tile * N >> 20}MiB)", gridpipe(tile))
+        bench(
+            f"gridpipe tile={tile}r ({tile * N >> 20}MiB)",
+            lambda r, t_=tile: gridpipe(t_, r),
+        )
     for tile in (512, 1024):
-        bench(f"emit_pipeline tile={tile}r", emit(tile))
+        bench(f"emit_pipeline tile={tile}r", lambda r, t_=tile: emit(t_, r))
     for nbuf in (2, 4, 8):
         for tile in (256, 512, 1024):
             if nbuf * tile * N > 80 << 20:
                 continue
-            bench(f"manual nbuf={nbuf} tile={tile}r", manual(nbuf, tile))
+            bench(
+                f"manual nbuf={nbuf} tile={tile}r",
+                lambda r, n_=nbuf, t_=tile: manual(n_, t_, r),
+            )
     return 0
 
 

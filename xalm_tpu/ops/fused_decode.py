@@ -5,19 +5,24 @@ reference's per-op decomposition in src/infer.cpp:365-496) leaves the HBM
 stream idle wherever compute serializes between launches: pipeline ramps on
 the small weight streams, attention's fixed cost, rope/silu/residual glue —
 ~0.7 ms of a 10.6 ms step (docs/PERF.md). This kernel replaces the whole
-layer stack with one grid=(L,) program that streams weights with MANUAL
-async DMA, so the memory system never waits for compute:
+layer stack with one grid=(L,) program whose weight traffic is a SINGLE
+software-pipelined tile stream:
 
-- wqkv for layer l+1 is prefetched as one 25 MB contiguous copy while layer
-  l's attention/FFN run; wo streams during attention; w13/w2 stream through
-  multi-buffered tile pools. Every weight byte moves exactly once, in
-  ~largest-possible DMAs, with no per-launch pipeline ramp.
+- wqkv, wo, and w13 share one rolling 1 MiB-tile buffer pool fed by one
+  unified per-layer schedule (consume entry e -> issue entry e+NBUF), so
+  the DMA engine always has NBUF tiles queued — across matmul boundaries,
+  across the attention phase, and across the LAYER boundary (the tail of
+  layer l's schedule prefetches layer l+1's wqkv tiles). w2 streams through
+  its own pool (different contraction width) overlapped the same way.
+  Tile-sized copies are the measured-fast path on this chip: tools/
+  dma_probe.py clocks 1 MiB double-buffered manual DMA at ~850-900 GB/s
+  where monolithic 17-25 MB slab copies ran the same stream at ~450 GB/s.
 - attention (GQA flash over the ring cache), rope, sink re-rotation, the
   silu GLU, residual adds, and all norms/scales run on the VPU/MXU *under*
   the weight DMAs — their time is hidden, their XLA launches gone.
-- the KV ring insert is a 2-DMA in-place write (one strided (KH,1,hd) row
-  copy each for K and V); attention reads are patched in-register so no
-  write->read ordering stall exists.
+- the KV ring insert + sink rotation are 8-row-window in-place RMWs;
+  attention reads are patched in-register so no write->read ordering stall
+  exists.
 
 b=1, int8 weights (per-row scales), bf16/f32 KV only — the headline decode
 regime (BASELINE.json). Other shapes fall back to the per-layer kernels in
@@ -39,8 +44,9 @@ from xalm_tpu.models.config import KV_SINKS
 
 __all__ = ["fused_decode_step", "fused_step_supported"]
 
-_NB13 = 3  # w13 tile buffers
-_NB2 = 2  # w2 tile buffers
+_TILE_A = 256  # pool-A tile rows (x N lanes int8 = 1 MiB at 7B)
+_TILE_B = 128  # pool-B (w2) tile rows (x hidden lanes)
+_NBUF_CAP = 8  # max outstanding tiles per pool
 
 
 def _probe() -> set[str]:
@@ -57,6 +63,16 @@ def _pick_div(n: int, want: int) -> int:
     while t > 1 and n % t != 0:
         t //= 2
     return t
+
+
+def _nbuf(n_entries: int) -> int:
+    """Largest pool size <= _NBUF_CAP dividing the schedule length (slots
+    must line up across the layer boundary: entry e uses slot e % nbuf and
+    next-layer prefetches are issued as entries n_lay + i)."""
+    for c in range(min(_NBUF_CAP, n_entries), 0, -1):
+        if n_entries % c == 0:
+            return c
+    return 1
 
 
 def _rope_lane(v, cexp, sexp, hd):
@@ -78,82 +94,79 @@ def _kernel(
     # --- outputs
     xout_ref, ck_out, cv_out,
     # --- scratch
-    x_ref, qkv_slab, wo_slab, w13_buf, w2_buf,
+    x_ref, bufA, bufB,
     kblk, vblk, sinkw, kwin, vwin, kw_ref, vw_ref,
     acc_ref, m_ref, l_ref, act_ref,
-    s_wqkv, s_wo, s_w13, s_w2, s_kb, s_vb, s_kw, s_vw, s_sink,
+    sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink,
     *,
     L: int, N: int, DQ: int, KH: int, G: int, hd: int,
-    H2: int, S: int, sb: int, T13: int, T2: int, c13: int,
+    H2: int, S: int, sb: int, TA: int, TB: int, c13: int,
     eps: float, clip: float | None, act: str, cdtype,
 ):
     PR = _probe()
-    prio = 0 if "prio0" in PR else 1
     l = pl.program_id(0)
     kvp = meta_ref[0]
     kvl = meta_ref[1]
     rot = meta_ref[2]
-    nt13 = H2 // T13
-    nt2 = N // T2
     neg_inf = -1e30
 
-    def dma_wqkv(layer, slot):
-        return pltpu.make_async_copy(
-            wqkv_hbm.at[layer], qkv_slab.at[slot], s_wqkv.at[slot]
-        )
+    nqkv = DQ // TA
+    nwo = N // TA
+    n13 = H2 // TA
+    n_lay = nqkv + nwo + n13  # pool-A entries per layer
+    nbA = _nbuf(n_lay)
+    nt2 = N // TB
+    nbB = _nbuf(nt2)
 
-    def dma_wo(layer):
-        return pltpu.make_async_copy(wo_hbm.at[layer], wo_slab, s_wo)
+    # ---- unified pool-A tile stream -------------------------------------
+    # Consume order per layer: wqkv tiles, wo tiles, w13 tiles; entries
+    # [n_lay, n_lay + nqkv) are the NEXT layer's wqkv tiles. Every consume
+    # of entry e issues entry e + nbA (slot layout is layer-invariant since
+    # nbA divides n_lay), so the engine always has nbA tiles in flight —
+    # including through the attention phase and the layer boundary.
+    def entry_dma(e: int):
+        slot = e % nbA  # layer-invariant: nbA divides n_lay
+        lyr, r = (l + 1, e - n_lay) if e >= n_lay else (l, e)
+        if r < nqkv:
+            src = wqkv_hbm.at[lyr, pl.ds(r * TA, TA), :]
+        elif r < nqkv + nwo:
+            src = wo_hbm.at[lyr, pl.ds((r - nqkv) * TA, TA), :]
+        else:
+            src = w13_hbm.at[lyr, pl.ds((r - nqkv - nwo) * TA, TA), :]
+        return pltpu.make_async_copy(src, bufA.at[slot], sA.at[slot])
 
-    def dma_w13(layer, i, slot):
-        return pltpu.make_async_copy(
-            w13_hbm.at[layer, pl.ds(i * T13, T13), :], w13_buf.at[slot],
-            s_w13.at[slot],
-        )
+    def issue(e: int):
+        if e >= n_lay:
+            @pl.when(l + 1 < L)
+            def _():
+                entry_dma(e).start()
+        else:
+            entry_dma(e).start()
 
-    def dma_w2(layer, i, slot):
-        return pltpu.make_async_copy(
-            w2_hbm.at[layer, pl.ds(i * T2, T2), :], w2_buf.at[slot],
-            s_w2.at[slot],
-        )
+    def consume_wait(e: int):
+        entry_dma(e).wait()
 
-    def dma_kb(t, slot):
-        return pltpu.make_async_copy(
-            ck_in.at[l, 0, :, pl.ds(t * sb, sb), :], kblk.at[slot], s_kb.at[slot]
-        )
-
-    def dma_vb(t, slot):
-        return pltpu.make_async_copy(
-            cv_in.at[l, 0, :, pl.ds(t * sb, sb), :], vblk.at[slot], s_vb.at[slot]
-        )
-
-    # ---- layer entry: residual init + wqkv slab availability ------------
     @pl.when(l == 0)
     def _boot():
         x_ref[...] = x0_ref[...]
-        dma_wqkv(0, 0).start(priority=prio)
+        for e in range(min(nbA, n_lay)):
+            entry_dma(e).start()
 
-    slot_q = l % 2
-    dma_wqkv(l, slot_q).wait()
-
-    # ---- fused qkv projection (norm prologue + row-scale epilogue) ------
+    # ---- phase 1: fused qkv projection (norm prologue + scale epilogue) -
     x = x_ref[...]
     ms = jnp.mean(x * x, axis=-1, keepdims=True)
     xn = (x * jax.lax.rsqrt(ms + eps) * anorm_ref[0]).astype(jnp.bfloat16)
-    y = jax.lax.dot_general(
-        xn, qkv_slab[slot_q], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sqkv_ref[0]  # (1, DQ)
-
-    # prefetch next layer's wqkv + this layer's wo + w13 bootstrap: the DMA
-    # queue must never drain — compute stalls are free, stream stalls are not
-    @pl.when(l + 1 < L)
-    def _pref():
-        dma_wqkv(l + 1, (l + 1) % 2).start(priority=prio)
-
-    dma_wo(l).start(priority=prio)
-    for i in range(min(_NB13, nt13)):
-        dma_w13(l, i, i).start(priority=prio)
+    sqkv = sqkv_ref[0]
+    ys = []
+    for e in range(nqkv):
+        consume_wait(e)
+        yt = jax.lax.dot_general(
+            xn, bufA[e % nbA], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sqkv[:, e * TA : (e + 1) * TA]
+        ys.append(yt)
+        issue(e + nbA)
+    y = jnp.concatenate(ys, axis=1)  # (1, DQ) — lane concat, layout-free
 
     # ---- rope + clip + KV row build -------------------------------------
     cexp = cexp_ref[...]
@@ -179,14 +192,16 @@ def _kernel(
         kw_f.append(kh.astype(jnp.float32))
 
     skip_attn = "noattn" in PR  # probe: weight streams only
-    # ---- in-place ring insert + sink re-rotation --------------------------
-    # HBM DMA slices on the sequence dim must be sublane-tile (8) aligned, so
-    # both are 8-row-window read-modify-writes (the same window discipline as
-    # the per-layer _update_kernel). Window 0 (holding the pinned sinks,
-    # reference infer.cpp:416-431) is always read — its rotated values feed
-    # the attention patch — and written back when the rotation or an
-    # in-window insert changed it; the insert window at blk=(kvp//8)*8 is
-    # RMW'd when kvp lands outside window 0. Sentinel kvp == S drops writes.
+
+    # ---- in-place ring insert + sink re-rotation ------------------------
+    # HBM DMA slices on the sequence dim must be sublane-tile (8) aligned,
+    # so both are 8-row-window read-modify-writes (the same window
+    # discipline as the per-layer _update_kernel). Window 0 (holding the
+    # pinned sinks, reference infer.cpp:416-431) is always read — its
+    # rotated values feed the attention patch — and written back when the
+    # rotation or an in-window insert changed it; the insert window at
+    # blk=(kvp//8)*8 is RMW'd when kvp lands outside window 0. Sentinel
+    # kvp == S drops writes.
     def _attn_section():
         sw_rows = sinkw.shape[1]
         blk = jnp.minimum(kvp, S - 1) // sw_rows * sw_rows
@@ -206,7 +221,7 @@ def _kernel(
         c1 = c1_ref[...]
         s1 = s1_ref[...]
         rows = jax.lax.broadcasted_iota(jnp.int32, (sw_rows, 1), 0)
-        rs = []  # per head: (KV_SINKS, hd) rotated sink rows (cache-rounded) f32
+        rs = []  # per head: (KV_SINKS, hd) rotated sink rows, cache-rounded
         for j in range(KH):
             win = sinkw[j].astype(jnp.float32)  # (sw_rows, hd)
             rotw = _rope_lane(win, c1, s1, hd).astype(cdtype)
@@ -260,7 +275,7 @@ def _kernel(
                 vwin, cv_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_vw
             ).wait()
 
-        # ---- flash attention over the ring (in-register patched reads) ------
+        # ---- flash attention over the ring (in-register patched reads) --
         acc_ref[...] = jnp.zeros_like(acc_ref)
         m_ref[...] = jnp.full_like(m_ref, neg_inf)
         l_ref[...] = jnp.zeros_like(l_ref)
@@ -285,8 +300,8 @@ def _kernel(
             for j in range(KH):
                 kb = kblk[slot, j].astype(jnp.float32)  # (sb, hd)
                 vb = vblk[slot, j].astype(jnp.float32)
-                # patch: this step's row + (wrapped) rotated sinks — the HBM
-                # writes race harmlessly, every read is fixed up here
+                # patch: this step's row + (wrapped) rotated sinks — the
+                # HBM writes race harmlessly, every read is fixed up here
                 kb = jnp.where(rows2 == rel, kw_f[j], kb)
                 vb = jnp.where(rows2 == rel, vw_ref[j].astype(jnp.float32), vb)
                 for si in range(KV_SINKS):
@@ -318,80 +333,91 @@ def _kernel(
 
         jax.lax.fori_loop(0, nblk, blk_body, 0)
 
+    def dma_kb(t, slot):
+        return pltpu.make_async_copy(
+            ck_in.at[l, 0, :, pl.ds(t * sb, sb), :], kblk.at[slot], s_kb.at[slot]
+        )
+
+    def dma_vb(t, slot):
+        return pltpu.make_async_copy(
+            cv_in.at[l, 0, :, pl.ds(t * sb, sb), :], vblk.at[slot], s_vb.at[slot]
+        )
+
     if skip_attn:  # probe: weight streams only
         acc_ref[...] = jnp.zeros_like(acc_ref)
         l_ref[...] = jnp.full_like(l_ref, 1.0)
     else:
         _attn_section()
 
-
-    # ---- wo projection (row-parallel over query heads) + residual -------
+    # ---- phase 2: wo tiles (row-parallel over output rows) + residual ---
     hq = KH * G
     lsafe = jnp.where(l_ref[:hq, :1] > 0, l_ref[:hq, :1], 1.0)
     attn = acc_ref[:hq, :] / lsafe  # (HQ, hd) f32
-    dma_wo(l).wait()
-    if "nowo" in PR:  # probe: skip the per-head wo dots
-        yo = jnp.zeros((1, N), jnp.float32)
-    else:
-        yo = None
-        for h in range(hq):
-            ah = attn[h : h + 1].astype(jnp.bfloat16)  # (1, hd)
-            part = jax.lax.dot_general(
-                ah, wo_slab[:, h * hd : (h + 1) * hd], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (1, N)
-            yo = part if yo is None else yo + part
-    x = x + yo * so_ref[0]
-    x_ref[...] = x
+    # flatten to lanes once (32 sublane row picks); every wo tile is then
+    # ONE dot instead of HQ per-head dots
+    attn_flat = jnp.concatenate(
+        [attn[h : h + 1] for h in range(hq)], axis=1
+    ).astype(jnp.bfloat16)  # (1, QD)
+    so = so_ref[0]
+    x = x_ref[...]
+    for e in range(nqkv, nqkv + nwo):
+        consume_wait(e)
+        eo = e - nqkv
+        part = jax.lax.dot_general(
+            attn_flat, bufA[e % nbA], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * so[:, eo * TA : (eo + 1) * TA]
+        x_ref[:, eo * TA : (eo + 1) * TA] = x[:, eo * TA : (eo + 1) * TA] + part
+        issue(e + nbA)
 
-    # ---- GLU FFN: w13 tile stream -> silu*up -> w2 tile stream ----------
+    # ---- phase 3: w13 tiles -> silu GLU ---------------------------------
+    x = x_ref[...]
     ms2 = jnp.mean(x * x, axis=-1, keepdims=True)
     xn2 = (x * jax.lax.rsqrt(ms2 + eps) * mnorm_ref[0]).astype(jnp.bfloat16)
     s13 = s13_ref[0]
-    for i in range(nt13):
-        slot = i % _NB13
-        dma_w13(l, i, slot).wait()
-        if "noffn" in PR:
-            if i + _NB13 < nt13:
-                dma_w13(l, i + _NB13, slot).start(priority=prio)
-            continue
-        yt = jax.lax.dot_general(
-            xn2, w13_buf[slot], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * s13[:, i * T13 : (i + 1) * T13]  # (1, T13)
-        if i + _NB13 < nt13:
-            dma_w13(l, i + _NB13, slot).start(priority=prio)
-        for p in range(T13 // (2 * c13)):
-            off = p * 2 * c13
-            gate = yt[:, off : off + c13]
-            up = yt[:, off + c13 : off + 2 * c13]
-            if act == "silu":
-                a = jax.nn.silu(gate) * up
-            else:
-                a = jax.nn.gelu(gate, approximate=True) * up
-            o = i * (T13 // 2) + p * c13
-            act_ref[:, o : o + c13] = a
+    skip_ffn = "noffn" in PR
+    for e in range(nqkv + nwo, n_lay):
+        consume_wait(e)
+        i = e - nqkv - nwo
+        if not skip_ffn:
+            yt = jax.lax.dot_general(
+                xn2, bufA[e % nbA], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * s13[:, i * TA : (i + 1) * TA]  # (1, TA)
+            for p_ in range(TA // (2 * c13)):
+                off = p_ * 2 * c13
+                gate = yt[:, off : off + c13]
+                up = yt[:, off + c13 : off + 2 * c13]
+                if act == "silu":
+                    a = jax.nn.silu(gate) * up
+                else:
+                    a = jax.nn.gelu(gate, approximate=True) * up
+                o = i * (TA // 2) + p_ * c13
+                act_ref[:, o : o + c13] = a
+        issue(e + nbA)
 
-    for i in range(min(_NB2, nt2)):
-        dma_w2(l, i, i).start(priority=prio)
+    # ---- phase 4: w2 tiles (own pool: different contraction width) ------
+    for i in range(min(nbB, nt2)):
+        pltpu.make_async_copy(
+            w2_hbm.at[l, pl.ds(i * TB, TB), :], bufB.at[i], sB.at[i]
+        ).start()
     actb = act_ref[...].astype(jnp.bfloat16)
     s2 = s2_ref[0]
     for i in range(nt2):
-        slot = i % _NB2
-        dma_w2(l, i, slot).wait()
-        if "noffn" in PR:
-            if i + _NB2 < nt2:
-                dma_w2(l, i + _NB2, slot).start(priority=prio)
-            continue
-        y2 = jax.lax.dot_general(
-            actb, w2_buf[slot], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * s2[:, i * T2 : (i + 1) * T2]  # (1, T2)
-        if i + _NB2 < nt2:
-            dma_w2(l, i + _NB2, slot).start(priority=prio)
-        x_ref[:, i * T2 : (i + 1) * T2] = (
-            x_ref[:, i * T2 : (i + 1) * T2] + y2
-        )
+        slot = i % nbB
+        pltpu.make_async_copy(
+            w2_hbm.at[l, pl.ds(i * TB, TB), :], bufB.at[slot], sB.at[slot]
+        ).wait()
+        if not skip_ffn:
+            y2 = jax.lax.dot_general(
+                actb, bufB[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * s2[:, i * TB : (i + 1) * TB]  # (1, TB)
+            x_ref[:, i * TB : (i + 1) * TB] = x_ref[:, i * TB : (i + 1) * TB] + y2
+        if i + nbB < nt2:
+            pltpu.make_async_copy(
+                w2_hbm.at[l, pl.ds((i + nbB) * TB, TB), :], bufB.at[slot], sB.at[slot]
+            ).start()
 
     @pl.when(l == L - 1)
     def _emit():
@@ -412,10 +438,14 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
             return False
     from xalm_tpu.models.params import ffn_chunk
 
+    L, DQ, N = lp.wqkv.values.shape
+    QD = lp.wo.values.shape[2]
+    if QD != N:
+        return False  # pool-A tiles share one (TA, N) shape
     c13 = ffn_chunk(cfg.hidden_dim)
     h2 = 2 * cfg.hidden_dim
-    t13 = _pick_div(h2, 1024)
-    if t13 % (2 * c13) != 0:
+    ta = min(_TILE_A, DQ, N, h2)
+    if DQ % ta or N % ta or h2 % ta or ta % (2 * c13):
         return False
     if cfg.head_dim % 2 != 0:
         return False
@@ -443,7 +473,7 @@ def fused_decode_step(
     """One full decode-layer-stack step. Returns (x (1, N) f32, ck, cv)."""
     lp = params.layers
     L, DQ, N = lp.wqkv.values.shape
-    QD = lp.wo.values.shape[2]  # wo: (L, N, QD)
+    QD = lp.wo.values.shape[2]  # wo: (L, N, QD); gate requires QD == N
     H2 = lp.w13.values.shape[1]
     H = lp.w2.values.shape[2]
     _, _, KH, S, hd = cache_k.shape
@@ -453,14 +483,16 @@ def fused_decode_step(
     c13 = ffn_chunk(cfg.hidden_dim)
     assert DQ == KH * (G + 2) * hd, (DQ, KH, G, hd)
     sb = _pick_div(S, 512)
-    T13 = _pick_div(H2, 1024)
-    T2 = _pick_div(N, 512)
+    TA = min(_TILE_A, DQ, N, H2)
+    TB = _pick_div(N, _TILE_B)
     cdtype = cache_k.dtype
     sw_rows = min(8, S)
     hq = KH * G
     hq_p = -(-hq // 8) * 8
     clip = cfg.qkv_clip if math.isfinite(cfg.qkv_clip) else None
     interp = jax.default_backend() != "tpu"
+    nbA = _nbuf((DQ + N + H2) // TA)
+    nbB = _nbuf(N // TB)
 
     meta = jnp.stack(
         [
@@ -473,7 +505,7 @@ def fused_decode_step(
     kernel = functools.partial(
         _kernel,
         L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, H2=H2, S=S, sb=sb,
-        T13=T13, T2=T2, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
+        TA=TA, TB=TB, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
         cdtype=cdtype,
     )
     const = lambda l, m: (0, 0)
@@ -507,10 +539,8 @@ def fused_decode_step(
         ],
         scratch_shapes=[
             pltpu.VMEM((1, N), jnp.float32),  # x residual
-            pltpu.VMEM((2, DQ, N), jnp.int8),  # wqkv slabs
-            pltpu.VMEM((N, QD), jnp.int8),  # wo slab
-            pltpu.VMEM((_NB13, T13, N), jnp.int8),  # w13 tile pool
-            pltpu.VMEM((_NB2, T2, H), jnp.int8),  # w2 tile pool
+            pltpu.VMEM((nbA, TA, N), jnp.int8),  # pool A (wqkv/wo/w13)
+            pltpu.VMEM((nbB, TB, H), jnp.int8),  # pool B (w2)
             pltpu.VMEM((2, KH, sb, hd), cdtype),  # K blocks
             pltpu.VMEM((2, KH, sb, hd), cdtype),  # V blocks
             pltpu.VMEM((KH, sw_rows, hd), cdtype),  # sink window
@@ -522,14 +552,12 @@ def fused_decode_step(
             pltpu.VMEM((hq_p, 128), jnp.float32),  # flash m
             pltpu.VMEM((hq_p, 128), jnp.float32),  # flash l
             pltpu.VMEM((1, H), jnp.float32),  # act
-            pltpu.SemaphoreType.DMA((2,)),  # wqkv
-            pltpu.SemaphoreType.DMA(()),  # wo
-            pltpu.SemaphoreType.DMA((_NB13,)),  # w13
-            pltpu.SemaphoreType.DMA((_NB2,)),  # w2
+            pltpu.SemaphoreType.DMA((nbA,)),  # pool A
+            pltpu.SemaphoreType.DMA((nbB,)),  # pool B
             pltpu.SemaphoreType.DMA((2,)),  # k blocks
             pltpu.SemaphoreType.DMA((2,)),  # v blocks
-            pltpu.SemaphoreType.DMA(()),  # k row write
-            pltpu.SemaphoreType.DMA(()),  # v row write
+            pltpu.SemaphoreType.DMA(()),  # k window rmw
+            pltpu.SemaphoreType.DMA(()),  # v window rmw
             pltpu.SemaphoreType.DMA(()),  # sink rmw
         ],
     )
@@ -548,7 +576,7 @@ def fused_decode_step(
         # inputs counted incl. the scalar-prefetch arg: 16=cache_k, 17=cache_v
         input_output_aliases={16: 1, 17: 2},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=124 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
         ),
