@@ -79,6 +79,10 @@ def main() -> int:
     ap.add_argument("--a8", action="store_true",
                     help="W8A8 prefill: per-token int8 activations (s8xs8 "
                     "MXU at 2x bf16 rate; quality-gated, see RESULTS.md)")
+    ap.add_argument("--wcls", default="keep", choices=["keep", "i8"],
+                    help="recode the bf16 classifier head to i8 per-row at "
+                    "load (halves its 262 MB decode stream; quality-gated "
+                    "in RESULTS.md)")
     ap.add_argument("--fp8", default="recode", choices=["keep", "recode"],
                     help="fp8 weights: recode to i8 at load (the TPU fast "
                     "path; v5e has no fp8 MXU) or keep true fp8 (XLA "
@@ -115,6 +119,7 @@ def main() -> int:
         cfg, params, None, kv_dtype=kv_dt,
         compute_dtype={"auto": "auto", "f32": jnp.float32, "bf16": jnp.bfloat16}[args.compute],
         a8_prefill=args.a8,
+        wcls_i8=args.wcls == "i8",
     )
     weight_gb = params.nbytes() / 1e9
     log(f"params resident: {weight_gb:.2f} GB (built in {time.time() - t0:.1f}s)")

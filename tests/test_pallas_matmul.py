@@ -143,3 +143,30 @@ def test_a8_prefill_close_to_reference(tmp_path):
     # logits order must be essentially preserved
     assert np.abs(lr - la).max() < 0.35
     assert lr.argmax() == la.argmax()
+
+
+def test_wcls_i8_recode_preserves_logits(tmp_path):
+    """Engine(wcls_i8=True): the classifier head streams i8 per-row codes;
+    greedy decisions and logit magnitudes survive the recode, and the
+    active-bytes model reflects the halved stream."""
+    from tests.make_tiny_model import make_tiny_model
+    from xalm_tpu.convert import convert as cvt
+    from xalm_tpu.runtime.engine import Engine
+
+    hf = make_tiny_model(str(tmp_path / "hf"))
+    out = str(tmp_path / "tiny_i8.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "i8"]) == 0
+    ref = Engine.from_xalm(out, progress=False)
+    q = Engine(ref.cfg, ref.params, ref.tokenizer, wcls_i8=True)
+    assert q.params.wcls.values.dtype == jnp.int8
+    assert q.params.wcls.scale is not None
+    # embed stays float: the lookup table must not be quantized
+    assert q.params.embed.values.dtype != jnp.int8
+    toks = np.random.default_rng(11).integers(3, 350, size=24).tolist()
+    lr, _, _ = ref.prefill(toks, ref.new_cache(1), logits_mode="last")
+    lq, _, _ = q.prefill(toks, q.new_cache(1), logits_mode="last")
+    lr, lq = np.asarray(lr, np.float32), np.asarray(lq, np.float32)
+    assert lr.argmax() == lq.argmax()
+    # i8 per-row absmax: per-logit error ~ ||x|| * scale/2 — tight at tiny scale
+    assert np.abs(lr - lq).max() < 0.05 * max(1.0, np.abs(lr).max())
+    assert q._per_token_weight_bytes < ref._per_token_weight_bytes

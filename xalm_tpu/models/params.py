@@ -311,6 +311,25 @@ def recode_params_fp8(params: ModelParams) -> ModelParams:
     return ModelParams(embed=embed, layers=layers, out_norm=params.out_norm, wcls=wcls)
 
 
+def recode_wcls_i8(params: ModelParams) -> ModelParams:
+    """Opt-in: re-code a float (bf16/f16/f32) classifier head to i8 per-row.
+
+    The converter boosts wcls to 16-bit (reference convert.py:141-155
+    boost_type), so even an `i8` container streams a 2x-width classifier at
+    decode — 262 MB of the 7.29 GB/token footprint at 7B (docs/PERF.md).
+    Per-row absmax int8 halves that stream; the quantization error is
+    quality-gated on the real checkpoint (RESULTS.md). No-op for already-i8
+    heads; tied heads are untied (the embed lookup keeps the float table,
+    only the logits projection streams i8)."""
+    w = params.wcls
+    if jnp.dtype(w.values.dtype) == jnp.dtype(jnp.int8):
+        return params
+    # NOT the donating jit: a tied head aliases params.embed, which must
+    # survive (the embed lookup stays float)
+    q, scale = jax.jit(_recode_fp8_slab)(w.values)
+    return dataclasses.replace(params, wcls=QWeight(q, scale))
+
+
 def load_params(
     xf, cfg: ModelConfig, device_put=True, f16_mode: str = "auto",
     fp8_mode: str = "auto", progress=None,

@@ -83,7 +83,12 @@ class Engine:
         matmul_impl: str = "auto",
         a8_prefill: bool = False,
         fused_step: bool = True,
+        wcls_i8: bool = False,
     ):
+        if wcls_i8:
+            from xalm_tpu.models.params import recode_wcls_i8
+
+            params = recode_wcls_i8(params)
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -237,6 +242,7 @@ class Engine:
         fp8_mode: str = "auto",
         a8_prefill: bool = False,
         fused_step: bool = True,
+        wcls_i8: bool = False,
         progress: bool = True,
     ) -> "Engine":
         from xalm_tpu.models.params import load_units
@@ -263,6 +269,7 @@ class Engine:
             matmul_impl=matmul_impl,
             a8_prefill=a8_prefill,
             fused_step=fused_step,
+            wcls_i8=wcls_i8,
         )
 
     # ----------------------------------------------------------------- steps
