@@ -117,3 +117,26 @@ def test_fused_respects_kill_switch(tiny_i8, monkeypatch):
     eng, _ = _engines(tiny_i8)
     cache = eng.new_cache(1)
     assert not fused_step_supported(eng.cfg, eng.params, cache.k, 1, 1)
+
+
+def test_fused_with_wcls_i8(tiny_i8):
+    """Megakernel + i8-recoded classifier head: the logits projection after
+    the fused layer stack runs the i8 qmatmul and greedy decisions hold."""
+    base = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.float32, progress=False
+    )
+    q = Engine(
+        base.cfg, base.params, base.tokenizer, matmul_impl="pallas",
+        kv_dtype=jnp.float32, wcls_i8=True,
+    )
+    assert q.params.wcls.values.dtype == jnp.int8
+    prompt = np.random.default_rng(5).integers(3, 350, size=6).tolist()
+    want, _ = base.generate(prompt, 8, stop_on_eos=False)
+    got, _ = q.generate(prompt, 8, stop_on_eos=False)
+    # greedy path may diverge after a near-tie; require agreement on the
+    # first tokens and full-vocab logit closeness at step 0
+    assert got[:4] == want[:4]
+    lb, _ = base.decode(np.array([7]), np.array([0]), base.new_cache(1))
+    lq, _ = q.decode(np.array([7]), np.array([0]), q.new_cache(1))
+    lb, lq = np.asarray(lb, np.float32), np.asarray(lq, np.float32)
+    assert np.abs(lb - lq).max() < 0.05 * max(1.0, np.abs(lb).max())
