@@ -46,20 +46,11 @@ def main() -> int:
     import jax.numpy as jnp
 
     if args.tiers:
-        from xalm_tpu.ops import pallas_attention as pa
+        # the real code path honors this knob (pallas_attention._n_tiers);
+        # set it before the engine traces anything
+        import os
 
-        n = args.tiers
-
-        def _tiered(attn_call, nsb, blkmax, _n=n):
-            if nsb <= 1 or _n == 1:
-                return attn_call(nsb)
-            import functools
-
-            tiers = [1, nsb] if (_n == 2 or nsb < 4) else [1, nsb // 2, nsb]
-            idx = sum(jnp.int32(blkmax[0] >= t) for t in tiers[:-1])
-            return jax.lax.switch(idx, [functools.partial(attn_call, t) for t in tiers])
-
-        pa._tiered = _tiered
+        os.environ["XALM_ATTN_TIERS"] = str(args.tiers)
 
     from xalm_tpu.runtime.cache import KVCache
     from xalm_tpu.runtime.engine import Engine

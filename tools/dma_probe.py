@@ -46,10 +46,13 @@ def main() -> int:
     rows = args.mb * (1 << 20) // N
     print(f"stream: {rows} x {N} int8 = {rows * N / 1e9:.2f} GB", flush=True)
     key = jax.random.PRNGKey(0)
-    # 2 distinct arrays so back-to-back timed calls aren't memoized
+    # one distinct array per timed dispatch (+1 for warmups): the tunnel
+    # memoizes byte-identical dispatches, so NO timed call may repeat an
+    # earlier (fn, input) pair — a memoized sample returns in ~RTT and
+    # would poison the marginal rate
     arrs = [
         jax.jit(lambda k: jax.random.randint(k, (rows, N), -127, 128, jnp.int32).astype(jnp.int8))(k)
-        for k in jax.random.split(key, 2)
+        for k in jax.random.split(key, 2 * args.reps + 1)
     ]
     jax.block_until_ready(arrs)
 
@@ -168,18 +171,18 @@ def main() -> int:
     def bench(name, make):
         f_lo = jax.jit(make(R_LO))
         f_hi = jax.jit(make(R_HI))
-        np.asarray(f_lo(arrs[0]))
-        np.asarray(f_hi(arrs[0]))  # compile+warm both
+        np.asarray(f_lo(arrs[-1]))
+        np.asarray(f_hi(arrs[-1]))  # compile+warm both
 
-        def t(f):
+        def t(f, pool):
             best = float("inf")
             for r in range(args.reps):
                 t0 = time.perf_counter()
-                np.asarray(f(arrs[(r + 1) % 2]))
+                np.asarray(f(pool[r]))  # unique input per timed dispatch
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        dt = t(f_hi) - t(f_lo)
+        dt = t(f_hi, arrs[args.reps : 2 * args.reps]) - t(f_lo, arrs[: args.reps])
         rate = gb * (R_HI - R_LO) / max(dt, 1e-9)
         print(f"{name:34s} {rate:7.1f} GB/s marginal", flush=True)
 

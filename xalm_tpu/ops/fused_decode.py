@@ -449,6 +449,12 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
         return False
     if cfg.head_dim % 2 != 0:
         return False
+    # sequence-dim DMA slices (8-row insert/sink windows, sb-row flash
+    # blocks) must be sublane-tile aligned: S % 8 guarantees both (any
+    # S % 8 == 0 makes _pick_div(S, 512) land on a multiple of 8)
+    S = cache_k.shape[3]
+    if S < 8 or S % 8:
+        return False
     import os
 
     if os.environ.get("XALM_NO_MEGAKERNEL"):
