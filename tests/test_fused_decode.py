@@ -130,6 +130,10 @@ def test_fused_with_wcls_i8(tiny_i8):
         kv_dtype=jnp.float32, wcls_i8=True,
     )
     assert q.params.wcls.values.dtype == jnp.int8
+    from xalm_tpu.ops.fused_decode import wcls_fold_supported
+
+    # the in-kernel classifier stream (phase 5) must be what's under test
+    assert wcls_fold_supported(q.cfg, q.params)
     prompt = np.random.default_rng(5).integers(3, 350, size=6).tolist()
     want, _ = base.generate(prompt, 8, stop_on_eos=False)
     got, _ = q.generate(prompt, 8, stop_on_eos=False)

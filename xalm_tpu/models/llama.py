@@ -314,6 +314,7 @@ def forward(
         )
 
         if fused_step_supported(cfg, params, cache.k, b, t):
+            from xalm_tpu.ops.fused_decode import wcls_fold_supported
             from xalm_tpu.ops.pallas_attention import rope_cos_sin_plus1
 
             ang = positions[:, 0, None].astype(jnp.float32) * jnp.asarray(freqs)
@@ -321,7 +322,8 @@ def forward(
             sexp_p = jnp.repeat(jnp.sin(ang), 2, axis=-1)
             cexp1, sexp1 = rope_cos_sin_plus1(freqs)
             active = (positions[:, 0] >= s).astype(jnp.int32)
-            xf, ck, cv = fused_decode_step(
+            fold = logits_mode != "none" and wcls_fold_supported(cfg, params)
+            mk_args = (
                 params,
                 cfg,
                 x[:, 0, :],
@@ -335,6 +337,16 @@ def forward(
                 jnp.asarray(cexp1),
                 jnp.asarray(sexp1),
             )
+            if fold:
+                # phase 5: final norm + i8 classifier stream in-kernel
+                xf, logits, ck, cv = fused_decode_step(
+                    *mk_args, wcls=params.wcls, out_norm=params.out_norm
+                )
+                new_cache = KVCache(k=ck, v=cv, k_scale=None, v_scale=None)
+                return (
+                    logits if logits_mode == "last" else logits[:, None, :]
+                ), new_cache
+            xf, ck, cv = fused_decode_step(*mk_args)
             new_cache = KVCache(k=ck, v=cv, k_scale=None, v_scale=None)
             if logits_mode == "none":
                 return None, new_cache

@@ -86,23 +86,37 @@ def _rope_lane(v, cexp, sexp, hd):
 
 def _kernel(
     meta_ref,  # scalar prefetch: [kv_pos, kv_len, rotate]
-    # --- pipelined VMEM inputs
-    x0_ref, cexp_ref, sexp_ref, c1_ref, s1_ref,
-    anorm_ref, mnorm_ref, sqkv_ref, so_ref, s13_ref, s2_ref,
-    # --- ANY (HBM) inputs
-    wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, ck_in, cv_in,
-    # --- outputs
-    xout_ref, ck_out, cv_out,
-    # --- scratch
-    x_ref, bufA, bufB,
-    kblk, vblk, sinkw, kwin, vwin, kw_ref, vw_ref,
-    acc_ref, m_ref, l_ref, act_ref,
-    sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink,
-    *,
+    *refs,  # pipelined VMEM inputs, ANY (HBM) inputs, outputs, scratch —
+    # order depends on fold_wcls, unpacked below
     L: int, N: int, DQ: int, KH: int, G: int, hd: int,
     H2: int, S: int, sb: int, TA: int, TB: int, c13: int,
     eps: float, clip: float | None, act: str, cdtype,
+    V: int = 0, fold_wcls: bool = False,
 ):
+    if fold_wcls:
+        (
+            x0_ref, cexp_ref, sexp_ref, c1_ref, s1_ref,
+            anorm_ref, mnorm_ref, sqkv_ref, so_ref, s13_ref, s2_ref,
+            onorm_ref, swcls_ref,
+            wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, wcls_hbm, ck_in, cv_in,
+            xout_ref, logits_ref, ck_out, cv_out,
+            *scr,
+        ) = refs
+    else:
+        (
+            x0_ref, cexp_ref, sexp_ref, c1_ref, s1_ref,
+            anorm_ref, mnorm_ref, sqkv_ref, so_ref, s13_ref, s2_ref,
+            wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, ck_in, cv_in,
+            xout_ref, ck_out, cv_out,
+            *scr,
+        ) = refs
+        onorm_ref = swcls_ref = wcls_hbm = logits_ref = None
+    (
+        x_ref, bufA, bufB,
+        kblk, vblk, sinkw, kwin, vwin, kw_ref, vw_ref,
+        acc_ref, m_ref, l_ref, act_ref,
+        sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink,
+    ) = scr
     PR = _probe()
     l = pl.program_id(0)
     kvp = meta_ref[0]
@@ -135,11 +149,26 @@ def _kernel(
             src = w13_hbm.at[lyr, pl.ds((r - nqkv - nwo) * TA, TA), :]
         return pltpu.make_async_copy(src, bufA.at[slot], sA.at[slot])
 
+    # wcls tiles ride the SAME pool as entries [n_lay, n_lay + NW) of the
+    # LAST layer (there is no next layer to prefetch): slot i % nbA, same
+    # semaphores, so the lookahead stays full through phase 4 into the
+    # logits stream
+    NW = V // TA if fold_wcls else 0
+
+    def wcls_dma(i: int):
+        return pltpu.make_async_copy(
+            wcls_hbm.at[pl.ds(i * TA, TA), :], bufA.at[i % nbA], sA.at[i % nbA]
+        )
+
     def issue(e: int):
         if e >= n_lay:
             @pl.when(l + 1 < L)
             def _():
                 entry_dma(e).start()
+            if fold_wcls and e - n_lay < NW:
+                @pl.when(l + 1 == L)
+                def _():
+                    wcls_dma(e - n_lay).start()
         else:
             entry_dma(e).start()
 
@@ -423,6 +452,29 @@ def _kernel(
     def _emit():
         xout_ref[...] = x_ref[...]
 
+    # ---- phase 5 (last layer only): final norm + classifier stream ------
+    # The i8 head (same (TA, N) tile shape as pool A) continues the unified
+    # tile stream, so the logits matmul pays no separate launch, no
+    # pipeline re-ramp, and no XLA rmsnorm/dynamic-slice glue.
+    if fold_wcls:
+        @pl.when(l == L - 1)
+        def _logits():
+            x = x_ref[...]
+            ms3 = jnp.mean(x * x, axis=-1, keepdims=True)
+            xn3 = (x * jax.lax.rsqrt(ms3 + eps) * onorm_ref[...]).astype(
+                jnp.bfloat16
+            )
+            sw = swcls_ref[...]  # (1, V)
+            for i in range(NW):
+                wcls_dma(i).wait()
+                lt = jax.lax.dot_general(
+                    xn3, bufA[i % nbA], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * sw[:, i * TA : (i + 1) * TA]
+                logits_ref[:, i * TA : (i + 1) * TA] = lt
+                if i + nbA < NW:
+                    wcls_dma(i + nbA).start()
+
 
 def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
     """Shape/dtype gate for the megakernel decode path."""
@@ -462,6 +514,27 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
     return True
 
 
+def wcls_fold_supported(cfg, params) -> bool:
+    """Can the megakernel also stream the classifier head (phase 5)?
+    Requires an i8 per-row-scaled head (Engine(wcls_i8=True) or an i8-typed
+    container head) whose shape tiles like pool A."""
+    w = params.wcls
+    if w.values.dtype != jnp.int8 or w.scale is None:
+        return False
+    lp = params.layers
+    _, DQ, N = lp.wqkv.values.shape
+    H2 = lp.w13.values.shape[1]
+    ta = min(_TILE_A, DQ, N, H2)
+    V, n = w.values.shape
+    if n != N or V % ta:
+        return False
+    import os
+
+    if os.environ.get("XALM_NO_MK_WCLS"):
+        return False
+    return True
+
+
 def fused_decode_step(
     params,
     cfg,
@@ -475,8 +548,13 @@ def fused_decode_step(
     sexp_p: jax.Array,
     cexp1: jax.Array,  # (1, hd) f32 — +1-position rotation (sinks)
     sexp1: jax.Array,
+    wcls=None,  # QWeight (V, N) i8 + per-row scale: fold logits in-kernel
+    out_norm=None,  # (N,) f32 — required with wcls
 ):
-    """One full decode-layer-stack step. Returns (x (1, N) f32, ck, cv)."""
+    """One full decode-layer-stack step.
+
+    Returns (x (1, N) f32, ck, cv), or (x, logits (1, V) f32, ck, cv) when
+    ``wcls``/``out_norm`` are given (see wcls_fold_supported)."""
     lp = params.layers
     L, DQ, N = lp.wqkv.values.shape
     QD = lp.wo.values.shape[2]  # wo: (L, N, QD); gate requires QD == N
@@ -499,6 +577,12 @@ def fused_decode_step(
     interp = jax.default_backend() != "tpu"
     nbA = _nbuf((DQ + N + H2) // TA)
     nbB = _nbuf(N // TB)
+    fold_wcls = wcls is not None
+    V = wcls.values.shape[0] if fold_wcls else 0
+    if fold_wcls:
+        assert out_norm is not None
+        assert wcls.values.dtype == jnp.int8 and wcls.scale is not None
+        assert V % TA == 0 and wcls.values.shape[1] == N, (wcls.values.shape, TA)
 
     meta = jnp.stack(
         [
@@ -512,37 +596,38 @@ def fused_decode_step(
         _kernel,
         L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, H2=H2, S=S, sb=sb,
         TA=TA, TB=TB, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
-        cdtype=cdtype,
+        cdtype=cdtype, V=V, fold_wcls=fold_wcls,
     )
     const = lambda l, m: (0, 0)
     row = lambda l, m: (l, 0, 0)
+    vm_specs = [
+        pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, DQ), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, H2), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+    ]
+    if fold_wcls:
+        vm_specs += [
+            pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),  # out_norm
+            pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM),  # wcls scale
+        ]
+    n_any = 7 if fold_wcls else 6  # weight/cache HBM operands
+    out_specs = [pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM)]
+    if fold_wcls:
+        out_specs.append(pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM))
+    out_specs += [pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L,),
-        in_specs=[
-            pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, DQ), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H2), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=vm_specs + [pl.BlockSpec(memory_space=pl.ANY)] * n_any,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((1, N), jnp.float32),  # x residual
             pltpu.VMEM((nbA, TA, N), jnp.int8),  # pool A (wqkv/wo/w13)
@@ -571,16 +656,48 @@ def fused_decode_step(
         lp.wqkv.values.nbytes + lp.wo.values.nbytes
         + lp.w13.values.nbytes + lp.w2.values.nbytes
     )
-    x, ck, cv = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((1, N), jnp.float32)]
+    if fold_wcls:
+        out_shape.append(jax.ShapeDtypeStruct((1, V), jnp.float32))
+    out_shape += [
+        jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+        jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+    ]
+    # input indices counted incl. the scalar-prefetch arg; the caches are
+    # the last two inputs and alias the last two outputs (in-place update)
+    n_in = 1 + len(vm_specs) + n_any
+    n_out = len(out_shape)
+    aliases = {n_in - 2: n_out - 2, n_in - 1: n_out - 1}
+    call_args = [
+        meta,
+        x0,
+        cexp_p, sexp_p, cexp1, sexp1,
+        lp.attn_norm.reshape(L, 1, N).astype(jnp.float32),
+        lp.mlp_norm.reshape(L, 1, N).astype(jnp.float32),
+        lp.wqkv.scale.reshape(L, 1, DQ).astype(jnp.float32),
+        lp.wo.scale.reshape(L, 1, N).astype(jnp.float32),
+        lp.w13.scale.reshape(L, 1, H2).astype(jnp.float32),
+        lp.w2.scale.reshape(L, 1, N).astype(jnp.float32),
+    ]
+    if fold_wcls:
+        call_args += [
+            jnp.asarray(out_norm, jnp.float32).reshape(1, N),
+            jnp.asarray(wcls.scale, jnp.float32).reshape(1, V),
+        ]
+    call_args += [
+        lp.wqkv.values,
+        lp.wo.values,
+        lp.w13.values,
+        lp.w2.values,
+    ]
+    if fold_wcls:
+        call_args.append(wcls.values)
+    call_args += [cache_k, cache_v]
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, N), jnp.float32),
-            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
-            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
-        ),
+        out_shape=tuple(out_shape),
         grid_spec=grid_spec,
-        # inputs counted incl. the scalar-prefetch arg: 16=cache_k, 17=cache_v
-        input_output_aliases={16: 1, 17: 2},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary",),
@@ -592,21 +709,9 @@ def fused_decode_step(
             transcendentals=0,
         ),
         interpret=interp,
-    )(
-        meta,
-        x0,
-        cexp_p, sexp_p, cexp1, sexp1,
-        lp.attn_norm.reshape(L, 1, N).astype(jnp.float32),
-        lp.mlp_norm.reshape(L, 1, N).astype(jnp.float32),
-        lp.wqkv.scale.reshape(L, 1, DQ).astype(jnp.float32),
-        lp.wo.scale.reshape(L, 1, N).astype(jnp.float32),
-        lp.w13.scale.reshape(L, 1, H2).astype(jnp.float32),
-        lp.w2.scale.reshape(L, 1, N).astype(jnp.float32),
-        lp.wqkv.values,
-        lp.wo.values,
-        lp.w13.values,
-        lp.w2.values,
-        cache_k,
-        cache_v,
-    )
+    )(*call_args)
+    if fold_wcls:
+        x, logits, ck, cv = outs
+        return x, logits, ck, cv
+    x, ck, cv = outs
     return x, ck, cv
