@@ -143,8 +143,13 @@ def main() -> int:
         "|---|---|---|---|",
     ]
     base = None
-    for dt in DTYPES:
-        eng = Engine.from_xalm(paths[dt], progress=False)
+    for dt in DTYPES + ["i8 + wcls_i8"]:
+        if dt == "i8 + wcls_i8":
+            # the opt-in classifier-head recode (Engine(wcls_i8=True),
+            # bench --wcls i8): gate its quantization error like a dtype
+            eng = Engine.from_xalm(paths["i8"], wcls_i8=True, progress=False)
+        else:
+            eng = Engine.from_xalm(paths[dt], progress=False)
         ppl, err, n = ppl_segments(eng, heldout, 512, args.segments)
         if base is None:
             base = ppl

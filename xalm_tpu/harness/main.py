@@ -57,6 +57,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="kv cache dtype (i8 = quantized with per-row scales)")
     p.add_argument("--compute", default="auto", choices=["auto", "f32", "bf16"], help="matmul compute dtype (auto: bf16 on TPU)")
     p.add_argument("--matmul", default="auto", choices=["auto", "xla", "pallas"], help="matmul kernel impl")
+    p.add_argument("--wcls-i8", action="store_true",
+                   help="recode the boosted classifier head to i8 per-row at "
+                   "load (extension; quality-gated in RESULTS.md)")
     p.add_argument("--profile", action="store_true", help="print profiler report at exit")
     p.add_argument("--seed", type=int, default=None, help="seed for passkey randomness")
     p.add_argument(
@@ -125,6 +128,7 @@ def _load_engine(args):
                 kv_dtype=dt[args.kv_dtype],
                 compute_dtype=dt[args.compute],
                 matmul_impl=args.matmul,
+                wcls_i8=args.wcls_i8,
             )
     cfg = eng.cfg
     print(

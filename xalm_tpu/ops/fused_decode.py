@@ -465,13 +465,15 @@ def _kernel(
                 jnp.bfloat16
             )
             sw = swcls_ref[...]  # (1, V)
+            skip_log = "nologit" in PR  # probe: stream w/o compute
             for i in range(NW):
                 wcls_dma(i).wait()
-                lt = jax.lax.dot_general(
-                    xn3, bufA[i % nbA], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * sw[:, i * TA : (i + 1) * TA]
-                logits_ref[:, i * TA : (i + 1) * TA] = lt
+                if not skip_log:
+                    lt = jax.lax.dot_general(
+                        xn3, bufA[i % nbA], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * sw[:, i * TA : (i + 1) * TA]
+                    logits_ref[:, i * TA : (i + 1) * TA] = lt
                 if i + nbA < NW:
                     wcls_dma(i + nbA).start()
 
