@@ -144,3 +144,22 @@ def test_fused_with_wcls_i8(tiny_i8):
     lq, _ = q.decode(np.array([7]), np.array([0]), q.new_cache(1))
     lb, lq = np.asarray(lb, np.float32), np.asarray(lq, np.float32)
     assert np.abs(lb - lq).max() < 0.05 * max(1.0, np.abs(lb).max())
+
+
+def test_fused_decode_scan_crosses_wrap(tiny_i8):
+    """decode_scan whose steps cross the window boundary mid-scan (the
+    bench --wrap regime): the in-scan rotate flag must flip exactly where
+    the per-layer path's does, and caches must agree after the scan."""
+    fused, ref = _engines(tiny_i8, context=16)
+    rng = np.random.default_rng(3)
+    warm = rng.integers(3, 350, size=10)
+    cf, cr = fused.new_cache(1), ref.new_cache(1)
+    for i, t in enumerate(warm):  # pos 0..9, window 16: scan will wrap
+        _, cf = fused.decode(np.array([t]), np.array([i]), cf)
+        _, cr = ref.decode(np.array([t]), np.array([i]), cr)
+    tf, cf = fused.decode_scan(np.array([5]), np.array([10]), cf, 14)
+    tr, cr = ref.decode_scan(np.array([5]), np.array([10]), cr, 14)
+    np.testing.assert_array_equal(np.asarray(tf), np.asarray(tr))
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )
