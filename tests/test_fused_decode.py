@@ -163,3 +163,41 @@ def test_fused_decode_scan_crosses_wrap(tiny_i8):
     np.testing.assert_allclose(
         np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fused_embed_fold_matches(tiny_i8, monkeypatch):
+    """In-kernel embed row gather + rope trig (fold_embed) vs the XLA
+    gather path. CPU containers keep f16 embeds (fold inactive), so cast
+    to bf16 — the dtype the TPU loader produces — to engage the fold."""
+    import dataclasses
+
+    from xalm_tpu.models.params import QWeight
+    from xalm_tpu.ops.fused_decode import embed_fold_supported
+
+    base = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.float32, context=16,
+        progress=False,
+    )
+    p16 = dataclasses.replace(
+        base.params, embed=QWeight(base.params.embed.values.astype(jnp.bfloat16))
+    )
+    fold = Engine(base.cfg, p16, base.tokenizer, matmul_impl="pallas",
+                  kv_dtype=jnp.float32)
+    assert embed_fold_supported(fold.cfg, fold.params)
+    monkeypatch.setenv("XALM_NO_MK_EMBED", "1")
+    ref = Engine(base.cfg, p16, base.tokenizer, matmul_impl="pallas",
+                 kv_dtype=jnp.float32)
+    assert not embed_fold_supported(ref.cfg, ref.params)
+    monkeypatch.delenv("XALM_NO_MK_EMBED")
+    rng = np.random.default_rng(9)
+    toks = rng.integers(3, 350, size=24)  # through a wrap at window 16
+    cf, cr = fold.new_cache(1), ref.new_cache(1)
+    for i, t in enumerate(toks):
+        lf, cf = fold.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=3e-4, atol=3e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )

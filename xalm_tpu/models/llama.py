@@ -314,7 +314,10 @@ def forward(
         )
 
         if fused_step_supported(cfg, params, cache.k, b, t):
-            from xalm_tpu.ops.fused_decode import wcls_fold_supported
+            from xalm_tpu.ops.fused_decode import (
+                embed_fold_supported,
+                wcls_fold_supported,
+            )
             from xalm_tpu.ops.pallas_attention import rope_cos_sin_plus1
 
             ang = positions[:, 0, None].astype(jnp.float32) * jnp.asarray(freqs)
@@ -323,6 +326,16 @@ def forward(
             cexp1, sexp1 = rope_cos_sin_plus1(freqs)
             active = (positions[:, 0] >= s).astype(jnp.int32)
             fold = logits_mode != "none" and wcls_fold_supported(cfg, params)
+            # embed fold: the kernel gathers the token row and computes the
+            # rope trig itself; the XLA gather/cos/sin above are then dead
+            # code the jit removes
+            fold_e = embed_fold_supported(cfg, params)
+            mk_kw = dict(
+                embed=params.embed,
+                token=tokens[:, 0],
+                pos=positions[:, 0],
+                freqs=jnp.asarray(freqs),
+            ) if fold_e else {}
             mk_args = (
                 params,
                 cfg,
@@ -340,13 +353,14 @@ def forward(
             if fold:
                 # phase 5: final norm + i8 classifier stream in-kernel
                 xf, logits, ck, cv = fused_decode_step(
-                    *mk_args, wcls=params.wcls, out_norm=params.out_norm
+                    *mk_args, wcls=params.wcls, out_norm=params.out_norm,
+                    **mk_kw,
                 )
                 new_cache = KVCache(k=ck, v=cv, k_scale=None, v_scale=None)
                 return (
                     logits if logits_mode == "last" else logits[:, None, :]
                 ), new_cache
-            xf, ck, cv = fused_decode_step(*mk_args)
+            xf, ck, cv = fused_decode_step(*mk_args, **mk_kw)
             new_cache = KVCache(k=ck, v=cv, k_scale=None, v_scale=None)
             if logits_mode == "none":
                 return None, new_cache

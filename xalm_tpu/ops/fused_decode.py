@@ -85,38 +85,53 @@ def _rope_lane(v, cexp, sexp, hd):
 
 
 def _kernel(
-    meta_ref,  # scalar prefetch: [kv_pos, kv_len, rotate]
+    meta_ref,  # scalar prefetch: [kv_pos, kv_len, rotate, token, pos]
     *refs,  # pipelined VMEM inputs, ANY (HBM) inputs, outputs, scratch —
-    # order depends on fold_wcls, unpacked below
+    # order depends on the fold flags, unpacked below
     L: int, N: int, DQ: int, KH: int, G: int, hd: int,
     H2: int, S: int, sb: int, TA: int, TB: int, c13: int,
     eps: float, clip: float | None, act: str, cdtype,
-    V: int = 0, fold_wcls: bool = False,
+    V: int = 0, fold_wcls: bool = False, fold_embed: bool = False,
 ):
-    if fold_wcls:
-        (
-            x0_ref, cexp_ref, sexp_ref, c1_ref, s1_ref,
-            anorm_ref, mnorm_ref, sqkv_ref, so_ref, s13_ref, s2_ref,
-            onorm_ref, swcls_ref,
-            wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, wcls_hbm, ck_in, cv_in,
-            xout_ref, logits_ref, ck_out, cv_out,
-            *scr,
-        ) = refs
-    else:
-        (
-            x0_ref, cexp_ref, sexp_ref, c1_ref, s1_ref,
-            anorm_ref, mnorm_ref, sqkv_ref, so_ref, s13_ref, s2_ref,
-            wqkv_hbm, wo_hbm, w13_hbm, w2_hbm, ck_in, cv_in,
-            xout_ref, ck_out, cv_out,
-            *scr,
-        ) = refs
-        onorm_ref = swcls_ref = wcls_hbm = logits_ref = None
+    it = iter(refs)
+    x0_ref = None if fold_embed else next(it)
+    cexp_ref = None if fold_embed else next(it)
+    sexp_ref = None if fold_embed else next(it)
+    c1_ref = next(it)
+    s1_ref = next(it)
+    freqs_ref = next(it) if fold_embed else None
+    anorm_ref = next(it)
+    mnorm_ref = next(it)
+    sqkv_ref = next(it)
+    so_ref = next(it)
+    s13_ref = next(it)
+    s2_ref = next(it)
+    onorm_ref = next(it) if fold_wcls else None
+    swcls_ref = next(it) if fold_wcls else None
+    wqkv_hbm = next(it)
+    wo_hbm = next(it)
+    w13_hbm = next(it)
+    w2_hbm = next(it)
+    wcls_hbm = next(it) if fold_wcls else None
+    embed_hbm = next(it) if fold_embed else None
+    ck_in = next(it)
+    cv_in = next(it)
+    xout_ref = next(it)
+    logits_ref = next(it) if fold_wcls else None
+    ck_out = next(it)
+    cv_out = next(it)
+    scr = list(it)
     (
         x_ref, bufA, bufB,
         kblk, vblk, sinkw, kwin, vwin, kw_ref, vw_ref,
         acc_ref, m_ref, l_ref, act_ref,
-        sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink,
-    ) = scr
+    ) = scr[:14]
+    if fold_embed:
+        ebuf = scr[14]
+        (sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink, s_emb) = scr[15:]
+    else:
+        ebuf = s_emb = None
+        (sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink) = scr[14:]
     PR = _probe()
     l = pl.program_id(0)
     kvp = meta_ref[0]
@@ -177,9 +192,31 @@ def _kernel(
 
     @pl.when(l == 0)
     def _boot():
-        x_ref[...] = x0_ref[...]
+        if fold_embed:
+            # in-kernel embed row gather: bf16 HBM slices must be 16-row
+            # (sublane-tile) aligned, so fetch the token's window and
+            # mask-select its row (cheaper than the XLA gather launch)
+            tok = meta_ref[3]
+            start = tok // 16 * 16
+            pltpu.make_async_copy(
+                embed_hbm.at[pl.ds(start, 16), :], ebuf, s_emb
+            ).start()
         for e in range(min(nbA, n_lay)):
             entry_dma(e).start()
+        if fold_embed:
+            tok = meta_ref[3]
+            start = tok // 16 * 16
+            pltpu.make_async_copy(
+                embed_hbm.at[pl.ds(start, 16), :], ebuf, s_emb
+            ).wait()
+            rows = jax.lax.broadcasted_iota(jnp.int32, (16, N), 0)
+            x_ref[...] = jnp.sum(
+                jnp.where(rows == tok - start, ebuf[...].astype(jnp.float32), 0.0),
+                axis=0,
+                keepdims=True,
+            )
+        else:
+            x_ref[...] = x0_ref[...]
 
     # ---- phase 1: fused qkv projection (norm prologue + scale epilogue) -
     x = x_ref[...]
@@ -198,8 +235,16 @@ def _kernel(
     y = jnp.concatenate(ys, axis=1)  # (1, DQ) — lane concat, layout-free
 
     # ---- rope + clip + KV row build -------------------------------------
-    cexp = cexp_ref[...]
-    sexp = sexp_ref[...]
+    if fold_embed:
+        # per-step trig on the VPU (freqs_ref is the pair-repeated lane
+        # table; repeat(cos(p*f), 2) == cos(p*repeat(f, 2)))
+        posf = meta_ref[4].astype(jnp.float32)
+        ang = posf * freqs_ref[...]
+        cexp = jnp.cos(ang)
+        sexp = jnp.sin(ang)
+    else:
+        cexp = cexp_ref[...]
+        sexp = sexp_ref[...]
     inv = 1.0 / math.sqrt(hd)
     qs = []  # HQ rotated query rows, (1, hd) f32, pre-scaled
     kw_f = []  # per-kv-head rotated K rows as written (cache-dtype rounded)
@@ -516,6 +561,23 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
     return True
 
 
+def embed_fold_supported(cfg, params) -> bool:
+    """Can the megakernel gather the embed row + compute rope trig itself?
+    Needs a plain bf16 embed table whose vocab is 16-row aligned (the bf16
+    HBM window tile)."""
+    e = params.embed
+    if jnp.dtype(e.values.dtype) != jnp.dtype(jnp.bfloat16) or e.scale is not None:
+        return False
+    Ve, n = e.values.shape
+    if Ve < 16 or Ve % 16:
+        return False
+    import os
+
+    if os.environ.get("XALM_NO_MK_EMBED"):
+        return False
+    return True
+
+
 def wcls_fold_supported(cfg, params) -> bool:
     """Can the megakernel also stream the classifier head (phase 5)?
     Requires an i8 per-row-scaled head (Engine(wcls_i8=True) or an i8-typed
@@ -552,6 +614,10 @@ def fused_decode_step(
     sexp1: jax.Array,
     wcls=None,  # QWeight (V, N) i8 + per-row scale: fold logits in-kernel
     out_norm=None,  # (N,) f32 — required with wcls
+    embed=None,  # QWeight (Ve, N) bf16: fold the row gather in-kernel
+    token=None,  # (1,) int32 — required with embed (x0 then ignored)
+    pos=None,  # (1,) int32 — required with embed (rope trig in-kernel)
+    freqs=None,  # (hd//2,) rope inverse frequencies — required with embed
 ):
     """One full decode-layer-stack step.
 
@@ -580,17 +646,25 @@ def fused_decode_step(
     nbA = _nbuf((DQ + N + H2) // TA)
     nbB = _nbuf(N // TB)
     fold_wcls = wcls is not None
+    fold_embed = embed is not None
     V = wcls.values.shape[0] if fold_wcls else 0
     if fold_wcls:
         assert out_norm is not None
         assert wcls.values.dtype == jnp.int8 and wcls.scale is not None
         assert V % TA == 0 and wcls.values.shape[1] == N, (wcls.values.shape, TA)
+    if fold_embed:
+        assert token is not None and pos is not None and freqs is not None
+        assert embed.values.dtype == jnp.bfloat16 and embed.scale is None
+        assert embed.values.shape[0] % 16 == 0 and embed.values.shape[1] == N
 
+    zero = jnp.zeros((), jnp.int32)
     meta = jnp.stack(
         [
             jnp.asarray(kv_pos, jnp.int32).reshape(()),
             jnp.asarray(kv_len, jnp.int32).reshape(()),
             jnp.asarray(rotate, jnp.int32).reshape(()),
+            jnp.asarray(token, jnp.int32).reshape(()) if fold_embed else zero,
+            jnp.asarray(pos, jnp.int32).reshape(()) if fold_embed else zero,
         ]
     )
 
@@ -598,16 +672,19 @@ def fused_decode_step(
         _kernel,
         L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, H2=H2, S=S, sb=sb,
         TA=TA, TB=TB, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
-        cdtype=cdtype, V=V, fold_wcls=fold_wcls,
+        cdtype=cdtype, V=V, fold_wcls=fold_wcls, fold_embed=fold_embed,
     )
     const = lambda l, m: (0, 0)
     row = lambda l, m: (l, 0, 0)
-    vm_specs = [
-        pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM),
+    hd_spec = pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM)
+    vm_specs = [] if fold_embed else [
+        pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),  # x0
+        hd_spec, hd_spec,  # cexp_p, sexp_p
+    ]
+    vm_specs += [hd_spec, hd_spec]  # c1, s1
+    if fold_embed:
+        vm_specs.append(hd_spec)  # pair-repeated freqs
+    vm_specs += [
         pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, DQ), row, memory_space=pltpu.VMEM),
@@ -620,7 +697,7 @@ def fused_decode_step(
             pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),  # out_norm
             pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM),  # wcls scale
         ]
-    n_any = 7 if fold_wcls else 6  # weight/cache HBM operands
+    n_any = 6 + (1 if fold_wcls else 0) + (1 if fold_embed else 0)
     out_specs = [pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM)]
     if fold_wcls:
         out_specs.append(pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM))
@@ -645,6 +722,9 @@ def fused_decode_step(
             pltpu.VMEM((hq_p, 128), jnp.float32),  # flash m
             pltpu.VMEM((hq_p, 128), jnp.float32),  # flash l
             pltpu.VMEM((1, H), jnp.float32),  # act
+        ]
+        + ([pltpu.VMEM((16, N), jnp.bfloat16)] if fold_embed else [])  # embed win
+        + [
             pltpu.SemaphoreType.DMA((nbA,)),  # pool A
             pltpu.SemaphoreType.DMA((nbB,)),  # pool B
             pltpu.SemaphoreType.DMA((2,)),  # k blocks
@@ -652,7 +732,8 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA(()),  # k window rmw
             pltpu.SemaphoreType.DMA(()),  # v window rmw
             pltpu.SemaphoreType.DMA(()),  # sink rmw
-        ],
+        ]
+        + ([pltpu.SemaphoreType.DMA(())] if fold_embed else []),  # embed win
     )
     weight_bytes = (
         lp.wqkv.values.nbytes + lp.wo.values.nbytes
@@ -670,10 +751,15 @@ def fused_decode_step(
     n_in = 1 + len(vm_specs) + n_any
     n_out = len(out_shape)
     aliases = {n_in - 2: n_out - 2, n_in - 1: n_out - 1}
-    call_args = [
-        meta,
-        x0,
-        cexp_p, sexp_p, cexp1, sexp1,
+    call_args = [meta]
+    if not fold_embed:
+        call_args += [x0, cexp_p, sexp_p]
+    call_args += [cexp1, sexp1]
+    if fold_embed:
+        call_args.append(
+            jnp.repeat(jnp.asarray(freqs, jnp.float32).reshape(1, -1), 2, axis=-1)
+        )
+    call_args += [
         lp.attn_norm.reshape(L, 1, N).astype(jnp.float32),
         lp.mlp_norm.reshape(L, 1, N).astype(jnp.float32),
         lp.wqkv.scale.reshape(L, 1, DQ).astype(jnp.float32),
@@ -694,6 +780,8 @@ def fused_decode_step(
     ]
     if fold_wcls:
         call_args.append(wcls.values)
+    if fold_embed:
+        call_args.append(embed.values)
     call_args += [cache_k, cache_v]
     outs = pl.pallas_call(
         kernel,
