@@ -52,7 +52,10 @@ from xalm_tpu.runtime.cache import KVCache, ring_indices
 
 __all__ = ["forward", "rope_freqs", "apply_rope", "rmsnorm", "embed_lookup", "attention"]
 
-LogitsMode = Literal["none", "last", "all"]
+LogitsMode = Literal["none", "last", "all", "token"]
+# "token": return the greedy next token id (B,) int32 instead of logits —
+# with the full megakernel folds the whole decode step (embed -> layers ->
+# logits -> argmax) is one pallas_call; other paths argmax in XLA
 
 
 def rope_freqs(cfg: ModelConfig) -> np.ndarray:
@@ -351,12 +354,15 @@ def forward(
                 jnp.asarray(sexp1),
             )
             if fold:
-                # phase 5: final norm + i8 classifier stream in-kernel
-                xf, logits, ck, cv = fused_decode_step(
+                # phase 5: final norm + i8 classifier stream + argmax
+                # in-kernel
+                xf, logits, tok, ck, cv = fused_decode_step(
                     *mk_args, wcls=params.wcls, out_norm=params.out_norm,
                     **mk_kw,
                 )
                 new_cache = KVCache(k=ck, v=cv, k_scale=None, v_scale=None)
+                if logits_mode == "token":
+                    return tok[:, 0], new_cache
                 return (
                     logits if logits_mode == "last" else logits[:, None, :]
                 ), new_cache
@@ -375,6 +381,11 @@ def forward(
             else:
                 logits = qmatmul(
                     xn, params.wcls, compute_dtype=compute_dtype, impl="xla"
+                )
+            if logits_mode == "token":
+                return (
+                    jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32),
+                    new_cache,
                 )
             return logits[:, 0] if logits_mode == "last" else logits, new_cache
 
@@ -593,10 +604,12 @@ def forward(
 
     if logits_mode == "none":
         return None, new_cache
-    if logits_mode == "last":
+    if logits_mode in ("last", "token"):
         x = x[:, -1:]
     xn = rmsnorm(x, params.out_norm, cfg.norm_eps)
     logits = mm(xn, params.wcls)
-    if logits_mode == "last":
+    if logits_mode in ("last", "token"):
         logits = logits[:, 0]
+    if logits_mode == "token":
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_cache
     return logits, new_cache

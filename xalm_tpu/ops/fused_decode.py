@@ -118,6 +118,7 @@ def _kernel(
     cv_in = next(it)
     xout_ref = next(it)
     logits_ref = next(it) if fold_wcls else None
+    token_ref = next(it) if fold_wcls else None
     ck_out = next(it)
     cv_out = next(it)
     scr = list(it)
@@ -511,6 +512,9 @@ def _kernel(
             )
             sw = swcls_ref[...]  # (1, V)
             skip_log = "nologit" in PR  # probe: stream w/o compute
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, TA), 1)
+            rm = jnp.float32(-1e30)  # running greedy argmax across tiles
+            ri = jnp.int32(0)
             for i in range(NW):
                 wcls_dma(i).wait()
                 if not skip_log:
@@ -519,8 +523,16 @@ def _kernel(
                         preferred_element_type=jnp.float32,
                     ) * sw[:, i * TA : (i + 1) * TA]
                     logits_ref[:, i * TA : (i + 1) * TA] = lt
+                    tmax = jnp.max(lt)
+                    # first-occurrence tie-break, matching jnp.argmax
+                    tidx = jnp.min(
+                        jnp.where(lt == tmax, lane + i * TA, jnp.int32(2**30))
+                    )
+                    ri = jnp.where(tmax > rm, tidx, ri)
+                    rm = jnp.maximum(tmax, rm)
                 if i + nbA < NW:
                     wcls_dma(i + nbA).start()
+            token_ref[...] = jnp.broadcast_to(ri, (1, 1))
 
 
 def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
@@ -701,6 +713,7 @@ def fused_decode_step(
     out_specs = [pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM)]
     if fold_wcls:
         out_specs.append(pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM))
     out_specs += [pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -742,6 +755,7 @@ def fused_decode_step(
     out_shape = [jax.ShapeDtypeStruct((1, N), jnp.float32)]
     if fold_wcls:
         out_shape.append(jax.ShapeDtypeStruct((1, V), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
     out_shape += [
         jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
         jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
@@ -801,7 +815,7 @@ def fused_decode_step(
         interpret=interp,
     )(*call_args)
     if fold_wcls:
-        x, logits, ck, cv = outs
-        return x, logits, ck, cv
+        x, logits, tok, ck, cv = outs
+        return x, logits, tok, ck, cv
     x, ck, cv = outs
     return x, ck, cv

@@ -146,19 +146,20 @@ class Engine:
                 # included for quantized caches — dropping them silently
                 # corrupts int8 decode)
                 token, p, c = carry
-                logits, c = forward(
+                nxt, c = forward(
                     params,
                     cfg,
                     token[:, None],
                     p,
                     c,
                     None if valid is None else valid[:, None],
-                    logits_mode="last",
+                    # greedy token mode: with the full megakernel folds the
+                    # argmax happens in-kernel; other paths argmax in XLA
+                    logits_mode="token",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
                     fused_step=fused_step,
                 )
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 return (nxt, p + 1, c), nxt
 
             (tok, p, cache), tokens = jax.lax.scan(
