@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,8 +54,6 @@ def _probe() -> set[str]:
     """Perf-ablation switches (XALM_MK_PROBE=a,b,...): correctness-breaking
     kernel variants for isolating where step time goes on hardware. Never
     set outside bench probing."""
-    import os
-
     return set(filter(None, os.environ.get("XALM_MK_PROBE", "").split(",")))
 
 
@@ -191,28 +190,27 @@ def _kernel(
     def consume_wait(e: int):
         entry_dma(e).wait()
 
+    def emb_cp():
+        # in-kernel embed row gather: bf16 HBM slices must be 16-row
+        # (sublane-tile) aligned, so fetch the token's window and
+        # mask-select its row (cheaper than the XLA gather launch)
+        start = meta_ref[3] // 16 * 16
+        return pltpu.make_async_copy(
+            embed_hbm.at[pl.ds(start, 16), :], ebuf, s_emb
+        )
+
     @pl.when(l == 0)
     def _boot():
         if fold_embed:
-            # in-kernel embed row gather: bf16 HBM slices must be 16-row
-            # (sublane-tile) aligned, so fetch the token's window and
-            # mask-select its row (cheaper than the XLA gather launch)
-            tok = meta_ref[3]
-            start = tok // 16 * 16
-            pltpu.make_async_copy(
-                embed_hbm.at[pl.ds(start, 16), :], ebuf, s_emb
-            ).start()
+            emb_cp().start()
         for e in range(min(nbA, n_lay)):
             entry_dma(e).start()
         if fold_embed:
+            emb_cp().wait()
             tok = meta_ref[3]
-            start = tok // 16 * 16
-            pltpu.make_async_copy(
-                embed_hbm.at[pl.ds(start, 16), :], ebuf, s_emb
-            ).wait()
             rows = jax.lax.broadcasted_iota(jnp.int32, (16, N), 0)
             x_ref[...] = jnp.sum(
-                jnp.where(rows == tok - start, ebuf[...].astype(jnp.float32), 0.0),
+                jnp.where(rows == tok % 16, ebuf[...].astype(jnp.float32), 0.0),
                 axis=0,
                 keepdims=True,
             )
@@ -566,8 +564,6 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
     S = cache_k.shape[3]
     if S < 8 or S % 8:
         return False
-    import os
-
     if os.environ.get("XALM_NO_MEGAKERNEL"):
         return False
     return True
@@ -583,8 +579,6 @@ def embed_fold_supported(cfg, params) -> bool:
     Ve, n = e.values.shape
     if Ve < 16 or Ve % 16:
         return False
-    import os
-
     if os.environ.get("XALM_NO_MK_EMBED"):
         return False
     return True
@@ -604,8 +598,6 @@ def wcls_fold_supported(cfg, params) -> bool:
     V, n = w.values.shape
     if n != N or V % ta:
         return False
-    import os
-
     if os.environ.get("XALM_NO_MK_WCLS"):
         return False
     return True
@@ -633,8 +625,12 @@ def fused_decode_step(
 ):
     """One full decode-layer-stack step.
 
-    Returns (x (1, N) f32, ck, cv), or (x, logits (1, V) f32, ck, cv) when
-    ``wcls``/``out_norm`` are given (see wcls_fold_supported)."""
+    Returns (x (1, N) f32, ck, cv), or — when ``wcls``/``out_norm`` are
+    given (see wcls_fold_supported) — (x, logits (1, V) f32, token (1, 1)
+    int32 greedy argmax, ck, cv). With ``embed``/``token``/``pos``/
+    ``freqs`` (see embed_fold_supported) the kernel also gathers the embed
+    row and computes rope trig itself; ``x0``/``cexp_p``/``sexp_p`` are
+    then unused."""
     lp = params.layers
     L, DQ, N = lp.wqkv.values.shape
     QD = lp.wo.values.shape[2]  # wo: (L, N, QD); gate requires QD == N
