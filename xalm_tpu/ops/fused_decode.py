@@ -530,7 +530,8 @@ def _kernel(
                     rm = jnp.maximum(tmax, rm)
                 if i + nbA < NW:
                     wcls_dma(i + nbA).start()
-            token_ref[...] = jnp.broadcast_to(ri, (1, 1))
+            # full lane vector: sub-lane (1,1) outputs are a Mosaic layout risk
+            token_ref[...] = jnp.broadcast_to(ri, (1, 128))
 
 
 def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
@@ -626,7 +627,7 @@ def fused_decode_step(
     """One full decode-layer-stack step.
 
     Returns (x (1, N) f32, ck, cv), or — when ``wcls``/``out_norm`` are
-    given (see wcls_fold_supported) — (x, logits (1, V) f32, token (1, 1)
+    given (see wcls_fold_supported) — (x, logits (1, V) f32, token (1, 128)
     int32 greedy argmax, ck, cv). With ``embed``/``token``/``pos``/
     ``freqs`` (see embed_fold_supported) the kernel also gathers the embed
     row and computes rope trig itself; ``x0``/``cexp_p``/``sexp_p`` are
@@ -709,7 +710,7 @@ def fused_decode_step(
     out_specs = [pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM)]
     if fold_wcls:
         out_specs.append(pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM))
-        out_specs.append(pl.BlockSpec((1, 1), const, memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec((1, 128), const, memory_space=pltpu.VMEM))
     out_specs += [pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -751,7 +752,7 @@ def fused_decode_step(
     out_shape = [jax.ShapeDtypeStruct((1, N), jnp.float32)]
     if fold_wcls:
         out_shape.append(jax.ShapeDtypeStruct((1, V), jnp.float32))
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.int32))
     out_shape += [
         jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
         jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
