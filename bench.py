@@ -79,10 +79,12 @@ def main() -> int:
     ap.add_argument("--a8", action="store_true",
                     help="W8A8 prefill: per-token int8 activations (s8xs8 "
                     "MXU at 2x bf16 rate; quality-gated, see RESULTS.md)")
-    ap.add_argument("--wcls", default="keep", choices=["keep", "i8"],
-                    help="recode the bf16 classifier head to i8 per-row at "
-                    "load (halves its 262 MB decode stream; quality-gated "
-                    "in RESULTS.md)")
+    ap.add_argument("--wcls", default="i8", choices=["keep", "i8"],
+                    help="i8 (default): recode the bf16 classifier head to "
+                    "i8 per-row at load — halves its 262 MB decode stream, "
+                    "keeps the whole step 8-bit, delta-ppl +0.001 on the "
+                    "real checkpoint (RESULTS.md). keep: boosted bf16 head "
+                    "(the converter's default container layout)")
     ap.add_argument("--fp8", default="recode", choices=["keep", "recode"],
                     help="fp8 weights: recode to i8 at load (the TPU fast "
                     "path; v5e has no fp8 MXU) or keep true fp8 (XLA "
@@ -115,12 +117,19 @@ def main() -> int:
         log("fp8 weights recoded to i8 + per-row scales at load (--fp8 keep to disable)")
     jax.block_until_ready(jax.tree.leaves(params))
     kv_dt = {"auto": "auto", "f16": jnp.float16, "bf16": jnp.bfloat16, "i8": jnp.int8}[args.kv]
+    # head recode only joins the 8-bit regimes: a bf16/f16 run must stream
+    # the container's own boosted head to stay a clean dtype comparison
+    wcls_i8 = args.wcls == "i8" and (
+        args.dtype == "i8" or (args.dtype.startswith("f8") and args.fp8 == "recode")
+    )
     eng = Engine(
         cfg, params, None, kv_dtype=kv_dt,
         compute_dtype={"auto": "auto", "f32": jnp.float32, "bf16": jnp.bfloat16}[args.compute],
         a8_prefill=args.a8,
-        wcls_i8=args.wcls == "i8",
+        wcls_i8=wcls_i8,
     )
+    if wcls_i8:
+        log("classifier head recoded to i8 per-row (--wcls keep to disable)")
     weight_gb = params.nbytes() / 1e9
     log(f"params resident: {weight_gb:.2f} GB (built in {time.time() - t0:.1f}s)")
 
