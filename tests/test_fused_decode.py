@@ -165,6 +165,52 @@ def test_fused_decode_scan_crosses_wrap(tiny_i8):
     )
 
 
+def test_fused_all_folds_combined(tiny_i8):
+    """The full headline TPU decode config — embed fold (in-kernel row
+    gather + rope trig) AND wcls fold (phase-5 i8 head stream + in-kernel
+    argmax) in the SAME kernel — vs the per-layer path on identical params.
+    Prompt includes 16-row-window boundary token ids (15, 368, 383: last
+    row of an embed DMA window / last vocab row) and the scan crosses a
+    ring wrap."""
+    import dataclasses
+
+    from xalm_tpu.models.params import QWeight
+    from xalm_tpu.ops.fused_decode import (
+        embed_fold_supported,
+        wcls_fold_supported,
+    )
+
+    base = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.float32, context=16,
+        progress=False,
+    )
+    p16 = dataclasses.replace(
+        base.params, embed=QWeight(base.params.embed.values.astype(jnp.bfloat16))
+    )
+    fold = Engine(base.cfg, p16, base.tokenizer, matmul_impl="pallas",
+                  kv_dtype=jnp.float32, wcls_i8=True)
+    assert embed_fold_supported(fold.cfg, fold.params)
+    assert wcls_fold_supported(fold.cfg, fold.params)
+    ref = Engine(base.cfg, fold.params, base.tokenizer, matmul_impl="pallas",
+                 kv_dtype=jnp.float32, fused_step=False)
+
+    toks = [15, 368, 383, 7, 200, 31]  # boundary rows + ordinary ids
+    cf, cr = fold.new_cache(1), ref.new_cache(1)
+    for i, t in enumerate(toks):
+        lf, cf = fold.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=3e-4, atol=3e-4,
+        )
+    # greedy scan through the wrap: in-kernel argmax must track XLA argmax
+    tf, cf = fold.decode_scan(np.array([5]), np.array([len(toks)]), cf, 16)
+    tr, cr = ref.decode_scan(np.array([5]), np.array([len(toks)]), cr, 16)
+    np.testing.assert_array_equal(np.asarray(tf), np.asarray(tr))
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_fused_embed_fold_matches(tiny_i8, monkeypatch):
     """In-kernel embed row gather + rope trig (fold_embed) vs the XLA
     gather path. CPU containers keep f16 embeds (fold inactive), so cast
