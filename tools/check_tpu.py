@@ -76,6 +76,22 @@ def run(backend: str | None):
             eng = Engine(cfg, params, None, kv_dtype=kv, compute_dtype=jnp.float32)
             drive(eng, b, cfg.vocab_size, f"b{b}/kv={name}")
 
+    # --- megakernel phase 5: i8 classifier fold + in-kernel greedy argmax
+    # (the bench default --wcls i8 path; new Mosaic surface: wcls tiles on
+    # the shared pool-A stream, lane-iota argmax, (1, 128) token output)
+    eng = Engine(
+        cfg, params, None, kv_dtype=jnp.bfloat16, compute_dtype=jnp.float32,
+        wcls_i8=True,
+    )
+    drive(eng, 1, cfg.vocab_size, "mk-wcls/kv=bf16")
+    cache = eng.new_cache(1)
+    prompt = rng.integers(3, cfg.vocab_size - 2, size=(1, PREFILL)).astype(np.int32)
+    _, cache = eng.step(prompt, np.zeros(1, np.int32), cache, logits_mode="none")
+    scan_toks, _ = eng.decode_scan(
+        prompt[:, -1], np.full(1, PREFILL, np.int32), cache, STEPS
+    )
+    out["tokens/mk-wcls"] = np.asarray(scan_toks).astype(np.float32)
+
     # --- ShardedEngine: shard_map + psum + Pallas through the real backend
     from xalm_tpu.parallel.mesh import make_mesh
     from xalm_tpu.parallel.sharded_engine import ShardedEngine
@@ -125,6 +141,18 @@ def main() -> int:
     rc = 0
     for name in cpu:
         c, t = cpu[name], tpu[name]
+        if name.startswith("tokens/"):
+            # greedy scan token ids (in-kernel argmax). A near-tie flip
+            # mid-scan cascades (each token feeds the next), so full-length
+            # exact match is too strict across backends; a lowering bug
+            # shows up as immediate garbage instead. Gate: first 8 exact.
+            flat_c, flat_t = c.ravel(), t.ravel()
+            div = int(np.argmax(flat_c != flat_t)) if (flat_c != flat_t).any() else len(flat_c)
+            print(f"[{name}] greedy tokens agree through step {div}/{len(flat_c)}")
+            if div < 8:
+                print(f"FAIL: greedy scan tokens diverge at step {div} ({name})", file=sys.stderr)
+                rc = 1
+            continue
         agree = float((c.argmax(-1) == t.argmax(-1)).mean())
         err = float(np.abs(c - t).max() / (np.abs(c).max() + 1e-9))
         print(f"[{name}] argmax agreement: {agree * 100:.1f}% | max rel logit delta: {err:.3e}")
