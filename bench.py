@@ -35,11 +35,9 @@ import jax
 # run and >900 s another (tools/compile_probe.py); the pure-XLA decode path
 # (zero Pallas kernels) warmed up in 360 s vs the full path's 250-460 s. The
 # cache removes the local-compile share and keeps repeat runs cheap.
-_CACHE_DIR = os.environ.get("XALM_COMPILE_CACHE", "/root/.cache/xalm_jax_cache")
-if _CACHE_DIR:
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+from xalm_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np

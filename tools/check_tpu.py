@@ -40,6 +40,9 @@ def run(backend: str | None):
 
     if backend:
         jax.config.update("jax_platforms", backend)
+    from xalm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from xalm_tpu.models.config import ModelConfig

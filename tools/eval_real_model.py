@@ -87,6 +87,9 @@ def main() -> int:
 
     from xalm_tpu.convert import convert as cvt
     from xalm_tpu.runtime.engine import Engine
+    from xalm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     heldout = np.load(Path(model_dir) / "heldout_ids.npy")
     lines = [

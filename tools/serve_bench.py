@@ -40,7 +40,10 @@ def main() -> int:
 
     from xalm_tpu.runtime.engine import Engine
     from xalm_tpu.serve.batching import ContinuousBatcher, Request
+    from xalm_tpu.utils.compile_cache import enable_compile_cache
     from xalm_tpu.utils.synthetic import MISTRAL_7B, synthetic_params
+
+    enable_compile_cache()
 
     cfg = MISTRAL_7B
     print(f"backend: {jax.default_backend()} | building 7B i8 params...", file=sys.stderr, flush=True)

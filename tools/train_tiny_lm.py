@@ -316,6 +316,9 @@ def main() -> int:
     import jax.numpy as jnp
     import optax
 
+    from xalm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     print(f"devices: {jax.devices()}", flush=True)
 
     t0 = time.time()

@@ -94,6 +94,9 @@ def _load_engine(args):
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from xalm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     if args.coordinator or "XALM_COORDINATOR" in os.environ:
         # multi-host: join the jax.distributed runtime before devices init
         from xalm_tpu.parallel.multihost import init_distributed
