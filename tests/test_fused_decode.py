@@ -211,6 +211,82 @@ def test_fused_all_folds_combined(tiny_i8):
     )
 
 
+def test_fused_batched_decode_matches(tiny_i8):
+    """B=4 megakernel decode (per-row kv_pos/rotate, a valid-masked row)
+    vs the per-layer batched kernels. Rows sit at DIFFERENT positions —
+    the serving-slot shape — and one crosses the ring wrap mid-test while
+    another is inactive padding that must not write or rotate."""
+    fused, ref = _engines(tiny_i8, context=16)
+    rng = np.random.default_rng(11)
+    b = 4
+    # stagger rows: row0 starts deep (will wrap), row3 is fresh
+    base_pos = np.array([12, 6, 2, 0], np.int32)
+    cf, cr = fused.new_cache(b), ref.new_cache(b)
+    # hydrate rows to their staggered depths with batched steps (valid
+    # masks rows not yet started)
+    for i in range(int(base_pos.max())):
+        toks = rng.integers(3, 350, size=(b, 1)).astype(np.int32)
+        valid = jnp.asarray(i < base_pos)[:, None]
+        pos = np.minimum(np.full(b, i, np.int32), base_pos)
+        _, cf = fused.step(toks, pos, cf, valid=valid, logits_mode="none")
+        _, cr = ref.step(toks, pos, cr, valid=valid, logits_mode="none")
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )
+    # per-row-position decode: 10 steps takes row0 past the window (wrap +
+    # sink re-rotation) while row3 is still filling
+    pos = base_pos.copy()
+    for i in range(10):
+        toks = rng.integers(3, 350, size=b).astype(np.int32)
+        lf, cf = fused.decode(toks, pos, cf)
+        lr, cr = ref.decode(toks, pos, cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=3e-4, atol=3e-4,
+        )
+        pos += 1
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cf.v), np.asarray(cr.v), rtol=1e-4, atol=1e-5
+    )
+    # batched greedy scan with an inactive row (serving decode shape)
+    valid = jnp.asarray([True, True, True, False])
+    t0 = rng.integers(3, 350, size=b).astype(np.int32)
+    tf, cf = fused.decode_scan(t0, pos, cf, 6, valid=valid)
+    tr, cr = ref.decode_scan(t0, pos, cr, 6, valid=valid)
+    np.testing.assert_array_equal(
+        np.asarray(tf)[:3], np.asarray(tr)[:3]
+    )
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_batched_wcls_fold(tiny_i8):
+    """B=4 + i8 head: the per-row in-kernel argmax must match XLA argmax
+    row for row."""
+    base = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.float32, progress=False
+    )
+    q = Engine(base.cfg, base.params, base.tokenizer, matmul_impl="pallas",
+               kv_dtype=jnp.float32, wcls_i8=True)
+    ref = Engine(base.cfg, q.params, base.tokenizer, matmul_impl="pallas",
+                 kv_dtype=jnp.float32, wcls_i8=True, fused_step=False)
+    rng = np.random.default_rng(13)
+    b = 4
+    prompt = rng.integers(3, 350, size=(b, 5)).astype(np.int32)
+    cq, cr = q.new_cache(b), ref.new_cache(b)
+    lq, cq = q.step(prompt, np.zeros(b, np.int32), cq)
+    lr, cr = ref.step(prompt, np.zeros(b, np.int32), cr)
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lr), rtol=3e-4, atol=3e-4)
+    t0 = np.argmax(np.asarray(lq), -1).astype(np.int32)
+    pos = np.full(b, 5, np.int32)
+    tq, cq = q.decode_scan(t0, pos, cq, 8)
+    tr2, cr = ref.decode_scan(t0, pos, cr, 8)
+    np.testing.assert_array_equal(np.asarray(tq), np.asarray(tr2))
+
+
 def test_fused_embed_fold_matches(tiny_i8, monkeypatch):
     """In-kernel embed row gather + rope trig (fold_embed) vs the XLA
     gather path. CPU containers keep f16 embeds (fold inactive), so cast

@@ -301,14 +301,15 @@ def forward(
 
     # --- megakernel decode fast path: the WHOLE layer stack in one
     # pallas_call with manual-DMA weight streaming (ops/fused_decode.py).
-    # b=1, T=1, i8 weights, float cache — the headline decode regime.
+    # b<=8, T=1, i8 weights, float cache — the headline decode regime plus
+    # the serving batch sizes (weights stream once per STEP; rows carry
+    # their own kv_pos/rotate, and valid-masked rows ride the kv_pos == S
+    # sentinel set above).
     if (
         fused_step
         and t == 1
-        and b == 1
         and use_pallas
         and tp_axis is None
-        and valid is None
         and cache.k_scale is None
     ):
         from xalm_tpu.ops.fused_decode import (
@@ -324,15 +325,19 @@ def forward(
             from xalm_tpu.ops.pallas_attention import rope_cos_sin_plus1
 
             ang = positions[:, 0, None].astype(jnp.float32) * jnp.asarray(freqs)
-            cexp_p = jnp.repeat(jnp.cos(ang), 2, axis=-1)  # (1, hd)
+            cexp_p = jnp.repeat(jnp.cos(ang), 2, axis=-1)  # (B, hd)
             sexp_p = jnp.repeat(jnp.sin(ang), 2, axis=-1)
             cexp1, sexp1 = rope_cos_sin_plus1(freqs)
-            active = (positions[:, 0] >= s).astype(jnp.int32)
+            active = positions[:, 0] >= s
+            if valid is not None:
+                # inactive serving slots must not re-rotate their sinks
+                active = active & valid[:, 0]
+            active = active.astype(jnp.int32)
             fold = logits_mode != "none" and wcls_fold_supported(cfg, params)
             # embed fold: the kernel gathers the token row and computes the
             # rope trig itself; the XLA gather/cos/sin above are then dead
-            # code the jit removes
-            fold_e = embed_fold_supported(cfg, params)
+            # code the jit removes (b=1 specialization)
+            fold_e = b == 1 and embed_fold_supported(cfg, params)
             mk_kw = dict(
                 embed=params.embed,
                 token=tokens[:, 0],

@@ -24,10 +24,16 @@ software-pipelined tile stream:
   attention reads are patched in-register so no write->read ordering stall
   exists.
 
-b=1, int8 weights (per-row scales), bf16/f32 KV only — the headline decode
-regime (BASELINE.json). Other shapes fall back to the per-layer kernels in
-models/llama.py. Weight layouts are the stacked fused (L, D, N) buffers of
-models/params.py (wqkv kv-head-grouped, w13 chunk-pair-interleaved).
+b<=8 decode rows (t=1), int8 weights (per-row scales), bf16/f32 KV only —
+the headline decode regime (BASELINE.json) plus the serving batch sizes.
+The weight tile stream is identical at every B (weights stream once per
+STEP); the matmul phases vectorize over rows on the MXU, and the
+attention/ring phase loops rows statically — each row carries its own
+kv_pos/kv_len/rotate (serving slots sit at different positions), and its
+KV block DMAs keep HBM busy while the weight pool's lookahead is idle.
+Other shapes fall back to the per-layer kernels in models/llama.py.
+Weight layouts are the stacked fused (L, D, N) buffers of models/params.py
+(wqkv kv-head-grouped, w13 chunk-pair-interleaved).
 """
 
 from __future__ import annotations
@@ -48,6 +54,7 @@ __all__ = ["fused_decode_step", "fused_step_supported"]
 _TILE_A = 256  # pool-A tile rows (x N lanes int8 = 1 MiB at 7B)
 _TILE_B = 128  # pool-B (w2) tile rows (x hidden lanes)
 _NBUF_CAP = 8  # max outstanding tiles per pool
+_MAX_B = 8  # attention/ring phase unrolls rows; compile time scales with B
 
 
 def _probe() -> set[str]:
@@ -84,12 +91,14 @@ def _rope_lane(v, cexp, sexp, hd):
 
 
 def _kernel(
-    meta_ref,  # scalar prefetch: [kv_pos, kv_len, rotate, token, pos]
+    meta_ref,  # scalar prefetch, flat (5*B,): [kv_pos*B, kv_len*B,
+    # rotate*B, token*B, pos*B] — index [k*B + bi]
     *refs,  # pipelined VMEM inputs, ANY (HBM) inputs, outputs, scratch —
     # order depends on the fold flags, unpacked below
     L: int, N: int, DQ: int, KH: int, G: int, hd: int,
     H2: int, S: int, sb: int, TA: int, TB: int, c13: int,
     eps: float, clip: float | None, act: str, cdtype,
+    B: int = 1,
     V: int = 0, fold_wcls: bool = False, fold_embed: bool = False,
 ):
     it = iter(refs)
@@ -124,19 +133,16 @@ def _kernel(
     (
         x_ref, bufA, bufB,
         kblk, vblk, sinkw, kwin, vwin, kw_ref, vw_ref,
-        acc_ref, m_ref, l_ref, act_ref,
-    ) = scr[:14]
+        acc_ref, m_ref, l_ref, act_ref, attn_ref,
+    ) = scr[:15]
     if fold_embed:
-        ebuf = scr[14]
-        (sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink, s_emb) = scr[15:]
+        ebuf = scr[15]
+        (sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink, s_emb) = scr[16:]
     else:
         ebuf = s_emb = None
-        (sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink) = scr[14:]
+        (sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink) = scr[15:]
     PR = _probe()
     l = pl.program_id(0)
-    kvp = meta_ref[0]
-    kvl = meta_ref[1]
-    rot = meta_ref[2]
     neg_inf = -1e30
 
     nqkv = DQ // TA
@@ -191,10 +197,10 @@ def _kernel(
         entry_dma(e).wait()
 
     def emb_cp():
-        # in-kernel embed row gather: bf16 HBM slices must be 16-row
-        # (sublane-tile) aligned, so fetch the token's window and
+        # in-kernel embed row gather (B == 1 only): bf16 HBM slices must be
+        # 16-row (sublane-tile) aligned, so fetch the token's window and
         # mask-select its row (cheaper than the XLA gather launch)
-        start = meta_ref[3] // 16 * 16
+        start = meta_ref[3 * B] // 16 * 16
         return pltpu.make_async_copy(
             embed_hbm.at[pl.ds(start, 16), :], ebuf, s_emb
         )
@@ -207,7 +213,7 @@ def _kernel(
             entry_dma(e).start()
         if fold_embed:
             emb_cp().wait()
-            tok = meta_ref[3]
+            tok = meta_ref[3 * B]
             rows = jax.lax.broadcasted_iota(jnp.int32, (16, N), 0)
             x_ref[...] = jnp.sum(
                 jnp.where(rows == tok % 16, ebuf[...].astype(jnp.float32), 0.0),
@@ -237,7 +243,7 @@ def _kernel(
     if fold_embed:
         # per-step trig on the VPU (freqs_ref is the pair-repeated lane
         # table; repeat(cos(p*f), 2) == cos(p*repeat(f, 2)))
-        posf = meta_ref[4].astype(jnp.float32)
+        posf = meta_ref[4 * B].astype(jnp.float32)
         ang = posf * freqs_ref[...]
         cexp = jnp.cos(ang)
         sexp = jnp.sin(ang)
@@ -245,7 +251,7 @@ def _kernel(
         cexp = cexp_ref[...]
         sexp = sexp_ref[...]
     inv = 1.0 / math.sqrt(hd)
-    qs = []  # HQ rotated query rows, (1, hd) f32, pre-scaled
+    qs = []  # HQ rotated query rows, (B, hd) f32, pre-scaled
     kw_f = []  # per-kv-head rotated K rows as written (cache-dtype rounded)
     for j in range(KH):
         base = j * (G + 2) * hd
@@ -265,8 +271,9 @@ def _kernel(
         kw_f.append(kh.astype(jnp.float32))
 
     skip_attn = "noattn" in PR  # probe: weight streams only
+    hq = KH * G
 
-    # ---- in-place ring insert + sink re-rotation ------------------------
+    # ---- in-place ring insert + sink re-rotation (one batch row) --------
     # HBM DMA slices on the sequence dim must be sublane-tile (8) aligned,
     # so both are 8-row-window read-modify-writes (the same window
     # discipline as the per-layer _update_kernel). Window 0 (holding the
@@ -274,22 +281,26 @@ def _kernel(
     # rotated values feed the attention patch — and written back when the
     # rotation or an in-window insert changed it; the insert window at
     # blk=(kvp//8)*8 is RMW'd when kvp lands outside window 0. Sentinel
-    # kvp == S drops writes.
-    def _attn_section():
+    # kvp == S (a padding/inactive serving slot) drops writes. Rows run
+    # sequentially, reusing the same window/block/accumulator scratch.
+    def _attn_row(bi: int):
+        kvp = meta_ref[bi]
+        kvl = meta_ref[B + bi]
+        rot = meta_ref[2 * B + bi]
         sw_rows = sinkw.shape[1]
         blk = jnp.minimum(kvp, S - 1) // sw_rows * sw_rows
 
         pltpu.make_async_copy(
-            ck_in.at[l, 0, :, pl.ds(0, sw_rows), :], sinkw, s_sink
+            ck_in.at[l, bi, :, pl.ds(0, sw_rows), :], sinkw, s_sink
         ).start()
         pltpu.make_async_copy(
-            cv_in.at[l, 0, :, pl.ds(blk, sw_rows), :], vwin, s_vw
+            cv_in.at[l, bi, :, pl.ds(blk, sw_rows), :], vwin, s_vw
         ).start()
         pltpu.make_async_copy(
-            ck_in.at[l, 0, :, pl.ds(blk, sw_rows), :], kwin, s_kw
+            ck_in.at[l, bi, :, pl.ds(blk, sw_rows), :], kwin, s_kw
         ).start()
         pltpu.make_async_copy(
-            ck_in.at[l, 0, :, pl.ds(0, sw_rows), :], sinkw, s_sink
+            ck_in.at[l, bi, :, pl.ds(0, sw_rows), :], sinkw, s_sink
         ).wait()
         c1 = c1_ref[...]
         s1 = s1_ref[...]
@@ -299,7 +310,8 @@ def _kernel(
             win = sinkw[j].astype(jnp.float32)  # (sw_rows, hd)
             rotw = _rope_lane(win, c1, s1, hd).astype(cdtype)
             new = jnp.where(
-                rows == kvp, jnp.broadcast_to(kw_ref[j], (sw_rows, hd)),
+                rows == kvp,
+                jnp.broadcast_to(kw_ref[j, bi : bi + 1], (sw_rows, hd)),
                 jnp.where((rows < KV_SINKS) & (rot != 0), rotw, sinkw[j]),
             )
             sinkw[j] = new
@@ -308,44 +320,46 @@ def _kernel(
         @pl.when((kvp < sw_rows) | (rot != 0))
         def _sink_wb():
             pltpu.make_async_copy(
-                sinkw, ck_out.at[l, 0, :, pl.ds(0, sw_rows), :], s_sink
+                sinkw, ck_out.at[l, bi, :, pl.ds(0, sw_rows), :], s_sink
             ).start()
             pltpu.make_async_copy(
-                sinkw, ck_out.at[l, 0, :, pl.ds(0, sw_rows), :], s_sink
+                sinkw, ck_out.at[l, bi, :, pl.ds(0, sw_rows), :], s_sink
             ).wait()
 
         pltpu.make_async_copy(
-            ck_in.at[l, 0, :, pl.ds(blk, sw_rows), :], kwin, s_kw
+            ck_in.at[l, bi, :, pl.ds(blk, sw_rows), :], kwin, s_kw
         ).wait()
         pltpu.make_async_copy(
-            cv_in.at[l, 0, :, pl.ds(blk, sw_rows), :], vwin, s_vw
+            cv_in.at[l, bi, :, pl.ds(blk, sw_rows), :], vwin, s_vw
         ).wait()
         for j in range(KH):
             kwin[j] = jnp.where(
-                rows == kvp - blk, jnp.broadcast_to(kw_ref[j], (sw_rows, hd)),
+                rows == kvp - blk,
+                jnp.broadcast_to(kw_ref[j, bi : bi + 1], (sw_rows, hd)),
                 kwin[j],
             )
             vwin[j] = jnp.where(
-                rows == kvp - blk, jnp.broadcast_to(vw_ref[j], (sw_rows, hd)),
+                rows == kvp - blk,
+                jnp.broadcast_to(vw_ref[j, bi : bi + 1], (sw_rows, hd)),
                 vwin[j],
             )
 
         @pl.when((kvp >= sw_rows) & (kvp < S))
         def _ins_k():
             pltpu.make_async_copy(
-                kwin, ck_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_kw
+                kwin, ck_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_kw
             ).start()
             pltpu.make_async_copy(
-                kwin, ck_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_kw
+                kwin, ck_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_kw
             ).wait()
 
         @pl.when(kvp < S)
         def _ins_v():
             pltpu.make_async_copy(
-                vwin, cv_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_vw
+                vwin, cv_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_vw
             ).start()
             pltpu.make_async_copy(
-                vwin, cv_out.at[l, 0, :, pl.ds(blk, sw_rows), :], s_vw
+                vwin, cv_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_vw
             ).wait()
 
         # ---- flash attention over the ring (in-register patched reads) --
@@ -353,19 +367,19 @@ def _kernel(
         m_ref[...] = jnp.full_like(m_ref, neg_inf)
         l_ref[...] = jnp.zeros_like(l_ref)
         nblk = (kvl + sb - 1) // sb
-        dma_kb(0, 0).start()
-        dma_vb(0, 0).start()
+        dma_kb(bi, 0, 0).start()
+        dma_vb(bi, 0, 0).start()
 
         def blk_body(t, _):
             slot = t % 2
 
             @pl.when(t + 1 < nblk)
             def _next():
-                dma_kb(t + 1, (t + 1) % 2).start()
-                dma_vb(t + 1, (t + 1) % 2).start()
+                dma_kb(bi, t + 1, (t + 1) % 2).start()
+                dma_vb(bi, t + 1, (t + 1) % 2).start()
 
-            dma_kb(t, slot).wait()
-            dma_vb(t, slot).wait()
+            dma_kb(bi, t, slot).wait()
+            dma_vb(bi, t, slot).wait()
             rel = kvp - t * sb  # new row's index inside this block (may be OOR)
             rows2 = jax.lax.broadcasted_iota(jnp.int32, (sb, hd), 0)
             rg = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
@@ -375,13 +389,17 @@ def _kernel(
                 vb = vblk[slot, j].astype(jnp.float32)
                 # patch: this step's row + (wrapped) rotated sinks — the
                 # HBM writes race harmlessly, every read is fixed up here
-                kb = jnp.where(rows2 == rel, kw_f[j], kb)
-                vb = jnp.where(rows2 == rel, vw_ref[j].astype(jnp.float32), vb)
+                kb = jnp.where(rows2 == rel, kw_f[j][bi : bi + 1], kb)
+                vb = jnp.where(
+                    rows2 == rel, vw_ref[j, bi : bi + 1].astype(jnp.float32), vb
+                )
                 for si in range(KV_SINKS):
                     kb = jnp.where(
                         (rows2 == (si - t * sb)) & (rot != 0), rs[j][si : si + 1], kb
                     )
-                qj = jnp.concatenate(qs[j * G : (j + 1) * G], axis=0)  # (G, hd)
+                qj = jnp.concatenate(
+                    [qs[j * G + a][bi : bi + 1] for a in range(G)], axis=0
+                )  # (G, hd)
                 scores = jax.lax.dot_general(
                     qj, kb, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -406,31 +424,32 @@ def _kernel(
 
         jax.lax.fori_loop(0, nblk, blk_body, 0)
 
-    def dma_kb(t, slot):
-        return pltpu.make_async_copy(
-            ck_in.at[l, 0, :, pl.ds(t * sb, sb), :], kblk.at[slot], s_kb.at[slot]
+        # normalize and park this row's attention output as a lane vector
+        # (hq sublane row picks; every wo tile is then ONE (B, TA) dot)
+        lsafe = jnp.where(l_ref[:hq, :1] > 0, l_ref[:hq, :1], 1.0)
+        attn = acc_ref[:hq, :] / lsafe  # (HQ, hd) f32
+        attn_ref[bi : bi + 1, :] = jnp.concatenate(
+            [attn[h : h + 1] for h in range(hq)], axis=1
         )
 
-    def dma_vb(t, slot):
+    def dma_kb(bi, t, slot):
         return pltpu.make_async_copy(
-            cv_in.at[l, 0, :, pl.ds(t * sb, sb), :], vblk.at[slot], s_vb.at[slot]
+            ck_in.at[l, bi, :, pl.ds(t * sb, sb), :], kblk.at[slot], s_kb.at[slot]
+        )
+
+    def dma_vb(bi, t, slot):
+        return pltpu.make_async_copy(
+            cv_in.at[l, bi, :, pl.ds(t * sb, sb), :], vblk.at[slot], s_vb.at[slot]
         )
 
     if skip_attn:  # probe: weight streams only
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        l_ref[...] = jnp.full_like(l_ref, 1.0)
+        attn_ref[...] = jnp.zeros_like(attn_ref)
     else:
-        _attn_section()
+        for bi in range(B):
+            _attn_row(bi)
 
     # ---- phase 2: wo tiles (row-parallel over output rows) + residual ---
-    hq = KH * G
-    lsafe = jnp.where(l_ref[:hq, :1] > 0, l_ref[:hq, :1], 1.0)
-    attn = acc_ref[:hq, :] / lsafe  # (HQ, hd) f32
-    # flatten to lanes once (32 sublane row picks); every wo tile is then
-    # ONE dot instead of HQ per-head dots
-    attn_flat = jnp.concatenate(
-        [attn[h : h + 1] for h in range(hq)], axis=1
-    ).astype(jnp.bfloat16)  # (1, QD)
+    attn_flat = attn_ref[...].astype(jnp.bfloat16)  # (B, QD)
     so = so_ref[0]
     x = x_ref[...]
     for e in range(nqkv, nqkv + nwo):
@@ -510,33 +529,36 @@ def _kernel(
             )
             sw = swcls_ref[...]  # (1, V)
             skip_log = "nologit" in PR  # probe: stream w/o compute
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, TA), 1)
-            rm = jnp.float32(-1e30)  # running greedy argmax across tiles
-            ri = jnp.int32(0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (B, TA), 1)
+            # per-row running greedy argmax across tiles
+            rm = jnp.full((B, 1), -1e30, jnp.float32)
+            ri = jnp.zeros((B, 1), jnp.int32)
             for i in range(NW):
                 wcls_dma(i).wait()
                 if not skip_log:
                     lt = jax.lax.dot_general(
                         xn3, bufA[i % nbA], (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ) * sw[:, i * TA : (i + 1) * TA]
+                    ) * sw[:, i * TA : (i + 1) * TA]  # (B, TA)
                     logits_ref[:, i * TA : (i + 1) * TA] = lt
-                    tmax = jnp.max(lt)
+                    tmax = jnp.max(lt, axis=1, keepdims=True)  # (B, 1)
                     # first-occurrence tie-break, matching jnp.argmax
                     tidx = jnp.min(
-                        jnp.where(lt == tmax, lane + i * TA, jnp.int32(2**30))
+                        jnp.where(lt == tmax, lane + i * TA, jnp.int32(2**30)),
+                        axis=1,
+                        keepdims=True,
                     )
                     ri = jnp.where(tmax > rm, tidx, ri)
                     rm = jnp.maximum(tmax, rm)
                 if i + nbA < NW:
                     wcls_dma(i + nbA).start()
-            # full lane vector: sub-lane (1,1) outputs are a Mosaic layout risk
-            token_ref[...] = jnp.broadcast_to(ri, (1, 128))
+            # full lane vector: sub-lane (B,1) outputs are a Mosaic layout risk
+            token_ref[...] = jnp.broadcast_to(ri, (B, 128))
 
 
 def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
     """Shape/dtype gate for the megakernel decode path."""
-    if batch != 1 or t != 1:
+    if not (1 <= batch <= _MAX_B) or t != 1:
         return False
     if jnp.dtype(cache_k.dtype) not in (
         jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)
@@ -607,37 +629,37 @@ def wcls_fold_supported(cfg, params) -> bool:
 def fused_decode_step(
     params,
     cfg,
-    x0: jax.Array,  # (1, N) f32 — post-embed residual input
-    cache_k: jax.Array,  # (L, 1, KH, S, hd) bf16/f32 — updated in place
+    x0: jax.Array,  # (B, N) f32 — post-embed residual input
+    cache_k: jax.Array,  # (L, B, KH, S, hd) bf16/f32 — updated in place
     cache_v: jax.Array,
-    kv_pos: jax.Array,  # (1,) int32 (S = dropped write)
-    kv_len: jax.Array,  # (1,) int32
-    rotate: jax.Array,  # (1,) int32 — sink re-rotation active
-    cexp_p: jax.Array,  # (1, hd) f32 — cos at the current position
+    kv_pos: jax.Array,  # (B,) int32, per row (S = dropped write)
+    kv_len: jax.Array,  # (B,) int32
+    rotate: jax.Array,  # (B,) int32 — sink re-rotation active
+    cexp_p: jax.Array,  # (B, hd) f32 — cos at each row's position
     sexp_p: jax.Array,
     cexp1: jax.Array,  # (1, hd) f32 — +1-position rotation (sinks)
     sexp1: jax.Array,
     wcls=None,  # QWeight (V, N) i8 + per-row scale: fold logits in-kernel
     out_norm=None,  # (N,) f32 — required with wcls
-    embed=None,  # QWeight (Ve, N) bf16: fold the row gather in-kernel
+    embed=None,  # QWeight (Ve, N) bf16: fold the row gather in-kernel (B=1)
     token=None,  # (1,) int32 — required with embed (x0 then ignored)
     pos=None,  # (1,) int32 — required with embed (rope trig in-kernel)
     freqs=None,  # (hd//2,) rope inverse frequencies — required with embed
 ):
-    """One full decode-layer-stack step.
+    """One full decode-layer-stack step over B <= _MAX_B rows.
 
-    Returns (x (1, N) f32, ck, cv), or — when ``wcls``/``out_norm`` are
-    given (see wcls_fold_supported) — (x, logits (1, V) f32, token (1, 128)
+    Returns (x (B, N) f32, ck, cv), or — when ``wcls``/``out_norm`` are
+    given (see wcls_fold_supported) — (x, logits (B, V) f32, token (B, 128)
     int32 greedy argmax, ck, cv). With ``embed``/``token``/``pos``/
-    ``freqs`` (see embed_fold_supported) the kernel also gathers the embed
-    row and computes rope trig itself; ``x0``/``cexp_p``/``sexp_p`` are
-    then unused."""
+    ``freqs`` (see embed_fold_supported; B == 1 only) the kernel also
+    gathers the embed row and computes rope trig itself; ``x0``/``cexp_p``/
+    ``sexp_p`` are then unused."""
     lp = params.layers
     L, DQ, N = lp.wqkv.values.shape
     QD = lp.wo.values.shape[2]  # wo: (L, N, QD); gate requires QD == N
     H2 = lp.w13.values.shape[1]
     H = lp.w2.values.shape[2]
-    _, _, KH, S, hd = cache_k.shape
+    _, B, KH, S, hd = cache_k.shape
     G = cfg.n_heads // cfg.n_kv_heads
     from xalm_tpu.models.params import ffn_chunk
 
@@ -662,18 +684,21 @@ def fused_decode_step(
         assert wcls.values.dtype == jnp.int8 and wcls.scale is not None
         assert V % TA == 0 and wcls.values.shape[1] == N, (wcls.values.shape, TA)
     if fold_embed:
+        assert B == 1, "embed fold is a b=1 specialization"
         assert token is not None and pos is not None and freqs is not None
         assert embed.values.dtype == jnp.bfloat16 and embed.scale is None
         assert embed.values.shape[0] % 16 == 0 and embed.values.shape[1] == N
+    assert 1 <= B <= _MAX_B, B
 
-    zero = jnp.zeros((), jnp.int32)
-    meta = jnp.stack(
+    zeros = jnp.zeros((B,), jnp.int32)
+    # flat (5*B,) scalar-prefetch vector; the kernel indexes [k*B + bi]
+    meta = jnp.concatenate(
         [
-            jnp.asarray(kv_pos, jnp.int32).reshape(()),
-            jnp.asarray(kv_len, jnp.int32).reshape(()),
-            jnp.asarray(rotate, jnp.int32).reshape(()),
-            jnp.asarray(token, jnp.int32).reshape(()) if fold_embed else zero,
-            jnp.asarray(pos, jnp.int32).reshape(()) if fold_embed else zero,
+            jnp.asarray(kv_pos, jnp.int32).reshape(B),
+            jnp.asarray(kv_len, jnp.int32).reshape(B),
+            jnp.asarray(rotate, jnp.int32).reshape(B),
+            jnp.asarray(token, jnp.int32).reshape(B) if fold_embed else zeros,
+            jnp.asarray(pos, jnp.int32).reshape(B) if fold_embed else zeros,
         ]
     )
 
@@ -681,14 +706,15 @@ def fused_decode_step(
         _kernel,
         L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, H2=H2, S=S, sb=sb,
         TA=TA, TB=TB, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
-        cdtype=cdtype, V=V, fold_wcls=fold_wcls, fold_embed=fold_embed,
+        cdtype=cdtype, B=B, V=V, fold_wcls=fold_wcls, fold_embed=fold_embed,
     )
     const = lambda l, m: (0, 0)
     row = lambda l, m: (l, 0, 0)
     hd_spec = pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM)
+    bhd_spec = pl.BlockSpec((B, hd), const, memory_space=pltpu.VMEM)
     vm_specs = [] if fold_embed else [
-        pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),  # x0
-        hd_spec, hd_spec,  # cexp_p, sexp_p
+        pl.BlockSpec((B, N), const, memory_space=pltpu.VMEM),  # x0
+        bhd_spec, bhd_spec,  # cexp_p, sexp_p (per-row positions)
     ]
     vm_specs += [hd_spec, hd_spec]  # c1, s1
     if fold_embed:
@@ -707,10 +733,10 @@ def fused_decode_step(
             pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM),  # wcls scale
         ]
     n_any = 6 + (1 if fold_wcls else 0) + (1 if fold_embed else 0)
-    out_specs = [pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM)]
+    out_specs = [pl.BlockSpec((B, N), const, memory_space=pltpu.VMEM)]
     if fold_wcls:
-        out_specs.append(pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM))
-        out_specs.append(pl.BlockSpec((1, 128), const, memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec((B, V), const, memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec((B, 128), const, memory_space=pltpu.VMEM))
     out_specs += [pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -718,20 +744,21 @@ def fused_decode_step(
         in_specs=vm_specs + [pl.BlockSpec(memory_space=pl.ANY)] * n_any,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((1, N), jnp.float32),  # x residual
+            pltpu.VMEM((B, N), jnp.float32),  # x residual
             pltpu.VMEM((nbA, TA, N), jnp.int8),  # pool A (wqkv/wo/w13)
             pltpu.VMEM((nbB, TB, H), jnp.int8),  # pool B (w2)
-            pltpu.VMEM((2, KH, sb, hd), cdtype),  # K blocks
-            pltpu.VMEM((2, KH, sb, hd), cdtype),  # V blocks
+            pltpu.VMEM((2, KH, sb, hd), cdtype),  # K blocks (row-serial)
+            pltpu.VMEM((2, KH, sb, hd), cdtype),  # V blocks (row-serial)
             pltpu.VMEM((KH, sw_rows, hd), cdtype),  # sink window
             pltpu.VMEM((KH, sw_rows, hd), cdtype),  # K insert window
             pltpu.VMEM((KH, sw_rows, hd), cdtype),  # V insert window
-            pltpu.VMEM((KH, 1, hd), cdtype),  # K row to insert
-            pltpu.VMEM((KH, 1, hd), cdtype),  # V row to insert
-            pltpu.VMEM((hq_p, hd), jnp.float32),  # flash acc
+            pltpu.VMEM((KH, B, hd), cdtype),  # K rows to insert
+            pltpu.VMEM((KH, B, hd), cdtype),  # V rows to insert
+            pltpu.VMEM((hq_p, hd), jnp.float32),  # flash acc (row-serial)
             pltpu.VMEM((hq_p, 128), jnp.float32),  # flash m
             pltpu.VMEM((hq_p, 128), jnp.float32),  # flash l
-            pltpu.VMEM((1, H), jnp.float32),  # act
+            pltpu.VMEM((B, H), jnp.float32),  # act
+            pltpu.VMEM((B, QD), jnp.float32),  # attention out rows
         ]
         + ([pltpu.VMEM((16, N), jnp.bfloat16)] if fold_embed else [])  # embed win
         + [
@@ -749,10 +776,10 @@ def fused_decode_step(
         lp.wqkv.values.nbytes + lp.wo.values.nbytes
         + lp.w13.values.nbytes + lp.w2.values.nbytes
     )
-    out_shape = [jax.ShapeDtypeStruct((1, N), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((B, N), jnp.float32)]
     if fold_wcls:
-        out_shape.append(jax.ShapeDtypeStruct((1, V), jnp.float32))
-        out_shape.append(jax.ShapeDtypeStruct((1, 128), jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct((B, V), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((B, 128), jnp.int32))
     out_shape += [
         jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
         jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
