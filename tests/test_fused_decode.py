@@ -287,6 +287,109 @@ def test_fused_batched_wcls_fold(tiny_i8):
     np.testing.assert_array_equal(np.asarray(tq), np.asarray(tr2))
 
 
+def _engines_q(tiny_i8, context=0):
+    """(fused megakernel, per-layer) with the quantized int8 KV cache."""
+    fused = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.int8, context=context,
+        progress=False,
+    )
+    ref = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.int8, context=context,
+        progress=False, fused_step=False,
+    )
+    return fused, ref
+
+
+def test_fused_i8kv_gate_is_active(tiny_i8):
+    from xalm_tpu.ops.fused_decode import fused_step_supported
+
+    eng, _ = _engines_q(tiny_i8)
+    cache = eng.new_cache(1)
+    assert cache.k_scale is not None
+    assert fused_step_supported(eng.cfg, eng.params, cache.k, 1, 1, cache.k_scale)
+
+
+def test_fused_i8kv_decode_matches(tiny_i8):
+    """i8-KV megakernel vs the per-layer _q kernels: logits, codes AND
+    scale planes must match through ring wrap + sink re-rotation (the
+    in-kernel quantize/requant mirrors _insert_q/_sink_q exactly)."""
+    fused, ref = _engines_q(tiny_i8)
+    rng = np.random.default_rng(7)
+    cf, cr = fused.new_cache(1), ref.new_cache(1)
+    prompt = rng.integers(3, 350, size=(1, 4)).astype(np.int32)
+    lf, cf = fused.step(prompt, np.zeros(1, np.int32), cf)
+    lr, cr = ref.step(prompt, np.zeros(1, np.int32), cr)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lr), rtol=3e-4, atol=3e-4)
+    pos = np.full(1, 4, np.int32)
+    # logical window is 16: 30 steps cross the wrap and re-rotate sinks
+    for _ in range(30):
+        t = rng.integers(3, 350, size=1).astype(np.int32)
+        of, cf = fused.decode(t, pos, cf)
+        orr, cr = ref.decode(t, pos, cr)
+        np.testing.assert_allclose(
+            np.asarray(of), np.asarray(orr), rtol=3e-4, atol=3e-4
+        )
+        pos += 1
+    np.testing.assert_array_equal(np.asarray(cf.k), np.asarray(cr.k))
+    np.testing.assert_array_equal(np.asarray(cf.v), np.asarray(cr.v))
+    np.testing.assert_array_equal(np.asarray(cf.k_scale), np.asarray(cr.k_scale))
+    np.testing.assert_array_equal(np.asarray(cf.v_scale), np.asarray(cr.v_scale))
+
+
+def test_fused_i8kv_batched_scan(tiny_i8):
+    """B=4 i8-KV megakernel decode_scan with staggered rows + an inactive
+    valid-masked row: greedy tokens and both scale planes must match the
+    per-layer path."""
+    fused, ref = _engines_q(tiny_i8, context=16)
+    rng = np.random.default_rng(17)
+    b = 4
+    base_pos = np.array([10, 6, 2, 0], np.int32)
+    cf, cr = fused.new_cache(b), ref.new_cache(b)
+    for i in range(int(base_pos.max())):
+        toks = rng.integers(3, 350, size=(b, 1)).astype(np.int32)
+        valid = jnp.asarray(i < base_pos)[:, None]
+        pos = np.minimum(np.full(b, i, np.int32), base_pos)
+        _, cf = fused.step(toks, pos, cf, valid=valid, logits_mode="none")
+        _, cr = ref.step(toks, pos, cr, valid=valid, logits_mode="none")
+    valid = jnp.asarray([True, True, True, False])
+    t0 = rng.integers(3, 350, size=b).astype(np.int32)
+    # 12 steps take row0 past the 16-token window (wrap + requant rotation)
+    tf, cf = fused.decode_scan(t0, base_pos, cf, 12, valid=valid)
+    tr, cr = ref.decode_scan(t0, base_pos, cr, 12, valid=valid)
+    np.testing.assert_array_equal(np.asarray(tf)[:3], np.asarray(tr)[:3])
+    np.testing.assert_array_equal(np.asarray(cf.k), np.asarray(cr.k))
+    # codes are bit-exact; requant scales may differ by one f32 ulp (the
+    # batched rotation's fma/op ordering differs from the per-layer kernel)
+    np.testing.assert_allclose(
+        np.asarray(cf.k_scale), np.asarray(cr.k_scale), rtol=1e-6, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(cf.v_scale), np.asarray(cr.v_scale), rtol=1e-6, atol=0
+    )
+
+
+def test_fused_i8kv_wcls_fold(tiny_i8):
+    """i8 KV + i8 head: in-kernel argmax tokens must match the per-layer
+    path with the same quantized head."""
+    base = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.int8, progress=False,
+        wcls_i8=True,
+    )
+    ref = Engine(base.cfg, base.params, base.tokenizer, matmul_impl="pallas",
+                 kv_dtype=jnp.int8, wcls_i8=True, fused_step=False)
+    rng = np.random.default_rng(23)
+    prompt = rng.integers(3, 350, size=(1, 5)).astype(np.int32)
+    cq, cr = base.new_cache(1), ref.new_cache(1)
+    lq, cq = base.step(prompt, np.zeros(1, np.int32), cq)
+    lr, cr = ref.step(prompt, np.zeros(1, np.int32), cr)
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lr), rtol=3e-4, atol=3e-4)
+    t0 = np.argmax(np.asarray(lq), -1).astype(np.int32)
+    pos = np.full(1, 5, np.int32)
+    tq, cq = base.decode_scan(t0, pos, cq, 8)
+    tr2, cr = ref.decode_scan(t0, pos, cr, 8)
+    np.testing.assert_array_equal(np.asarray(tq), np.asarray(tr2))
+
+
 def test_fused_embed_fold_matches(tiny_i8, monkeypatch):
     """In-kernel embed row gather + rope trig (fold_embed) vs the XLA
     gather path. CPU containers keep f16 embeds (fold inactive), so cast

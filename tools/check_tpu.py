@@ -95,6 +95,25 @@ def run(backend: str | None):
     )
     out["tokens/mk-wcls"] = np.asarray(scan_toks).astype(np.float32)
 
+    # --- i8-KV megakernel with sb < S: the scale-plane flash DMAs then
+    # slice the LANE (S) dim at dynamic 512-multiples (the 7B shape). The
+    # WINDOW=16 legs have sb == S where that slice is whole-dim and the
+    # dynamic case never lowers.
+    import dataclasses
+
+    cfg_long = dataclasses.replace(cfg, max_seq_len=1024)
+    params_long = synthetic_params(cfg_long, weight_dtype=jnp.int8, embed_dtype=jnp.bfloat16)
+    eng = Engine(cfg_long, params_long, None, kv_dtype=jnp.int8, compute_dtype=jnp.float32)
+    prompt = rng.integers(3, cfg_long.vocab_size - 2, size=(1, PREFILL)).astype(np.int32)
+    toks = rng.integers(3, cfg_long.vocab_size - 2, size=(1, 8)).astype(np.int32)
+    cache = eng.new_cache(1)
+    _, cache = eng.step(prompt, np.zeros(1, np.int32), cache, logits_mode="none")
+    logits = []
+    for i in range(8):
+        lg, cache = eng.decode(toks[:, i], np.full(1, PREFILL + i, np.int32), cache)
+        logits.append(np.asarray(lg))
+    out["longwin/kv=i8"] = np.stack(logits).astype(np.float32)
+
     # --- ShardedEngine: shard_map + psum + Pallas through the real backend
     from xalm_tpu.parallel.mesh import make_mesh
     from xalm_tpu.parallel.sharded_engine import ShardedEngine
@@ -108,8 +127,6 @@ def run(backend: str | None):
 
     # --- tp-local shapes: what a tp=2 shard of cfg hands the kernels
     # (half the kv heads, half the q heads, half the vocab)
-    import dataclasses
-
     cfg_loc = dataclasses.replace(cfg, n_heads=2, n_kv_heads=1, vocab_size=256)
     params_loc = synthetic_params(cfg_loc, weight_dtype=jnp.int8, embed_dtype=jnp.bfloat16)
     for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):

@@ -301,23 +301,23 @@ def forward(
 
     # --- megakernel decode fast path: the WHOLE layer stack in one
     # pallas_call with manual-DMA weight streaming (ops/fused_decode.py).
-    # b<=8, T=1, i8 weights, float cache — the headline decode regime plus
-    # the serving batch sizes (weights stream once per STEP; rows carry
-    # their own kv_pos/rotate, and valid-masked rows ride the kv_pos == S
-    # sentinel set above).
+    # b<=8, T=1, i8 weights, float OR quantized-i8 cache — the headline
+    # decode regime plus the serving batch sizes and `--kv i8` (weights
+    # stream once per STEP; rows carry their own kv_pos/rotate,
+    # valid-masked rows ride the kv_pos == S sentinel set above, and i8
+    # caches thread their scale planes through the kernel in-place).
     if (
         fused_step
         and t == 1
         and use_pallas
         and tp_axis is None
-        and cache.k_scale is None
     ):
         from xalm_tpu.ops.fused_decode import (
             fused_decode_step,
             fused_step_supported,
         )
 
-        if fused_step_supported(cfg, params, cache.k, b, t):
+        if fused_step_supported(cfg, params, cache.k, b, t, cache.k_scale):
             from xalm_tpu.ops.fused_decode import (
                 embed_fold_supported,
                 wcls_fold_supported,
@@ -344,6 +344,18 @@ def forward(
                 pos=positions[:, 0],
                 freqs=jnp.asarray(freqs),
             ) if fold_e else {}
+            mk_quant = cache.k_scale is not None
+            if mk_quant:
+                mk_kw.update(k_scale=cache.k_scale, v_scale=cache.v_scale)
+
+            def mk_cache(outs):
+                """Split the megakernel's trailing cache planes off its
+                output tuple -> (head_outputs, new KVCache)."""
+                if mk_quant:
+                    ck, cv, ks, vs = outs[-4:]
+                    return outs[:-4], KVCache(k=ck, v=cv, k_scale=ks, v_scale=vs)
+                ck, cv = outs[-2:]
+                return outs[:-2], KVCache(k=ck, v=cv, k_scale=None, v_scale=None)
             mk_args = (
                 params,
                 cfg,
@@ -361,18 +373,18 @@ def forward(
             if fold:
                 # phase 5: final norm + i8 classifier stream + argmax
                 # in-kernel
-                xf, logits, tok, ck, cv = fused_decode_step(
+                outs = fused_decode_step(
                     *mk_args, wcls=params.wcls, out_norm=params.out_norm,
                     **mk_kw,
                 )
-                new_cache = KVCache(k=ck, v=cv, k_scale=None, v_scale=None)
+                (xf, logits, tok), new_cache = mk_cache(outs)
                 if logits_mode == "token":
                     return tok[:, 0], new_cache
                 return (
                     logits if logits_mode == "last" else logits[:, None, :]
                 ), new_cache
-            xf, ck, cv = fused_decode_step(*mk_args, **mk_kw)
-            new_cache = KVCache(k=ck, v=cv, k_scale=None, v_scale=None)
+            outs = fused_decode_step(*mk_args, **mk_kw)
+            (xf,), new_cache = mk_cache(outs)
             if logits_mode == "none":
                 return None, new_cache
             xn = rmsnorm(xf[:, None, :], params.out_norm, cfg.norm_eps)

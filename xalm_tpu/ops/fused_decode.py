@@ -24,8 +24,15 @@ software-pipelined tile stream:
   attention reads are patched in-register so no write->read ordering stall
   exists.
 
-b<=8 decode rows (t=1), int8 weights (per-row scales), bf16/f32 KV only —
-the headline decode regime (BASELINE.json) plus the serving batch sizes.
+b<=8 decode rows (t=1), int8 weights (per-row scales), bf16/f32 KV or the
+quantized int8+per-row-scale KV cache — the headline decode regime
+(BASELINE.json), the serving batch sizes, and the `--kv i8` regime. The
+quantized path mirrors the per-layer _attn_q discipline exactly: int8 KV
+codes feed the MXU dots directly with the per-row scales factored out of
+the products as (1, sb) lane vectors (a full VPU dequant of the streamed
+blocks caps at ~240-300 GB/s — the fp8-dequant trap), 32-row insert/sink
+windows (the int8 sublane tile), and scale-plane updates as 128-lane
+window RMWs riding the same patched-read race discipline as the codes.
 The weight tile stream is identical at every B (weights stream once per
 STEP); the matmul phases vectorize over rows on the MXU, and the
 attention/ring phase loops rows statically — each row carries its own
@@ -48,6 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from xalm_tpu.models.config import KV_SINKS
+from xalm_tpu.ops.pallas_attention import _quant_rows_f32
 
 __all__ = ["fused_decode_step", "fused_step_supported"]
 
@@ -98,7 +106,7 @@ def _kernel(
     L: int, N: int, DQ: int, KH: int, G: int, hd: int,
     H2: int, S: int, sb: int, TA: int, TB: int, c13: int,
     eps: float, clip: float | None, act: str, cdtype,
-    B: int = 1,
+    B: int = 1, quant: bool = False,
     V: int = 0, fold_wcls: bool = False, fold_embed: bool = False,
 ):
     it = iter(refs)
@@ -124,23 +132,37 @@ def _kernel(
     embed_hbm = next(it) if fold_embed else None
     ck_in = next(it)
     cv_in = next(it)
+    ks_in = next(it) if quant else None
+    vs_in = next(it) if quant else None
     xout_ref = next(it)
     logits_ref = next(it) if fold_wcls else None
     token_ref = next(it) if fold_wcls else None
     ck_out = next(it)
     cv_out = next(it)
+    ks_out = next(it) if quant else None
+    vs_out = next(it) if quant else None
     scr = list(it)
     (
         x_ref, bufA, bufB,
         kblk, vblk, sinkw, kwin, vwin, kw_ref, vw_ref,
         acc_ref, m_ref, l_ref, act_ref, attn_ref,
     ) = scr[:15]
-    if fold_embed:
-        ebuf = scr[15]
-        (sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink, s_emb) = scr[16:]
+    i_s = 15
+    if quant:
+        (ksb, vsb, kwsc, vwsc, scsink, scins, scv) = scr[i_s : i_s + 7]
+        i_s += 7
     else:
-        ebuf = s_emb = None
-        (sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink) = scr[15:]
+        ksb = vsb = kwsc = vwsc = scsink = scins = scv = None
+    ebuf = scr[i_s] if fold_embed else None
+    i_s += 1 if fold_embed else 0
+    (sA, sB, s_kb, s_vb, s_kw, s_vw, s_sink) = scr[i_s : i_s + 7]
+    i_s += 7
+    if quant:
+        (s_ks, s_vs, s_ssk, s_sik, s_scv) = scr[i_s : i_s + 5]
+        i_s += 5
+    else:
+        s_ks = s_vs = s_ssk = s_sik = s_scv = None
+    s_emb = scr[i_s] if fold_embed else None
     PR = _probe()
     l = pl.program_id(0)
     neg_inf = -1e30
@@ -251,24 +273,39 @@ def _kernel(
         cexp = cexp_ref[...]
         sexp = sexp_ref[...]
     inv = 1.0 / math.sqrt(hd)
-    qs = []  # HQ rotated query rows, (B, hd) f32, pre-scaled
-    kw_f = []  # per-kv-head rotated K rows as written (cache-dtype rounded)
+    # qs: HQ rotated query rows, (B, hd) f32. Float path pre-scales by
+    # 1/sqrt(hd); the quant path folds inv into the scale product instead,
+    # mirroring the per-layer _attn_q_kernel's op order exactly.
+    qs = []
+    kw_f = []  # float path: per-kv-head rotated K rows as written
     for j in range(KH):
         base = j * (G + 2) * hd
         for a in range(G):
             qh = y[:, base + a * hd : base + (a + 1) * hd]
             if clip is not None:
                 qh = jnp.clip(qh, -clip, clip)
-            qs.append(_rope_lane(qh, cexp, sexp, hd) * inv)
+            qr = _rope_lane(qh, cexp, sexp, hd)
+            qs.append(qr if quant else qr * inv)
         kh = y[:, base + G * hd : base + (G + 1) * hd]
         vh = y[:, base + (G + 1) * hd : base + (G + 2) * hd]
         if clip is not None:
             kh = jnp.clip(kh, -clip, clip)
             vh = jnp.clip(vh, -clip, clip)
-        kh = _rope_lane(kh, cexp, sexp, hd).astype(cdtype)
-        kw_ref[j] = kh
-        vw_ref[j] = vh.astype(cdtype)
-        kw_f.append(kh.astype(jnp.float32))
+        kh = _rope_lane(kh, cexp, sexp, hd)
+        if quant:
+            # the i8 weight scheme applied to the KV rows (per-layer
+            # _insert_q_kernel parity: same _quant_rows_f32)
+            kq, ksc_new = _quant_rows_f32(kh)
+            vq, vsc_new = _quant_rows_f32(vh)
+            kw_ref[j] = kq
+            vw_ref[j] = vq
+            kwsc[j] = ksc_new
+            vwsc[j] = vsc_new
+        else:
+            khc = kh.astype(cdtype)
+            kw_ref[j] = khc
+            vw_ref[j] = vh.astype(cdtype)
+            kw_f.append(khc.astype(jnp.float32))
 
     skip_attn = "noattn" in PR  # probe: weight streams only
     hq = KH * G
@@ -289,6 +326,11 @@ def _kernel(
         rot = meta_ref[2 * B + bi]
         sw_rows = sinkw.shape[1]
         blk = jnp.minimum(kvp, S - 1) // sw_rows * sw_rows
+        if quant:
+            # scale-plane windows slice the LANE (S) dim, so they use their
+            # own (wider) granule: wsc = min(128, S) lanes
+            wsc = scsink.shape[1]
+            bs = jnp.minimum(kvp, S - 1) // wsc * wsc
 
         pltpu.make_async_copy(
             ck_in.at[l, bi, :, pl.ds(0, sw_rows), :], sinkw, s_sink
@@ -299,23 +341,67 @@ def _kernel(
         pltpu.make_async_copy(
             ck_in.at[l, bi, :, pl.ds(blk, sw_rows), :], kwin, s_kw
         ).start()
+        if quant:
+            pltpu.make_async_copy(
+                ks_in.at[l, bi, :, pl.ds(0, wsc)], scsink, s_ssk
+            ).start()
+            pltpu.make_async_copy(
+                ks_in.at[l, bi, :, pl.ds(bs, wsc)], scins, s_sik
+            ).start()
+            pltpu.make_async_copy(
+                vs_in.at[l, bi, :, pl.ds(bs, wsc)], scv, s_scv
+            ).start()
         pltpu.make_async_copy(
             ck_in.at[l, bi, :, pl.ds(0, sw_rows), :], sinkw, s_sink
         ).wait()
+        if quant:
+            pltpu.make_async_copy(
+                ks_in.at[l, bi, :, pl.ds(0, wsc)], scsink, s_ssk
+            ).wait()
         c1 = c1_ref[...]
         s1 = s1_ref[...]
         rows = jax.lax.broadcasted_iota(jnp.int32, (sw_rows, 1), 0)
-        rs = []  # per head: (KV_SINKS, hd) rotated sink rows, cache-rounded
+        # per head: float path — (KV_SINKS, hd) rotated sink rows, cache-
+        # rounded; quant path — (codes (sw_rows, hd) i8, scales (sw_rows, 1))
+        rs = []
         for j in range(KH):
-            win = sinkw[j].astype(jnp.float32)  # (sw_rows, hd)
-            rotw = _rope_lane(win, c1, s1, hd).astype(cdtype)
-            new = jnp.where(
-                rows == kvp,
-                jnp.broadcast_to(kw_ref[j, bi : bi + 1], (sw_rows, hd)),
-                jnp.where((rows < KV_SINKS) & (rot != 0), rotw, sinkw[j]),
-            )
-            sinkw[j] = new
-            rs.append(rotw[:KV_SINKS].astype(jnp.float32))
+            if quant:
+                # dequant the window rows: the (1, wsc) scale lane row must
+                # become a (sw_rows, 1) column — a lane-collapsing reshape
+                # Mosaic rejects — so route it through an eye-masked reduce
+                srow = scsink[j : j + 1, :]  # (1, wsc)
+                re_ = jax.lax.broadcasted_iota(jnp.int32, (sw_rows, wsc), 0)
+                le_ = jax.lax.broadcasted_iota(jnp.int32, (sw_rows, wsc), 1)
+                sc_col = jnp.sum(
+                    jnp.where(re_ == le_, jnp.broadcast_to(srow, (sw_rows, wsc)), 0.0),
+                    axis=1, keepdims=True,
+                )  # (sw_rows, 1): row r carries scale lane r
+                win = sinkw[j].astype(jnp.float32) * sc_col
+                rotw = _rope_lane(win, c1, s1, hd)
+                rq, rsc = _quant_rows_f32(rotw)  # requant (per-layer parity)
+                new = jnp.where(
+                    rows == kvp,
+                    jnp.broadcast_to(kw_ref[j, bi : bi + 1], (sw_rows, hd)),
+                    jnp.where((rows < KV_SINKS) & (rot != 0), rq, sinkw[j]),
+                )
+                sinkw[j] = new
+                rs.append((rq, rsc))
+                # scale window 0: new-row lane + rotated sink lanes
+                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, wsc), 1)
+                srow = jnp.where(lane1 == kvp, kwsc[j, bi, 0], srow)
+                for si in range(KV_SINKS):
+                    srow = jnp.where((lane1 == si) & (rot != 0), rsc[si, 0], srow)
+                scsink[j : j + 1, :] = srow
+            else:
+                win = sinkw[j].astype(jnp.float32)  # (sw_rows, hd)
+                rotw = _rope_lane(win, c1, s1, hd).astype(cdtype)
+                new = jnp.where(
+                    rows == kvp,
+                    jnp.broadcast_to(kw_ref[j, bi : bi + 1], (sw_rows, hd)),
+                    jnp.where((rows < KV_SINKS) & (rot != 0), rotw, sinkw[j]),
+                )
+                sinkw[j] = new
+                rs.append(rotw[:KV_SINKS].astype(jnp.float32))
 
         @pl.when((kvp < sw_rows) | (rot != 0))
         def _sink_wb():
@@ -325,6 +411,19 @@ def _kernel(
             pltpu.make_async_copy(
                 sinkw, ck_out.at[l, bi, :, pl.ds(0, sw_rows), :], s_sink
             ).wait()
+
+        if quant:
+            # scale window 0 write-back: the new-row lane lands here iff
+            # kvp < wsc (it then does NOT land in the bs window, which is
+            # this same window 0 — its write is gated to kvp >= wsc below)
+            @pl.when((kvp < wsc) | (rot != 0))
+            def _ssk_wb():
+                pltpu.make_async_copy(
+                    scsink, ks_out.at[l, bi, :, pl.ds(0, wsc)], s_ssk
+                ).start()
+                pltpu.make_async_copy(
+                    scsink, ks_out.at[l, bi, :, pl.ds(0, wsc)], s_ssk
+                ).wait()
 
         pltpu.make_async_copy(
             ck_in.at[l, bi, :, pl.ds(blk, sw_rows), :], kwin, s_kw
@@ -343,6 +442,21 @@ def _kernel(
                 jnp.broadcast_to(vw_ref[j, bi : bi + 1], (sw_rows, hd)),
                 vwin[j],
             )
+        if quant:
+            pltpu.make_async_copy(
+                ks_in.at[l, bi, :, pl.ds(bs, wsc)], scins, s_sik
+            ).wait()
+            pltpu.make_async_copy(
+                vs_in.at[l, bi, :, pl.ds(bs, wsc)], scv, s_scv
+            ).wait()
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, wsc), 1)
+            for j in range(KH):
+                scins[j : j + 1, :] = jnp.where(
+                    lane1 == kvp - bs, kwsc[j, bi, 0], scins[j : j + 1, :]
+                )
+                scv[j : j + 1, :] = jnp.where(
+                    lane1 == kvp - bs, vwsc[j, bi, 0], scv[j : j + 1, :]
+                )
 
         @pl.when((kvp >= sw_rows) & (kvp < S))
         def _ins_k():
@@ -362,6 +476,25 @@ def _kernel(
                 vwin, cv_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_vw
             ).wait()
 
+        if quant:
+            @pl.when((kvp >= wsc) & (kvp < S))
+            def _ins_ks():
+                pltpu.make_async_copy(
+                    scins, ks_out.at[l, bi, :, pl.ds(bs, wsc)], s_sik
+                ).start()
+                pltpu.make_async_copy(
+                    scins, ks_out.at[l, bi, :, pl.ds(bs, wsc)], s_sik
+                ).wait()
+
+            @pl.when(kvp < S)
+            def _ins_vs():
+                pltpu.make_async_copy(
+                    scv, vs_out.at[l, bi, :, pl.ds(bs, wsc)], s_scv
+                ).start()
+                pltpu.make_async_copy(
+                    scv, vs_out.at[l, bi, :, pl.ds(bs, wsc)], s_scv
+                ).wait()
+
         # ---- flash attention over the ring (in-register patched reads) --
         acc_ref[...] = jnp.zeros_like(acc_ref)
         m_ref[...] = jnp.full_like(m_ref, neg_inf)
@@ -369,6 +502,9 @@ def _kernel(
         nblk = (kvl + sb - 1) // sb
         dma_kb(bi, 0, 0).start()
         dma_vb(bi, 0, 0).start()
+        if quant:
+            dma_ks(bi, 0, 0).start()
+            dma_vs(bi, 0, 0).start()
 
         def blk_body(t, _):
             slot = t % 2
@@ -377,33 +513,63 @@ def _kernel(
             def _next():
                 dma_kb(bi, t + 1, (t + 1) % 2).start()
                 dma_vb(bi, t + 1, (t + 1) % 2).start()
+                if quant:
+                    dma_ks(bi, t + 1, (t + 1) % 2).start()
+                    dma_vs(bi, t + 1, (t + 1) % 2).start()
 
             dma_kb(bi, t, slot).wait()
             dma_vb(bi, t, slot).wait()
+            if quant:
+                dma_ks(bi, t, slot).wait()
+                dma_vs(bi, t, slot).wait()
             rel = kvp - t * sb  # new row's index inside this block (may be OOR)
             rows2 = jax.lax.broadcasted_iota(jnp.int32, (sb, hd), 0)
             rg = t * sb + jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
             live = rg < kvl  # (1, sb)
+            lane_sb = jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
             for j in range(KH):
-                kb = kblk[slot, j].astype(jnp.float32)  # (sb, hd)
-                vb = vblk[slot, j].astype(jnp.float32)
                 # patch: this step's row + (wrapped) rotated sinks — the
-                # HBM writes race harmlessly, every read is fixed up here
-                kb = jnp.where(rows2 == rel, kw_f[j][bi : bi + 1], kb)
-                vb = jnp.where(
-                    rows2 == rel, vw_ref[j, bi : bi + 1].astype(jnp.float32), vb
-                )
-                for si in range(KV_SINKS):
-                    kb = jnp.where(
-                        (rows2 == (si - t * sb)) & (rot != 0), rs[j][si : si + 1], kb
+                # HBM writes race harmlessly, every read is fixed up here.
+                # Quant path: int8 codes stay codes (they feed the MXU
+                # directly); their per-row scales are patched in the (1, sb)
+                # scale lane vectors that factor out of both dots.
+                if quant:
+                    kb = jnp.where(rows2 == rel, kw_ref[j, bi : bi + 1], kblk[slot, j])
+                    vb = jnp.where(rows2 == rel, vw_ref[j, bi : bi + 1], vblk[slot, j])
+                    ksc = jnp.where(lane_sb == rel, kwsc[j, bi, 0], ksb[slot, j : j + 1, :])
+                    vsc = jnp.where(lane_sb == rel, vwsc[j, bi, 0], vsb[slot, j : j + 1, :])
+                    rqj, rscj = rs[j]
+                    for si in range(KV_SINKS):
+                        hit = rows2 == (si - t * sb)
+                        kb = jnp.where(hit & (rot != 0), rqj[si : si + 1], kb)
+                        ksc = jnp.where(
+                            (lane_sb == (si - t * sb)) & (rot != 0), rscj[si, 0], ksc
+                        )
+                    qj = jnp.concatenate(
+                        [qs[j * G + a][bi : bi + 1] for a in range(G)], axis=0
+                    ).astype(jnp.bfloat16)  # (G, hd) — per-layer q dtype
+                    scores = jax.lax.dot_general(
+                        qj, kb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * (ksc * inv)  # (G, sb)
+                else:
+                    kb = kblk[slot, j].astype(jnp.float32)  # (sb, hd)
+                    vb = vblk[slot, j].astype(jnp.float32)
+                    kb = jnp.where(rows2 == rel, kw_f[j][bi : bi + 1], kb)
+                    vb = jnp.where(
+                        rows2 == rel, vw_ref[j, bi : bi + 1].astype(jnp.float32), vb
                     )
-                qj = jnp.concatenate(
-                    [qs[j * G + a][bi : bi + 1] for a in range(G)], axis=0
-                )  # (G, hd)
-                scores = jax.lax.dot_general(
-                    qj, kb, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (G, sb)
+                    for si in range(KV_SINKS):
+                        kb = jnp.where(
+                            (rows2 == (si - t * sb)) & (rot != 0), rs[j][si : si + 1], kb
+                        )
+                    qj = jnp.concatenate(
+                        [qs[j * G + a][bi : bi + 1] for a in range(G)], axis=0
+                    )  # (G, hd)
+                    scores = jax.lax.dot_general(
+                        qj, kb, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (G, sb)
                 scores = jnp.where(live, scores, neg_inf)
                 lo = j * G
                 m_old = m_ref[lo : lo + G, :1]
@@ -414,9 +580,10 @@ def _kernel(
                 l_ref[lo : lo + G, :1] = l_ref[lo : lo + G, :1] * alpha + jnp.sum(
                     p, axis=-1, keepdims=True
                 )
+                pv = (p * vsc).astype(jnp.bfloat16) if quant else p
                 acc_ref[lo : lo + G, :] = acc_ref[lo : lo + G, :] * alpha + (
                     jax.lax.dot_general(
-                        p, vb, (((1,), (0,)), ((), ())),
+                        pv, vb, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                 )
@@ -440,6 +607,18 @@ def _kernel(
     def dma_vb(bi, t, slot):
         return pltpu.make_async_copy(
             cv_in.at[l, bi, :, pl.ds(t * sb, sb), :], vblk.at[slot], s_vb.at[slot]
+        )
+
+    # scale-plane flash blocks slice the lane (S) dim — the same blocking
+    # the per-layer _attn_q grid pipeline generates (sb % 128 == 0 or whole)
+    def dma_ks(bi, t, slot):
+        return pltpu.make_async_copy(
+            ks_in.at[l, bi, :, pl.ds(t * sb, sb)], ksb.at[slot], s_ks.at[slot]
+        )
+
+    def dma_vs(bi, t, slot):
+        return pltpu.make_async_copy(
+            vs_in.at[l, bi, :, pl.ds(t * sb, sb)], vsb.at[slot], s_vs.at[slot]
         )
 
     if skip_attn:  # probe: weight streams only
@@ -556,11 +735,15 @@ def _kernel(
             token_ref[...] = jnp.broadcast_to(ri, (B, 128))
 
 
-def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
+def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None) -> bool:
     """Shape/dtype gate for the megakernel decode path."""
     if not (1 <= batch <= _MAX_B) or t != 1:
         return False
-    if jnp.dtype(cache_k.dtype) not in (
+    quant = k_scale is not None
+    if quant:
+        if jnp.dtype(cache_k.dtype) != jnp.dtype(jnp.int8):
+            return False
+    elif jnp.dtype(cache_k.dtype) not in (
         jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)
     ):
         return False
@@ -581,12 +764,24 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int) -> bool:
         return False
     if cfg.head_dim % 2 != 0:
         return False
-    # sequence-dim DMA slices (8-row insert/sink windows, sb-row flash
-    # blocks) must be sublane-tile aligned: S % 8 guarantees both (any
-    # S % 8 == 0 makes _pick_div(S, 512) land on a multiple of 8)
+    # sequence-dim DMA slices (8/32-row insert/sink windows, sb-row flash
+    # blocks) must be sublane-tile aligned: S % 8 (f32/bf16) or S % 32
+    # (int8) guarantees both (_pick_div(S, 512) then lands on a multiple).
+    # The quant path additionally slices the scale planes' LANE (S) dim, so
+    # its flash block must be a 128-lane multiple (or the whole window) and
+    # its 128-lane scale windows must tile S — KVCache.plane_shape's %32
+    # physical padding satisfies all of this for every power-of-two context.
     S = cache_k.shape[3]
     if S < 8 or S % 8:
         return False
+    if quant:
+        if S < 32 or S % 32:
+            return False
+        sb = _pick_div(S, 512)
+        if sb != S and sb % 128:
+            return False
+        if S % min(128, S):
+            return False
     if os.environ.get("XALM_NO_MEGAKERNEL"):
         return False
     return True
@@ -630,7 +825,7 @@ def fused_decode_step(
     params,
     cfg,
     x0: jax.Array,  # (B, N) f32 — post-embed residual input
-    cache_k: jax.Array,  # (L, B, KH, S, hd) bf16/f32 — updated in place
+    cache_k: jax.Array,  # (L, B, KH, S, hd) bf16/f32/int8 — updated in place
     cache_v: jax.Array,
     kv_pos: jax.Array,  # (B,) int32, per row (S = dropped write)
     kv_len: jax.Array,  # (B,) int32
@@ -645,8 +840,13 @@ def fused_decode_step(
     token=None,  # (1,) int32 — required with embed (x0 then ignored)
     pos=None,  # (1,) int32 — required with embed (rope trig in-kernel)
     freqs=None,  # (hd//2,) rope inverse frequencies — required with embed
+    k_scale=None,  # (L, B, KH, S) f32 — int8 caches only; updated in place
+    v_scale=None,
 ):
     """One full decode-layer-stack step over B <= _MAX_B rows.
+
+    With an int8 cache (``k_scale``/``v_scale`` given) the return tuples
+    additionally carry the updated scale planes (..., ck, cv, ks, vs).
 
     Returns (x (B, N) f32, ck, cv), or — when ``wcls``/``out_norm`` are
     given (see wcls_fold_supported) — (x, logits (B, V) f32, token (B, 128)
@@ -669,7 +869,12 @@ def fused_decode_step(
     TA = min(_TILE_A, DQ, N, H2)
     TB = _pick_div(N, _TILE_B)
     cdtype = cache_k.dtype
-    sw_rows = min(8, S)
+    quant = k_scale is not None
+    if quant:
+        assert v_scale is not None and jnp.dtype(cdtype) == jnp.dtype(jnp.int8)
+        assert S % 32 == 0 and (sb == S or sb % 128 == 0), (S, sb)
+    sw_rows = 32 if quant else min(8, S)
+    wsc = min(128, S)
     hq = KH * G
     hq_p = -(-hq // 8) * 8
     clip = cfg.qkv_clip if math.isfinite(cfg.qkv_clip) else None
@@ -706,7 +911,8 @@ def fused_decode_step(
         _kernel,
         L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, H2=H2, S=S, sb=sb,
         TA=TA, TB=TB, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
-        cdtype=cdtype, B=B, V=V, fold_wcls=fold_wcls, fold_embed=fold_embed,
+        cdtype=cdtype, B=B, quant=quant, V=V, fold_wcls=fold_wcls,
+        fold_embed=fold_embed,
     )
     const = lambda l, m: (0, 0)
     row = lambda l, m: (l, 0, 0)
@@ -732,12 +938,13 @@ def fused_decode_step(
             pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),  # out_norm
             pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM),  # wcls scale
         ]
-    n_any = 6 + (1 if fold_wcls else 0) + (1 if fold_embed else 0)
+    n_alias = 4 if quant else 2  # caches (+ scale planes) alias in-place
+    n_any = 4 + n_alias + (1 if fold_wcls else 0) + (1 if fold_embed else 0)
     out_specs = [pl.BlockSpec((B, N), const, memory_space=pltpu.VMEM)]
     if fold_wcls:
         out_specs.append(pl.BlockSpec((B, V), const, memory_space=pltpu.VMEM))
         out_specs.append(pl.BlockSpec((B, 128), const, memory_space=pltpu.VMEM))
-    out_specs += [pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)]
+    out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_alias
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L,),
@@ -760,6 +967,15 @@ def fused_decode_step(
             pltpu.VMEM((B, H), jnp.float32),  # act
             pltpu.VMEM((B, QD), jnp.float32),  # attention out rows
         ]
+        + ([
+            pltpu.VMEM((2, KH, sb), jnp.float32),  # K scale flash blocks
+            pltpu.VMEM((2, KH, sb), jnp.float32),  # V scale flash blocks
+            pltpu.VMEM((KH, B, 1), jnp.float32),  # new K row scales
+            pltpu.VMEM((KH, B, 1), jnp.float32),  # new V row scales
+            pltpu.VMEM((KH, wsc), jnp.float32),  # K scale window 0 (sinks)
+            pltpu.VMEM((KH, wsc), jnp.float32),  # K scale insert window
+            pltpu.VMEM((KH, wsc), jnp.float32),  # V scale window
+        ] if quant else [])
         + ([pltpu.VMEM((16, N), jnp.bfloat16)] if fold_embed else [])  # embed win
         + [
             pltpu.SemaphoreType.DMA((nbA,)),  # pool A
@@ -770,6 +986,13 @@ def fused_decode_step(
             pltpu.SemaphoreType.DMA(()),  # v window rmw
             pltpu.SemaphoreType.DMA(()),  # sink rmw
         ]
+        + ([
+            pltpu.SemaphoreType.DMA((2,)),  # k scale blocks
+            pltpu.SemaphoreType.DMA((2,)),  # v scale blocks
+            pltpu.SemaphoreType.DMA(()),  # k scale window 0
+            pltpu.SemaphoreType.DMA(()),  # k scale insert window
+            pltpu.SemaphoreType.DMA(()),  # v scale window
+        ] if quant else [])
         + ([pltpu.SemaphoreType.DMA(())] if fold_embed else []),  # embed win
     )
     weight_bytes = (
@@ -784,11 +1007,17 @@ def fused_decode_step(
         jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
         jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
     ]
-    # input indices counted incl. the scalar-prefetch arg; the caches are
-    # the last two inputs and alias the last two outputs (in-place update)
+    if quant:
+        out_shape += [
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ]
+    # input indices counted incl. the scalar-prefetch arg; the caches (and
+    # scale planes when quant) are the last inputs and alias the last
+    # outputs (in-place update)
     n_in = 1 + len(vm_specs) + n_any
     n_out = len(out_shape)
-    aliases = {n_in - 2: n_out - 2, n_in - 1: n_out - 1}
+    aliases = {n_in - i: n_out - i for i in range(1, n_alias + 1)}
     call_args = [meta]
     if not fold_embed:
         call_args += [x0, cexp_p, sexp_p]
@@ -821,6 +1050,8 @@ def fused_decode_step(
     if fold_embed:
         call_args.append(embed.values)
     call_args += [cache_k, cache_v]
+    if quant:
+        call_args += [k_scale, v_scale]
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
@@ -838,8 +1069,4 @@ def fused_decode_step(
         ),
         interpret=interp,
     )(*call_args)
-    if fold_wcls:
-        x, logits, tok, ck, cv = outs
-        return x, logits, tok, ck, cv
-    x, ck, cv = outs
-    return x, ck, cv
+    return outs
