@@ -62,6 +62,9 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=16)
     ap.add_argument("--dtype", default="i8", choices=["f8_e4m3", "f8_e5m2", "i8", "bf16", "f16"])
     ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
+    ap.add_argument("--mini", action="store_true",
+                    help="tiny synthetic config (debug: smoke the bench flow "
+                    "end-to-end on CPU/interpret without 7B shapes)")
     ap.add_argument("--batch", type=int, default=1,
                     help="decode batch size (serving-throughput mode; tok/s is aggregate)")
     ap.add_argument("--compute", default="auto", choices=["auto", "f32", "bf16"],
@@ -98,6 +101,14 @@ def main() -> int:
     }[args.dtype]
 
     cfg = MISTRAL_7B
+    if args.mini:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, dim=256, hidden_dim=512, head_dim=64, rotary_dim=64,
+            n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=2048,
+            max_seq_len=512,
+        )
     if args.layers:
         import dataclasses
 
@@ -120,12 +131,17 @@ def main() -> int:
     wcls_i8 = args.wcls == "i8" and (
         args.dtype == "i8" or (args.dtype.startswith("f8") and args.fp8 == "recode")
     )
-    eng = Engine(
-        cfg, params, None, kv_dtype=kv_dt,
-        compute_dtype={"auto": "auto", "f32": jnp.float32, "bf16": jnp.bfloat16}[args.compute],
-        a8_prefill=args.a8,
-        wcls_i8=wcls_i8,
-    )
+
+    def build_engine(fused: bool) -> Engine:
+        return Engine(
+            cfg, params, None, kv_dtype=kv_dt,
+            compute_dtype={"auto": "auto", "f32": jnp.float32, "bf16": jnp.bfloat16}[args.compute],
+            a8_prefill=args.a8,
+            wcls_i8=wcls_i8,
+            fused_step=fused,
+        )
+
+    eng = build_engine(fused=True)
     if wcls_i8:
         log("classifier head recoded to i8 per-row (--wcls keep to disable)")
     weight_gb = params.nbytes() / 1e9
@@ -193,11 +209,30 @@ def main() -> int:
     log(f"prefill({prompt.shape[1]} tokens x{b}): {time.time() - t0:.1f}s (incl. compile)")
 
     # warmup: compile the scan-decode graph (same step count as the timed run
-    # so exactly one program is compiled)
+    # so exactly one program is compiled). The megakernel decode path is the
+    # first thing that lowers through real Mosaic here; if it fails to
+    # compile (or faults) on this backend, fall back to the proven per-layer
+    # kernel path rather than losing the bench — the fallback is reported.
     t0 = time.time()
     posv = np.full((b,), pos, np.int32)
-    toks, cache = eng.decode_scan(tok0, posv, cache, args.steps)
-    toks = np.asarray(toks)
+    try:
+        toks, cache = eng.decode_scan(tok0, posv, cache, args.steps)
+        toks = np.asarray(toks)
+    except Exception as e:  # noqa: BLE001 — any lowering/runtime fault
+        log(f"megakernel decode path FAILED on this backend; falling back to "
+            f"per-layer kernels (XALM_NO_MEGAKERNEL). Error: {type(e).__name__}: "
+            f"{str(e)[:500]}")
+        os.environ["XALM_NO_MEGAKERNEL"] = "1"
+        eng = build_engine(fused=False)
+        cache = eng.new_cache(b)
+        logits, cache = eng.step(
+            prompt, np.zeros((b,), np.int32), cache, logits_mode="last"
+        )
+        tok0 = jnp.argmax(logits, -1).astype(jnp.int32)
+        pos = prompt.shape[1]
+        posv = np.full((b,), pos, np.int32)
+        toks, cache = eng.decode_scan(tok0, posv, cache, args.steps)
+        toks = np.asarray(toks)
     log(f"decode compile+warmup({args.steps} steps): {time.time() - t0:.1f}s")
     pos += args.steps
 
