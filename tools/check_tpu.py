@@ -8,9 +8,11 @@ prefill kernel) + greedy decode through >=2 ring wraps on both backends
 (separate subprocesses — the jax platform latches once per process) and
 compares logits/argmax step by step across:
 
-- batch B in {1, 4} (B=1/bf16 runs the whole-step megakernel,
-  ops/fused_decode.py — manual DMA + inline flash through real Mosaic;
-  B=4 exercises the batch-vectorized (kh, nsb) flash-decode grid),
+- batch B in {1, 4} (every b<=8 decode runs the whole-step megakernel,
+  ops/fused_decode.py — manual DMA + inline flash through real Mosaic,
+  with B=4 covering its batched-row attention/ring phase; explicit
+  fused_step=False legs keep the per-layer batch-vectorized (kh, nsb)
+  flash-decode grid gated too, since batch>8 serving still uses it),
 - kv cache dtype in {bf16, int8-quantized},
 - a ShardedEngine leg on a (dp=1, tp=1) mesh — shard_map + psum + the
   Pallas kernels lowering through real Mosaic (the sharded path otherwise
@@ -78,6 +80,16 @@ def run(backend: str | None):
         for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):
             eng = Engine(cfg, params, None, kv_dtype=kv, compute_dtype=jnp.float32)
             drive(eng, b, cfg.vocab_size, f"b{b}/kv={name}")
+
+    # --- per-layer kernel path at B=4: the megakernel now captures every
+    # b<=8 decode, but batch>8 serving still runs the per-layer batched
+    # (kh, nsb) flash-decode grid — keep it hardware-gated explicitly
+    for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):
+        eng = Engine(
+            cfg, params, None, kv_dtype=kv, compute_dtype=jnp.float32,
+            fused_step=False,
+        )
+        drive(eng, 4, cfg.vocab_size, f"b4-perlayer/kv={name}")
 
     # --- megakernel phase 5: i8 classifier fold + in-kernel greedy argmax
     # (the bench default --wcls i8 path; new Mosaic surface: wcls tiles on
