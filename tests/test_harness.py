@@ -25,6 +25,22 @@ def test_completion_mode(tiny_xalm, capsys):
     assert "hello world" in out
 
 
+def test_completion_spec_mode(tiny_xalm, capsys):
+    """--spec K: same surface, plus the draft-acceptance stats line, and the
+    emitted text matches the plain greedy run."""
+    rc = harness.main([tiny_xalm, "-m", "c", "-i", "ab ab ab ab", "-n", "12"])
+    assert rc == 0
+    ref = capsys.readouterr().out
+    rc = harness.main([tiny_xalm, "-m", "c", "-i", "ab ab ab ab", "-n", "12", "--spec", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Generation stats" in out
+    assert "speculation:" in out and "drafts accepted" in out
+    # emitted text (first line, before the stats blocks) is greedy-identical
+    assert out.split("Generation stats")[0].split("Encoding stats")[-1].splitlines()[1:] \
+        == ref.split("Generation stats")[0].split("Encoding stats")[-1].splitlines()[1:]
+
+
 def test_perplexity_mode(tiny_xalm, capsys):
     rc = harness.main([tiny_xalm, "-m", "perplexity", "-i", "the quick brown fox is here"])
     assert rc == 0

@@ -60,6 +60,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wcls-i8", action="store_true",
                    help="recode the boosted classifier head to i8 per-row at "
                    "load (extension; quality-gated in RESULTS.md)")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="n-gram speculative decoding with K drafts per verify"
+                        " chunk (try 7; greedy-exact, see runtime/spec.py)")
     p.add_argument("--profile", action="store_true", help="print profiler report at exit")
     p.add_argument("--seed", type=int, default=None, help="seed for passkey randomness")
     p.add_argument(
@@ -186,6 +189,10 @@ def run_completion(args) -> int:
 
         save_session(args.session, eng.cfg, sess)
         print(f"\nsaved session to {args.session} ({len(sess.tokens[0])} tokens)", end="")
+    elif args.spec:
+        from xalm_tpu.runtime.spec import generate_spec
+
+        out, stats = generate_spec(eng, ids, num_steps, k=args.spec, on_token=on_token)
     else:
         out, stats = eng.generate(ids, num_steps, on_token=on_token)
     print()
@@ -196,6 +203,11 @@ def run_completion(args) -> int:
         f"latency: {stats.decode_s/max(stats.generated_tokens,1):.5g} s/tok\n"
         f"  bandwidth: {stats.bandwidth_gb_s:.5g} GB/s (vs active bytes model)"
     )
+    if stats.spec_proposed:
+        print(
+            f"  speculation: {stats.spec_accepted}/{stats.spec_proposed} drafts accepted "
+            f"({100.0 * stats.spec_accepted / stats.spec_proposed:.1f}%)"
+        )
     return 0
 
 

@@ -55,6 +55,8 @@ class GenerationStats:
     prefill_s: float = 0.0
     decode_s: float = 0.0
     active_bytes: int = 0  # cumulative bytes touched during decode
+    spec_proposed: int = 0  # draft tokens offered to verify (runtime/spec.py)
+    spec_accepted: int = 0  # draft tokens accepted
 
     @property
     def tok_per_s(self) -> float:
@@ -129,6 +131,8 @@ class Engine:
 
         # cache (arg 3) donated: decode updates it in place in HBM.
         self._fwd = jax.jit(_fwd, static_argnames=("logits_mode",), donate_argnums=(3,))
+        # unjitted forward: runtime/spec.py composes device-side argmax on top
+        self._fwd_raw = _fwd
 
         def _decode_scan(params, token0, pos0, cache, n_steps: int, valid):
             """n_steps of greedy decode entirely on device — one dispatch for
