@@ -48,7 +48,7 @@ from xalm_tpu import quant
 from xalm_tpu.io import write_xalm
 from xalm_tpu.obs.table import Table
 
-SUPPORTED_ARCHITECTURES = ("MistralForCausalLM", "LlamaForCausalLM")
+SUPPORTED_ARCHITECTURES = ("MistralForCausalLM", "LlamaForCausalLM", "GemmaForCausalLM")
 
 # dtypes a weight body may be converted to. Runtime types are stored as-is;
 # the simulated interchange formats (GGUF blocks + sub-byte packers,
@@ -72,7 +72,9 @@ def normalize_config(config: dict) -> tuple[str, dict[str, str]]:
             f"architecture {arch} is not supported, must be one of {SUPPORTED_ARCHITECTURES}"
         )
     head_dim = config.get("head_dim") or config["hidden_size"] // config["num_attention_heads"]
-    act = config["hidden_act"]
+    act = config.get("hidden_activation") or config["hidden_act"]
+    if act == "gelu_pytorch_tanh":
+        act = "gelu"  # the runtime gelu IS the tanh approximation (llama.py)
     if act not in ("gelu", "silu"):
         raise ValueError(f"unsupported hidden_act {act}")
     out = {
@@ -93,6 +95,10 @@ def normalize_config(config: dict) -> tuple[str, dict[str, str]]:
         "act_type": str(act),
         "tie_word_embeddings": str(config["tie_word_embeddings"]),
     }
+    if arch == "GemmaForCausalLM":
+        # HF modeling_gemma scales the embed output by sqrt(hidden_size);
+        # stored in the container so the runtime stays family-agnostic
+        out["embed_scale"] = repr(float(config["hidden_size"]) ** 0.5)
     return arch, out
 
 
@@ -387,6 +393,13 @@ def main(argv: list[str] | None = None) -> int:
     print(f"arch={arch} layers={arch_config['n_layers']} dim={arch_config['dim']} target={args.type}")
 
     weights = _read_safetensors(shards)
+    if arch == "GemmaForCausalLM":
+        # GemmaRMSNorm scales by (1 + weight): fold the offset into the
+        # stored norm weights so the runtime's plain rmsnorm serves every
+        # family (norm weights stay f32 in the container, so this is exact)
+        for k in list(weights):
+            if k.endswith("norm.weight"):
+                weights[k] = weights[k].astype(np.float32) + 1.0
     tensors = convert_weights(weights, arch_config, args.type, analyze=args.analyze)
     toks = load_tokens(tokenizer_path, int(arch_config["vocab_size"]))
     tensors["tokenizer.tokens"] = tokens_tensor(toks)

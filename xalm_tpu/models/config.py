@@ -36,6 +36,10 @@ class ModelConfig:
     norm_type: str = "rmsnorm"
     qkv_clip: float = math.inf  # inf = no clipping
     tie_word_embeddings: bool = False
+    # residual-stream scale applied once after the embed lookup. 1.0 for
+    # Llama/Mistral; sqrt(dim) for Gemma (HF modeling_gemma normalizer) —
+    # the converter writes it so the runtime stays family-agnostic.
+    embed_scale: float = 1.0
 
     @property
     def q_dim(self) -> int:
@@ -81,4 +85,5 @@ class ModelConfig:
             norm_type=metadata.get("norm_type", "rmsnorm"),
             qkv_clip=float(metadata["qkv_clip"]) if "qkv_clip" in metadata else math.inf,
             tie_word_embeddings=metadata.get("tie_word_embeddings") == "True",
+            embed_scale=float(metadata.get("embed_scale", "1.0")),
         )

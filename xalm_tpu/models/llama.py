@@ -295,6 +295,10 @@ def forward(
         kv_pos = jnp.where(valid, kv_pos, s)  # out-of-bounds -> write dropped
 
     x = embed_lookup(params.embed, tokens)  # (B, T, dim) f32
+    if cfg.embed_scale != 1.0:
+        # Gemma residual normalizer (HF modeling_gemma: sqrt(hidden_size));
+        # the megakernel's in-kernel embed fold applies the same constant
+        x = x * cfg.embed_scale
 
     lp = params.layers
     use_pallas = matmul_impl == "pallas"

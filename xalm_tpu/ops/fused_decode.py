@@ -108,6 +108,7 @@ def _kernel(
     eps: float, clip: float | None, act: str, cdtype,
     B: int = 1, quant: bool = False,
     V: int = 0, fold_wcls: bool = False, fold_embed: bool = False,
+    ES: float = 1.0,
 ):
     it = iter(refs)
     x0_ref = None if fold_embed else next(it)
@@ -241,7 +242,7 @@ def _kernel(
                 jnp.where(rows == tok % 16, ebuf[...].astype(jnp.float32), 0.0),
                 axis=0,
                 keepdims=True,
-            )
+            ) * ES
         else:
             x_ref[...] = x0_ref[...]
 
@@ -912,7 +913,7 @@ def fused_decode_step(
         L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, H2=H2, S=S, sb=sb,
         TA=TA, TB=TB, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
         cdtype=cdtype, B=B, quant=quant, V=V, fold_wcls=fold_wcls,
-        fold_embed=fold_embed,
+        fold_embed=fold_embed, ES=float(cfg.embed_scale),
     )
     const = lambda l, m: (0, 0)
     row = lambda l, m: (l, 0, 0)
