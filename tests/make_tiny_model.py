@@ -95,6 +95,10 @@ def make_weights(config: dict, seed: int = 42) -> dict[str, np.ndarray]:
         tensors[p + "self_attn.q_proj.weight"] = w(n_heads * hd, dim)
         tensors[p + "self_attn.k_proj.weight"] = w(n_kv * hd, dim)
         tensors[p + "self_attn.v_proj.weight"] = w(n_kv * hd, dim)
+        if config.get("model_type") == "qwen2":  # HF Qwen2 has q/k/v bias
+            tensors[p + "self_attn.q_proj.bias"] = w(n_heads * hd, scale=0.2)
+            tensors[p + "self_attn.k_proj.bias"] = w(n_kv * hd, scale=0.2)
+            tensors[p + "self_attn.v_proj.bias"] = w(n_kv * hd, scale=0.2)
         tensors[p + "self_attn.o_proj.weight"] = w(dim, n_heads * hd)
         tensors[p + "post_attention_layernorm.weight"] = np.abs(w(dim, scale=0.2)) + 0.8
         tensors[p + "mlp.gate_proj.weight"] = w(hidden, dim)

@@ -48,7 +48,12 @@ from xalm_tpu import quant
 from xalm_tpu.io import write_xalm
 from xalm_tpu.obs.table import Table
 
-SUPPORTED_ARCHITECTURES = ("MistralForCausalLM", "LlamaForCausalLM", "GemmaForCausalLM")
+SUPPORTED_ARCHITECTURES = (
+    "MistralForCausalLM",
+    "LlamaForCausalLM",
+    "GemmaForCausalLM",
+    "Qwen2ForCausalLM",
+)
 
 # dtypes a weight body may be converted to. Runtime types are stored as-is;
 # the simulated interchange formats (GGUF blocks + sub-byte packers,
@@ -99,6 +104,9 @@ def normalize_config(config: dict) -> tuple[str, dict[str, str]]:
         # HF modeling_gemma scales the embed output by sqrt(hidden_size);
         # stored in the container so the runtime stays family-agnostic
         out["embed_scale"] = repr(float(config["hidden_size"]) ** 0.5)
+    if arch == "Qwen2ForCausalLM":
+        # Qwen2 q/k/v projections carry bias vectors (HF modeling_qwen2)
+        out["qkv_bias"] = "True"
     return arch, out
 
 
@@ -231,8 +239,9 @@ def _read_safetensors(files: list[str]) -> dict[str, np.ndarray]:
     return weights
 
 
-def canonical_order(n_layers: int, tied: bool) -> list[str]:
-    """Fixed on-disk emission order (reference convert.py:825-848, 1057-1108)."""
+def canonical_order(n_layers: int, tied: bool, qkv_bias: bool = False) -> list[str]:
+    """Fixed on-disk emission order (reference convert.py:825-848, 1057-1108).
+    ``qkv_bias`` appends the Qwen2-family attention bias vectors."""
     names = ["embed.weight"]
     for i in range(n_layers):
         names += [
@@ -240,6 +249,14 @@ def canonical_order(n_layers: int, tied: bool) -> list[str]:
             f"l.{i}.attn.q.weight",
             f"l.{i}.attn.k.weight",
             f"l.{i}.attn.v.weight",
+        ]
+        if qkv_bias:
+            names += [
+                f"l.{i}.attn.q.bias",
+                f"l.{i}.attn.k.bias",
+                f"l.{i}.attn.v.bias",
+            ]
+        names += [
             f"l.{i}.attn.down.weight",
             f"l.{i}.mlp.norm.weight",
             f"l.{i}.mlp.gate.weight",
@@ -267,7 +284,8 @@ def convert_weights(
 
     translated = {translate_name(k): v for k, v in weights.items()}
     out: dict[str, np.ndarray] = {}
-    order = canonical_order(n_layers, tied)
+    qkv_bias = arch_config.get("qkv_bias") == "True"
+    order = canonical_order(n_layers, tied, qkv_bias)
     missing = [n for n in order if n not in translated]
     if missing:
         raise ValueError(f"missing tensors in checkpoint: {missing[:5]}...")
@@ -275,9 +293,11 @@ def convert_weights(
     analyze_rows: list[dict] = []
     for name in order:
         t = translated[name]
-        if ".attn.q.weight" in name:
+        # rope re-interleave applies to anything with per-output-row layout:
+        # q/k projections AND their bias vectors (Qwen2)
+        if ".attn.q." in name:
             t = permute_reverse(t, n_heads, rotary_dim)
-        elif ".attn.k.weight" in name:
+        elif ".attn.k." in name:
             t = permute_reverse(t, n_kv_heads, rotary_dim)
 
         if t.ndim == 1:

@@ -45,7 +45,12 @@ from xalm_tpu import dtypes as xdt
 __all__ = ["TensorInfo", "XalmFile", "write_xalm", "SUPPORTED_ARCHS"]
 
 # Architectures the reference accepts (xalm.h:141).
-SUPPORTED_ARCHS = ("LlamaForCausalLM", "MistralForCausalLM", "GemmaForCausalLM")
+SUPPORTED_ARCHS = (
+    "LlamaForCausalLM",
+    "MistralForCausalLM",
+    "GemmaForCausalLM",
+    "Qwen2ForCausalLM",
+)
 
 _ALIGN_TENSOR = 32
 _ALIGN_DATA = 4096

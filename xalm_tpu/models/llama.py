@@ -496,9 +496,11 @@ def forward(
         # --- attention --- (rmsnorm folds into the matmul kernel prologue
         # at decode shapes; see mm)
         g = cfg.n_heads // cfg.n_kv_heads
-        q, k, v = split_qkv_rows(
-            mm(x, lp.wqkv, layer, norm_sw=lp.attn_norm), -1, g, cfg.head_dim
-        )
+        qkv = mm(x, lp.wqkv, layer, norm_sw=lp.attn_norm)
+        if lp.bqkv is not None:
+            # Qwen2-family attention bias (fused row order matches wqkv)
+            qkv = qkv + _index(lp.bqkv, layer)
+        q, k, v = split_qkv_rows(qkv, -1, g, cfg.head_dim)
         if clip is not None:
             q = jnp.clip(q, -clip, clip)
             k = jnp.clip(k, -clip, clip)

@@ -93,7 +93,7 @@ class QWeight:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["attn_norm", "wqkv", "wo", "mlp_norm", "w13", "w2"],
+    data_fields=["attn_norm", "wqkv", "wo", "mlp_norm", "w13", "w2", "bqkv"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -122,6 +122,10 @@ class LayerParams:
     mlp_norm: Any  # (L, dim)
     w13: QWeight  # (L, 2*hidden_dim, dim) — fused gate/up, chunk-interleaved
     w2: QWeight  # (L, dim, hidden_dim)
+    # Qwen2-family attention bias, fused in wqkv's kv-head-grouped row order
+    # (None for Llama/Mistral/Gemma); added to the qkv projection output in
+    # llama.forward, outside the matmul kernels
+    bqkv: Any = None  # (L, kh*(g+2)*hd) f32 | None
 
 
 @functools.partial(
@@ -306,6 +310,7 @@ def recode_params_fp8(params: ModelParams) -> ModelParams:
         mlp_norm=lp.mlp_norm,
         w13=recode_fp8_qweight(lp.w13),
         w2=recode_fp8_qweight(lp.w2),
+        bqkv=lp.bqkv,
     )
     wcls = embed if tied else recode_fp8_qweight(params.wcls)
     return ModelParams(embed=embed, layers=layers, out_norm=params.out_norm, wcls=wcls)
@@ -446,6 +451,18 @@ def load_params(
             ffn_chunk(h),
         ),
         w2=stack_qw("l.{}.mlp.down.weight", (d, h)),
+        bqkv=(
+            put(
+                fuse_qkv(
+                    stack_host("l.{}.attn.q.bias", (q,))[0].astype(np.float32),
+                    stack_host("l.{}.attn.k.bias", (kv,))[0].astype(np.float32),
+                    stack_host("l.{}.attn.v.bias", (kv,))[0].astype(np.float32),
+                    cfg.n_kv_heads,
+                )
+            )
+            if "l.0.attn.q.bias" in xf.tensors
+            else None
+        ),
     )
 
     ev, es = maybe_recode(*_load_qweight(xf, "embed.weight", (cfg.vocab_size, cfg.dim)))

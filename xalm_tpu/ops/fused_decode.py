@@ -749,6 +749,8 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None)
     ):
         return False
     lp = params.layers
+    if lp.bqkv is not None:
+        return False  # qkv bias (Qwen2) not folded into the megakernel yet
     for qw in (lp.wqkv, lp.wo, lp.w13, lp.w2):
         if qw.values.dtype != jnp.int8 or qw.scale is None:
             return False

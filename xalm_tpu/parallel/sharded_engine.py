@@ -72,6 +72,8 @@ def _pspecs_like(params: ModelParams, cfg: ModelConfig) -> ModelParams:
     specs = param_pspecs(cfg)
 
     def fix(qw_spec, qw):
+        if qw is None:  # absent optional field (e.g. bqkv without bias)
+            return None
         if isinstance(qw, QWeight):
             return QWeight(
                 qw_spec.values, qw_spec.scale if qw.scale is not None else None

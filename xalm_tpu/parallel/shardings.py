@@ -65,6 +65,8 @@ def param_pspecs(cfg: ModelConfig) -> ModelParams:
         mlp_norm=P(None, None),
         w13=col,
         w2=row,
+        # qkv bias (Qwen2) shards with the column-parallel qkv output rows
+        bqkv=P(None, AXIS_TP),
     )
     return ModelParams(
         embed=_qw(P(None, None), P(None)),  # replicated
