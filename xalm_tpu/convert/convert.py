@@ -107,6 +107,19 @@ def normalize_config(config: dict) -> tuple[str, dict[str, str]]:
     if arch == "Qwen2ForCausalLM":
         # Qwen2 q/k/v projections carry bias vectors (HF modeling_qwen2)
         out["qkv_bias"] = "True"
+    rs = config.get("rope_scaling") or {}
+    rtype = rs.get("rope_type") or rs.get("type")
+    if rtype in ("linear", "llama3"):
+        out["rope_scaling"] = rtype
+        out["rope_factor"] = repr(float(rs["factor"]))
+        if rtype == "llama3":
+            out["rope_low_freq_factor"] = repr(float(rs["low_freq_factor"]))
+            out["rope_high_freq_factor"] = repr(float(rs["high_freq_factor"]))
+            out["rope_original_max_pos"] = str(
+                int(rs["original_max_position_embeddings"])
+            )
+    elif rtype not in (None, "default"):
+        raise ValueError(f"unsupported rope_scaling type {rtype}")
     return arch, out
 
 

@@ -40,6 +40,13 @@ class ModelConfig:
     # Llama/Mistral; sqrt(dim) for Gemma (HF modeling_gemma normalizer) —
     # the converter writes it so the runtime stays family-agnostic.
     embed_scale: float = 1.0
+    # rope frequency rescaling for long-context checkpoints (Llama 3.x):
+    # "none" | "linear" | "llama3" (see llama.rope_freqs)
+    rope_scaling: str = "none"
+    rope_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_pos: int = 0
 
     @property
     def q_dim(self) -> int:
@@ -62,6 +69,10 @@ class ModelConfig:
             raise ValueError(f"unsupported act {self.act}")
         if self.norm_type != "rmsnorm":
             raise ValueError(f"unsupported norm_type {self.norm_type}")
+        if self.rope_scaling not in ("none", "linear", "llama3"):
+            raise ValueError(f"unsupported rope_scaling {self.rope_scaling}")
+        if self.rope_scaling == "llama3" and self.rope_original_max_pos <= 0:
+            raise ValueError("llama3 rope_scaling needs rope_original_max_pos")
 
     @classmethod
     def from_metadata(cls, metadata: dict, context: int = 0) -> "ModelConfig":
@@ -86,4 +97,9 @@ class ModelConfig:
             qkv_clip=float(metadata["qkv_clip"]) if "qkv_clip" in metadata else math.inf,
             tie_word_embeddings=metadata.get("tie_word_embeddings") == "True",
             embed_scale=float(metadata.get("embed_scale", "1.0")),
+            rope_scaling=metadata.get("rope_scaling", "none"),
+            rope_factor=float(metadata.get("rope_factor", "1.0")),
+            rope_low_freq_factor=float(metadata.get("rope_low_freq_factor", "1.0")),
+            rope_high_freq_factor=float(metadata.get("rope_high_freq_factor", "4.0")),
+            rope_original_max_pos=int(metadata.get("rope_original_max_pos", "0")),
         )

@@ -60,13 +60,36 @@ LogitsMode = Literal["none", "last", "all", "token"]
 
 def rope_freqs(cfg: ModelConfig) -> np.ndarray:
     """Per-pair angular frequency; pairs with j >= rotary_dim get freq 0
-    (unrotated tail — reference infer.cpp:309-312)."""
+    (unrotated tail — reference infer.cpp:309-312).
+
+    ``cfg.rope_scaling`` rescales the base frequencies for long-context
+    checkpoints (no reference counterpart — the reference clamps context to
+    4k instead): "linear" divides every frequency by ``rope_factor``;
+    "llama3" (HF _compute_llama3_parameters) keeps high-frequency pairs,
+    divides low-frequency pairs by the factor, and smoothly interpolates
+    the band between ``high/low_freq_factor`` wavelength cutoffs."""
     j = np.arange(0, cfg.head_dim, 2, dtype=np.float32)
     freqs = np.where(
         j < cfg.rotary_dim,
         cfg.rope_theta ** (-(j / max(cfg.rotary_dim, 1))),
         0.0,
-    )
+    ).astype(np.float32)
+    if cfg.rope_scaling == "linear":
+        freqs = freqs / np.float32(cfg.rope_factor)
+    elif cfg.rope_scaling == "llama3":
+        orig = np.float32(cfg.rope_original_max_pos)
+        factor = np.float32(cfg.rope_factor)
+        with np.errstate(divide="ignore"):
+            wavelen = np.where(freqs > 0, 2.0 * np.pi / freqs, np.inf)
+        low_wl = orig / np.float32(cfg.rope_low_freq_factor)
+        high_wl = orig / np.float32(cfg.rope_high_freq_factor)
+        smooth = (orig / wavelen - cfg.rope_low_freq_factor) / max(
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor, 1e-9
+        )
+        interp = (1.0 - smooth) * freqs / factor + smooth * freqs
+        freqs = np.where(
+            wavelen > low_wl, freqs / factor, np.where(wavelen < high_wl, freqs, interp)
+        )
     return freqs.astype(np.float32)
 
 
