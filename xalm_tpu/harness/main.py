@@ -60,6 +60,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wcls-i8", action="store_true",
                    help="recode the boosted classifier head to i8 per-row at "
                    "load (extension; quality-gated in RESULTS.md)")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature (0 = greedy, the reference's only mode)")
+    p.add_argument("--top-k", type=int, default=0, help="top-k filter (0 = off)")
+    p.add_argument("--top-p", type=float, default=1.0, help="nucleus filter (1 = off)")
     p.add_argument("--spec", type=int, default=0, metavar="K",
                    help="n-gram speculative decoding with K drafts per verify"
                         " chunk (try 7; greedy-exact, see runtime/spec.py)")
@@ -193,6 +197,11 @@ def run_completion(args) -> int:
         from xalm_tpu.runtime.spec import generate_spec
 
         out, stats = generate_spec(eng, ids, num_steps, k=args.spec, on_token=on_token)
+    elif args.temperature > 0:
+        out, stats = eng.generate(
+            ids, num_steps, on_token=on_token, temperature=args.temperature,
+            top_k=args.top_k, top_p=args.top_p, seed=args.seed,
+        )
     else:
         out, stats = eng.generate(ids, num_steps, on_token=on_token)
     print()

@@ -73,6 +73,7 @@ class Engine:
     # the portable per-chunk / per-token paths in prefill()/perplexity()
     _prefill_chunks = None
     _ppl_scan = None
+    _sample_scan = None  # stochastic decode (ShardedEngine: not yet built)
 
     def __init__(
         self,
@@ -173,6 +174,42 @@ class Engine:
 
         self._decode_scan = jax.jit(
             _decode_scan, static_argnames=("n_steps",), donate_argnums=(3,)
+        )
+
+        def _sample_scan(
+            params, token0, pos0, cache, key0,
+            n_steps: int, temperature: float, top_k: int, top_p: float, valid
+        ):
+            """Stochastic decode scan (beyond-parity: the reference samples
+            greedily only). Sampling params are static — one compiled
+            program per sampling config."""
+            from xalm_tpu.sampler import sample
+
+            def step(carry, _):
+                token, p, c, key = carry
+                logits, c = forward(
+                    params, cfg, token[:, None], p, c,
+                    None if valid is None else valid[:, None],
+                    logits_mode="last",
+                    compute_dtype=compute_dtype,
+                    matmul_impl=self.matmul_impl,
+                    fused_step=fused_step,
+                )
+                key, sub = jax.random.split(key)
+                nxt = sample(
+                    logits, sub, temperature=temperature, top_k=top_k, top_p=top_p
+                )
+                return (nxt, p + 1, c, key), nxt
+
+            (tok, p, cache, _), tokens = jax.lax.scan(
+                step, (token0, pos0, cache, key0), None, length=n_steps
+            )
+            return tokens.T, cache  # (B, n_steps)
+
+        self._sample_scan = jax.jit(
+            _sample_scan,
+            static_argnames=("n_steps", "temperature", "top_k", "top_p"),
+            donate_argnums=(3,),
         )
 
         def _prefill_chunks(params, tokens_c, pos0, cache):
@@ -386,8 +423,16 @@ class Engine:
         segment: int | None = None,
         resume=None,
         return_session: bool = False,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int | None = None,
     ):
         """Greedy completion (reference run_completion, main.cpp:44-128).
+
+        ``temperature > 0`` switches to stochastic decoding (temperature ->
+        top-k -> top-p filtering, sampler.sample; beyond-parity — the
+        reference is greedy-only). ``seed`` makes it reproducible.
 
         On TPU, tokens are generated in device-side scan segments (default
         16) so per-call dispatch latency amortizes; EOS is checked between
@@ -417,9 +462,25 @@ class Engine:
             # ahead of the new prompt (see Session docstring)
             prompt_ids = [history[-1]] + new_tokens
 
+        sampling = temperature > 0.0
+        if sampling and self._sample_scan is None:
+            raise NotImplementedError(
+                "stochastic sampling is not wired into this engine subclass; "
+                "use temperature=0 (greedy)"
+            )
+        key = jax.random.PRNGKey(0 if seed is None else seed) if sampling else None
+
         t0 = time.perf_counter()
         logits, cache, pos = self.prefill(prompt_ids, cache, logits_mode="last", start_pos=start)
-        token = int(np.asarray(sample_argmax(logits))[0])
+        if sampling:
+            from xalm_tpu.sampler import sample
+
+            key, sub = jax.random.split(key)
+            token = int(np.asarray(
+                sample(logits, sub, temperature=temperature, top_k=top_k, top_p=top_p)
+            )[0])
+        else:
+            token = int(np.asarray(sample_argmax(logits))[0])
         stats.prefill_s = time.perf_counter() - t0
 
         out: list[int] = []
@@ -451,7 +512,16 @@ class Engine:
                     and pos + seg_n > self.cfg.max_seq_len
                 ):
                     seg_n = 1
-            if seg_n > 1:
+            if sampling:
+                key, sub = jax.random.split(key)
+                seg, cache = self._sample_scan(
+                    self.params, np.array([token], np.int32),
+                    np.array([pos], np.int32), cache, sub,
+                    n_steps=seg_n, temperature=temperature, top_k=top_k,
+                    top_p=top_p, valid=None,
+                )
+                seg = np.asarray(seg)[0].tolist()
+            elif seg_n > 1:
                 seg, cache = self.decode_scan(
                     np.array([token], np.int32), np.array([pos], np.int32), cache, seg_n
                 )
