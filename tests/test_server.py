@@ -1,0 +1,113 @@
+"""OpenAI-compatible HTTP serving surface (serve/server.py)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from tests.make_tiny_model import make_tiny_model
+from xalm_tpu.convert import convert as cvt
+from xalm_tpu.runtime.engine import Engine
+from xalm_tpu.serve.server import serve
+
+
+@pytest.fixture(scope="module")
+def srv(tmp_path_factory):
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f16"]) == 0
+    eng = Engine.from_xalm(out)
+    xs, httpd = serve(eng, "127.0.0.1", 0, max_batch=4, model_name="tiny")
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", eng
+    httpd.shutdown()
+    xs.shutdown()
+
+
+def _post(url, obj, stream=False):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_models_endpoint(srv):
+    base, _ = srv
+    with urllib.request.urlopen(base + "/v1/models", timeout=30) as r:
+        data = json.loads(r.read())
+    assert data["data"][0]["id"] == "tiny"
+
+
+def test_completion_matches_engine_greedy(srv):
+    base, eng = srv
+    with _post(base + "/v1/completions",
+               {"prompt": "hello world", "max_tokens": 8}) as r:
+        data = json.loads(r.read())
+    choice = data["choices"][0]
+    assert data["usage"]["completion_tokens"] >= 1
+    ids = eng.tokenizer.encode("hello world")
+    want, _ = eng.generate(ids, 8)
+    if want and eng.tokenizer.is_stop(want[-1]):
+        want = want[:-1]
+    assert choice["text"] == eng.tokenizer.decode(want)
+    assert choice["finish_reason"] in ("stop", "length")
+
+
+def test_concurrent_requests_batched(srv):
+    base, eng = srv
+    results = {}
+
+    def go(i, prompt):
+        with _post(base + "/v1/completions",
+                   {"prompt": prompt, "max_tokens": 6}) as r:
+            results[i] = json.loads(r.read())
+
+    prompts = ["hello world", "the quick brown", "pass in pass in", "a b c"]
+    ts = [threading.Thread(target=go, args=(i, p)) for i, p in enumerate(prompts)]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+    assert len(results) == 4
+    # each result equals the engine's own greedy continuation
+    for i, p in enumerate(prompts):
+        want, _ = eng.generate(eng.tokenizer.encode(p), 6)
+        if want and eng.tokenizer.is_stop(want[-1]):
+            want = want[:-1]
+        assert results[i]["choices"][0]["text"] == eng.tokenizer.decode(want), p
+
+
+def test_streaming_sse(srv):
+    base, eng = srv
+    with _post(base + "/v1/completions",
+               {"prompt": "hello world", "max_tokens": 6, "stream": True}) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = r.read().decode()
+    events = [l[len("data: "):] for l in raw.splitlines() if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    parts = [json.loads(e) for e in events[:-1]]
+    text = "".join(p["choices"][0]["text"] for p in parts)
+    assert parts[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    ids = eng.tokenizer.encode("hello world")
+    want, _ = eng.generate(ids, 6)
+    stopped = want and eng.tokenizer.is_stop(want[-1])
+    # streamed pieces decode_one from the prompt's last token, matching the
+    # non-stream text up to the (unstreamed) stop token
+    assert text == eng.tokenizer.decode(want[:-1] if stopped else want)
+
+
+def test_temperature_rejected(srv):
+    base, _ = srv
+    try:
+        _post(base + "/v1/completions",
+              {"prompt": "x", "max_tokens": 4, "temperature": 0.7})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_health(srv):
+    base, _ = srv
+    with urllib.request.urlopen(base + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"

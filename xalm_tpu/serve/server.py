@@ -1,0 +1,252 @@
+"""OpenAI-compatible HTTP serving front end over the continuous batcher.
+
+Beyond-parity subsystem (the reference is a CLI, src/main.cpp): exposes
+the classic `/v1/completions` surface (JSON + SSE streaming) and
+`/v1/models` on Python stdlib ``http.server`` — no extra dependencies.
+
+Threading model: the device must be driven by ONE thread. HTTP handler
+threads only enqueue work; a single scheduler thread owns the
+ContinuousBatcher — it drains the submission inbox, runs ``step()``
+ticks, and fans generated tokens out through per-request queues that the
+handler threads stream from. Batched serving is greedy (the batcher's
+decode tick is a shared argmax scan); requests asking for temperature > 0
+are rejected with a 400 rather than silently de-batched.
+
+Usage: python -m xalm_tpu.serve.server model.xalm [--port 8000]
+       [--max-batch 8] [--kv i8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from xalm_tpu.serve.batching import ContinuousBatcher, Request
+
+__all__ = ["XalmServer", "main"]
+
+_DONE = object()  # per-request token-queue sentinel
+
+
+class XalmServer:
+    """Owns the scheduler thread + HTTP server around one engine."""
+
+    def __init__(self, engine, *, max_batch: int = 8, model_name: str = "xalm"):
+        self.engine = engine
+        self.model_name = model_name
+        self.batcher = ContinuousBatcher(engine, max_batch=max_batch)
+        self._inbox: queue.Queue = queue.Queue()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._n_completed = 0
+        self._req_queues: dict[int, queue.Queue] = {}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ scheduler
+
+    def _loop(self) -> None:
+        b = self.batcher
+        while not self._stop.is_set():
+            moved = False
+            while True:
+                try:
+                    req, tq = self._inbox.get_nowait()
+                except queue.Empty:
+                    break
+                rid = b.submit(req)
+                self._req_queues[rid] = tq
+                moved = True
+            if b.active or b.pending:
+                moved = b.step() or moved
+            # fan out completions (step() moved them to b.completed)
+            while self._n_completed < len(b.completed):
+                done = b.completed[self._n_completed]
+                self._n_completed += 1
+                tq = self._req_queues.pop(done.id, None)
+                if tq is not None:
+                    tq.put((_DONE, done))
+            if not moved:
+                self._wake.wait(timeout=0.02)
+                self._wake.clear()
+
+    def submit(self, prompt_ids: list[int], max_new_tokens: int) -> queue.Queue:
+        """Enqueue one request; returns the queue its tokens stream into
+        (items: int token ids, then (_DONE, Request))."""
+        tq: queue.Queue = queue.Queue()
+        req = Request(
+            prompt_ids=prompt_ids,
+            max_new_tokens=max_new_tokens,
+            on_token=tq.put,  # called from the scheduler thread
+        )
+        self._inbox.put((req, tq))
+        self._wake.set()
+        return tq
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+def _make_handler(srv: XalmServer):
+    tok = srv.engine.tokenizer
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/models":
+                self._json(200, {
+                    "object": "list",
+                    "data": [{"id": srv.model_name, "object": "model",
+                              "owned_by": "xalm_tpu"}],
+                })
+            elif self.path == "/health":
+                self._json(200, {"status": "ok", "active": srv.batcher.active,
+                                 "pending": srv.batcher.pending})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/completions":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                prompt = body.get("prompt", "")
+                if isinstance(prompt, list):
+                    prompt = "".join(prompt)
+                max_tokens = int(body.get("max_tokens", 64))
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": {"message": f"bad request: {e}"}})
+                return
+            if float(body.get("temperature", 0) or 0) > 0:
+                self._json(400, {"error": {"message":
+                    "batched serving is greedy; use the CLI/library "
+                    "generate(temperature=...) for sampled decoding"}})
+                return
+            ids = tok.encode(prompt)
+            tq = srv.submit(ids, max_tokens)
+            rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+            created = int(time.time())
+            if body.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(obj) -> None:
+                    data = f"data: {json.dumps(obj)}\n\n".encode()
+                    self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                    self.wfile.flush()
+
+                prev = ids[-1] if ids else tok.bos_id
+                finish = "length"
+                while True:
+                    item = tq.get()
+                    if isinstance(item, tuple) and item[0] is _DONE:
+                        req = item[1]
+                        if req.out_tokens and tok.is_stop(req.out_tokens[-1]):
+                            finish = "stop"
+                        break
+                    text = tok.decode_one(prev, item).decode("utf-8", "replace")
+                    prev = item
+                    chunk({
+                        "id": rid, "object": "text_completion", "created": created,
+                        "model": srv.model_name,
+                        "choices": [{"index": 0, "text": text,
+                                     "finish_reason": None}],
+                    })
+                chunk({
+                    "id": rid, "object": "text_completion", "created": created,
+                    "model": srv.model_name,
+                    "choices": [{"index": 0, "text": "",
+                                 "finish_reason": finish}],
+                })
+                data = b"data: [DONE]\n\n"
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
+                return
+            # non-streaming: drain to completion
+            req = None
+            while req is None:
+                item = tq.get()
+                if isinstance(item, tuple) and item[0] is _DONE:
+                    req = item[1]
+            out = req.out_tokens
+            finish = "stop" if (out and tok.is_stop(out[-1])) else "length"
+            if finish == "stop":
+                out = out[:-1]
+            text = tok.decode(out)
+            self._json(200, {
+                "id": rid, "object": "text_completion", "created": created,
+                "model": srv.model_name,
+                "choices": [{"index": 0, "text": text, "finish_reason": finish}],
+                "usage": {"prompt_tokens": len(ids),
+                          "completion_tokens": len(req.out_tokens),
+                          "total_tokens": len(ids) + len(req.out_tokens)},
+            })
+
+    return Handler
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 8000,
+          max_batch: int = 8, model_name: str = "xalm"):
+    """Build (XalmServer, ThreadingHTTPServer) — caller runs serve_forever."""
+    srv = XalmServer(engine, max_batch=max_batch, model_name=model_name)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(srv))
+    return srv, httpd
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="xalm-serve")
+    ap.add_argument("checkpoint")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--kv", default="auto", choices=["auto", "f16", "bf16", "f32", "i8"])
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from xalm_tpu.runtime.engine import Engine
+    from xalm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    kv = {"auto": "auto", "f16": jnp.float16, "bf16": jnp.bfloat16,
+          "f32": jnp.float32, "i8": jnp.int8}[args.kv]
+    eng = Engine.from_xalm(args.checkpoint, kv_dtype=kv)
+    srv, httpd = serve(eng, args.host, args.port, args.max_batch,
+                       model_name=args.checkpoint.rsplit("/", 1)[-1])
+    print(f"serving {args.checkpoint} on http://{args.host}:{args.port}/v1 "
+          f"(max_batch={args.max_batch})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
