@@ -226,6 +226,58 @@ class ShardedEngine(Engine):
             _decode_scan, static_argnames=("n_steps",), donate_argnums=(3,)
         )
 
+        def _sample_scan(
+            params, token0, pos0, cache, key0,
+            n_steps: int, temperature: float, top_k: int, top_p: float, valid=None
+        ):
+            """Stochastic decode scan under shard_map (Engine._sample_scan
+            parity): logits all_gather over the vocab shards, then every
+            device in a tp group draws the same token from the same key;
+            dp groups fold their axis index into the key so equal prompts
+            on different dp rows stay independent."""
+            from xalm_tpu.sampler import sample
+
+            if valid is None:
+                valid = jnp.ones(token0.shape, bool)
+
+            def local(params, token0, pos0, cache, valid, key0):
+                key0 = jax.random.fold_in(key0, jax.lax.axis_index(AXIS_DP))
+
+                def step(carry, _):
+                    tok, p, cache, key = carry
+                    logits, cache = forward(
+                        params, cfg, tok[:, None], p, cache, valid[:, None],
+                        logits_mode="last",
+                        compute_dtype=compute_dtype,
+                        matmul_impl=matmul_impl,
+                        tp_axis=AXIS_TP,
+                    )
+                    full = jax.lax.all_gather(logits, AXIS_TP, axis=1, tiled=True)
+                    key, sub = jax.random.split(key)
+                    nxt = sample(
+                        full, sub, temperature=temperature, top_k=top_k, top_p=top_p
+                    )
+                    return (nxt, p + 1, cache, key), nxt
+
+                (tok, p, cache, _), toks = jax.lax.scan(
+                    step, (token0, pos0, cache, key0), None, length=n_steps
+                )
+                return toks.T, cache
+
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(pspecs, data_spec, data_spec, cspecs, data_spec, P()),
+                out_specs=(tok2, cspecs),
+                check_vma=False,
+            )(params, token0, pos0, cache, valid, key0)
+
+        self._sample_scan = jax.jit(
+            _sample_scan,
+            static_argnames=("n_steps", "temperature", "top_k", "top_p"),
+            donate_argnums=(3,),
+        )
+
         # ---- scanned fast paths (feature parity with Engine: prefill whole
         # chunk blocks / score wrapped-ppl segments in ONE dispatch instead of
         # per-chunk / per-token stepping — the dispatch-latency trap the

@@ -73,7 +73,7 @@ class Engine:
     # the portable per-chunk / per-token paths in prefill()/perplexity()
     _prefill_chunks = None
     _ppl_scan = None
-    _sample_scan = None  # stochastic decode (ShardedEngine: not yet built)
+    _sample_scan = None  # stochastic decode scan (both engines build one)
 
     def __init__(
         self,
