@@ -216,3 +216,38 @@ def test_segmented_scan_masks_prefilling_slots(tmp_path):
     batcher.run()
     assert r_short.out_tokens == solo_short
     assert r_long.out_tokens == solo_long
+
+
+def test_sampled_request_deterministic_under_cobatching(engine):
+    """A sampled request's stream depends only on its seed, not on which
+    requests it is co-batched with (per-slot PRNG keys)."""
+    from xalm_tpu.serve.batching import ContinuousBatcher, Request
+
+    prompt = [1, 259, 260, 10]
+
+    def run(extra: int):
+        b = ContinuousBatcher(engine, max_batch=4)
+        b.submit(Request(prompt_ids=prompt, max_new_tokens=10,
+                         stop_on_eos=False, temperature=0.9, seed=7))
+        for j in range(extra):
+            b.submit(Request(prompt_ids=[1, 300 + j], max_new_tokens=6,
+                             stop_on_eos=False))
+        done = b.run()
+        return next(r for r in done if r.temperature > 0).out_tokens
+
+    assert run(0) == run(3)
+
+
+def test_greedy_rows_unchanged_next_to_sampled(engine):
+    """Greedy requests in a mixed batch still produce the engine's own
+    greedy continuation."""
+    from xalm_tpu.serve.batching import ContinuousBatcher, Request
+
+    b = ContinuousBatcher(engine, max_batch=4)
+    g = Request(prompt_ids=[1, 259, 260], max_new_tokens=8, stop_on_eos=False)
+    b.submit(g)
+    b.submit(Request(prompt_ids=[1, 300, 301], max_new_tokens=8,
+                     stop_on_eos=False, temperature=1.1, seed=3))
+    b.run()
+    want, _ = engine.generate([1, 259, 260], 8, stop_on_eos=False, segment=1)
+    assert g.out_tokens == want

@@ -97,14 +97,16 @@ def test_streaming_sse(srv):
     assert text == eng.tokenizer.decode(want[:-1] if stopped else want)
 
 
-def test_temperature_rejected(srv):
+def test_temperature_sampled_reproducible(srv):
     base, _ = srv
-    try:
-        _post(base + "/v1/completions",
-              {"prompt": "x", "max_tokens": 4, "temperature": 0.7})
-        assert False, "expected 400"
-    except urllib.error.HTTPError as e:
-        assert e.code == 400
+
+    def run():
+        with _post(base + "/v1/completions",
+                   {"prompt": "hello world", "max_tokens": 6,
+                    "temperature": 0.9, "seed": 11}) as r:
+            return json.loads(r.read())["choices"][0]["text"]
+
+    assert run() == run()
 
 
 def test_health(srv):

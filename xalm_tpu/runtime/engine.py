@@ -74,6 +74,7 @@ class Engine:
     _prefill_chunks = None
     _ppl_scan = None
     _sample_scan = None  # stochastic decode scan (both engines build one)
+    _sample_scan_rows = None  # per-row keyed variant (continuous batching)
 
     def __init__(
         self,
@@ -210,6 +211,42 @@ class Engine:
             _sample_scan,
             static_argnames=("n_steps", "temperature", "top_k", "top_p"),
             donate_argnums=(3,),
+        )
+
+        def _sample_scan_rows(
+            params, token0, pos0, cache, keys0, temps, top_ps, n_steps: int, valid
+        ):
+            """Per-row sampled decode scan for mixed serving batches
+            (serve/batching.py): each row carries its own PRNG key,
+            temperature, and top_p as traced vectors — greedy rows ride
+            temperature 0. Returns (tokens (B, n), final keys, cache)."""
+            from xalm_tpu.sampler import sample_rows, split_rows
+
+            def step(carry, _):
+                token, p, c, keys = carry
+                logits, c = forward(
+                    params, cfg, token[:, None], p, c,
+                    None if valid is None else valid[:, None],
+                    logits_mode="last",
+                    compute_dtype=compute_dtype,
+                    matmul_impl=self.matmul_impl,
+                    fused_step=fused_step,
+                )
+                subs, newk = split_rows(keys)
+                # only active rows consume randomness: a slot mid-prefill
+                # must reach its first sampled token with the key state its
+                # seed implies, independent of co-batched ticks
+                keys = newk if valid is None else jnp.where(valid[:, None], newk, keys)
+                nxt = sample_rows(logits, subs, temps, top_ps)
+                return (nxt, p + 1, c, keys), nxt
+
+            (tok, p, cache, keys), tokens = jax.lax.scan(
+                step, (token0, pos0, cache, keys0), None, length=n_steps
+            )
+            return tokens.T, keys, cache  # (B, n_steps), (B, 2)
+
+        self._sample_scan_rows = jax.jit(
+            _sample_scan_rows, static_argnames=("n_steps",), donate_argnums=(3,)
         )
 
         def _prefill_chunks(params, tokens_c, pos0, cache):

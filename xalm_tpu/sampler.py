@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sample_argmax", "sample", "token_logprobs"]
+__all__ = ["sample_argmax", "sample", "sample_rows", "split_rows", "token_logprobs"]
 
 
 def sample_argmax(logits: jax.Array) -> jax.Array:
@@ -50,6 +50,36 @@ def sample(
         thresh = jnp.min(jnp.where(keep, sl, jnp.inf), axis=-1, keepdims=True)
         l = jnp.where(l < thresh, -jnp.inf, l)
     return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+
+
+def sample_rows(
+    logits: jax.Array,  # (B, V)
+    keys: jax.Array,  # (B, 2) uint32 — one raw PRNG key per row
+    temperature: jax.Array,  # (B,) f32; <= 0 rows are greedy
+    top_p: jax.Array,  # (B,) f32; >= 1 disables the nucleus filter
+) -> jax.Array:
+    """Per-row stochastic sampling for mixed serving batches (continuous
+    batching: every slot carries its own key/temperature/top_p, so a
+    request's stream is deterministic under its seed regardless of which
+    requests it happens to be co-batched with). Returns (B,) int32."""
+    l = logits.astype(jnp.float32)
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    ls = l / t
+    sl = jnp.flip(jnp.sort(ls, axis=-1), axis=-1)  # descending
+    probs = jax.nn.softmax(sl, axis=-1)
+    keep = (jnp.cumsum(probs, axis=-1) - probs) < top_p[:, None]
+    thresh = jnp.min(jnp.where(keep, sl, jnp.inf), axis=-1, keepdims=True)
+    lf = jnp.where(ls < thresh, -jnp.inf, ls)
+    draw = jax.vmap(lambda k, row: jax.random.categorical(k, row))(keys, lf)
+    return jnp.where(
+        temperature > 0.0, draw.astype(jnp.int32), sample_argmax(l)
+    )
+
+
+def split_rows(keys: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split a (B, 2) uint32 raw-key batch -> (subkeys, carry), each (B, 2)."""
+    both = jax.vmap(lambda k: jax.random.split(k, 2))(keys)  # (B, 2, 2)
+    return both[:, 0, :], both[:, 1, :]
 
 
 def token_logprobs(logits: jax.Array, targets: jax.Array) -> jax.Array:

@@ -53,6 +53,12 @@ class Request:
     max_new_tokens: int = 128
     on_token: Callable[[int], None] | None = None
     stop_on_eos: bool = True
+    # per-request sampling (0 = greedy): each slot carries its own PRNG key,
+    # so a request's stream is deterministic under its seed regardless of
+    # which requests it is co-batched with (sampler.sample_rows)
+    temperature: float = 0.0
+    top_p: float = 1.0
+    seed: int | None = None
     # filled by the batcher
     id: int = -1
     out_tokens: list[int] = dataclasses.field(default_factory=list)
@@ -92,6 +98,10 @@ class ContinuousBatcher:
         self._next_tok = np.zeros(max_batch, np.int32)  # token to feed next
         # prefill frontier per slot; -1 = slot is decoding (or free)
         self._prefill_pos = np.full(max_batch, -1, np.int32)
+        # per-slot sampling state (temperature 0 rows decode greedily)
+        self._keys = np.zeros((max_batch, 2), np.uint32)
+        self._temps = np.zeros(max_batch, np.float32)
+        self._top_ps = np.ones(max_batch, np.float32)
         self._waiting: list[Request] = []
         self._next_id = 0
         self.completed: list[Request] = []
@@ -123,6 +133,13 @@ class ContinuousBatcher:
                 self.slots[i] = req
                 self._prefill_pos[i] = 0
                 self._pos[i] = 0
+                self._temps[i] = max(req.temperature, 0.0)
+                self._top_ps[i] = req.top_p
+                if req.temperature > 0:
+                    import jax
+
+                    seed = req.seed if req.seed is not None else req.id
+                    self._keys[i] = np.asarray(jax.random.PRNGKey(seed))
 
     def _prefill_tick(self, slots: list[int]) -> None:
         """Advance EVERY admitting slot by one budgeted chunk in one packed,
@@ -178,10 +195,27 @@ class ContinuousBatcher:
             logits_mode="all" if finishing else "none",
         )
         for i, t in finishing:
-            # argmax on device: reading the (B, T, vocab) logits back costs
-            # ~65 MB per request at 7B vocab (measured ~seconds through a
-            # remote-device link); the argmax is 4 bytes
-            self._next_tok[i] = int(jnp.argmax(out[i, t - 1]))
+            req = self.slots[i]
+            if req.temperature > 0:
+                # first generated token: draw on device with this slot's key
+                import jax
+
+                from xalm_tpu.sampler import sample_rows
+
+                ks = jax.random.split(jnp.asarray(self._keys[i]))
+                draw = sample_rows(
+                    out[i : i + 1, t - 1],
+                    ks[0][None],
+                    jnp.full((1,), self._temps[i]),
+                    jnp.full((1,), self._top_ps[i]),
+                )
+                self._keys[i] = np.asarray(ks[1])
+                self._next_tok[i] = int(draw[0])
+            else:
+                # argmax on device: reading the (B, T, vocab) logits back
+                # costs ~65 MB per request at 7B vocab (measured ~seconds
+                # through a remote-device link); the argmax is 4 bytes
+                self._next_tok[i] = int(jnp.argmax(out[i, t - 1]))
         for i, pos, t in entries:
             n = len(self.slots[i].prompt_ids)
             done = pos + t >= n
@@ -249,7 +283,8 @@ class ContinuousBatcher:
             )
 
         b = self.max_batch
-        if self.segment > 1:
+        sampling = any(self.slots[i].temperature > 0 for i in decoding)
+        if self.segment > 1 or sampling:
             # device-side scan: all slots step `segment` tokens in one
             # dispatch. Non-decoding rows are valid-masked — they must not
             # write: a free or mid-prefill slot's junk decode would advance
@@ -258,10 +293,21 @@ class ContinuousBatcher:
             # prompt admitted mid-flight corrupted neighbors' generations).
             mask = np.zeros(b, bool)
             mask[decoding] = True
-            out, self.cache = self.engine.decode_scan(
-                self._next_tok.copy(), self._pos.copy(), self.cache,
-                self.segment, valid=mask,
-            )
+            if sampling:
+                # mixed batch: per-row keyed sampling (greedy rows ride
+                # temperature 0 through the same scan)
+                out, keys, self.cache = self.engine._sample_scan_rows(
+                    self.engine.params, self._next_tok.copy(), self._pos.copy(),
+                    self.cache, jnp.asarray(self._keys),
+                    jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                    n_steps=self.segment, valid=jnp.asarray(mask),
+                )
+                self._keys = np.array(keys)  # np.asarray would be read-only
+            else:
+                out, self.cache = self.engine.decode_scan(
+                    self._next_tok.copy(), self._pos.copy(), self.cache,
+                    self.segment, valid=mask,
+                )
             out = np.asarray(out)
             delivered = 0
             for i in decoding:

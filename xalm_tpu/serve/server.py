@@ -8,9 +8,9 @@ Threading model: the device must be driven by ONE thread. HTTP handler
 threads only enqueue work; a single scheduler thread owns the
 ContinuousBatcher — it drains the submission inbox, runs ``step()``
 ticks, and fans generated tokens out through per-request queues that the
-handler threads stream from. Batched serving is greedy (the batcher's
-decode tick is a shared argmax scan); requests asking for temperature > 0
-are rejected with a 400 rather than silently de-batched.
+handler threads stream from. Per-request sampling (temperature / top_p /
+seed) rides the batcher's per-slot PRNG keys: a sampled request's stream
+is deterministic under its seed regardless of co-batched traffic.
 
 Usage: python -m xalm_tpu.serve.server model.xalm [--port 8000]
        [--max-batch 8] [--kv i8]
@@ -75,7 +75,9 @@ class XalmServer:
                 self._wake.wait(timeout=0.02)
                 self._wake.clear()
 
-    def submit(self, prompt_ids: list[int], max_new_tokens: int) -> queue.Queue:
+    def submit(self, prompt_ids: list[int], max_new_tokens: int, *,
+               temperature: float = 0.0, top_p: float = 1.0,
+               seed: int | None = None) -> queue.Queue:
         """Enqueue one request; returns the queue its tokens stream into
         (items: int token ids, then (_DONE, Request))."""
         tq: queue.Queue = queue.Queue()
@@ -83,6 +85,9 @@ class XalmServer:
             prompt_ids=prompt_ids,
             max_new_tokens=max_new_tokens,
             on_token=tq.put,  # called from the scheduler thread
+            temperature=temperature,
+            top_p=top_p,
+            seed=seed,
         )
         self._inbox.put((req, tq))
         self._wake.set()
@@ -134,16 +139,16 @@ def _make_handler(srv: XalmServer):
                 if isinstance(prompt, list):
                     prompt = "".join(prompt)
                 max_tokens = int(body.get("max_tokens", 64))
+                temperature = float(body.get("temperature", 0) or 0)
+                top_p = float(body.get("top_p", 1) or 1)
+                seed = body.get("seed")
+                seed = int(seed) if seed is not None else None
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": {"message": f"bad request: {e}"}})
                 return
-            if float(body.get("temperature", 0) or 0) > 0:
-                self._json(400, {"error": {"message":
-                    "batched serving is greedy; use the CLI/library "
-                    "generate(temperature=...) for sampled decoding"}})
-                return
             ids = tok.encode(prompt)
-            tq = srv.submit(ids, max_tokens)
+            tq = srv.submit(ids, max_tokens, temperature=temperature,
+                            top_p=top_p, seed=seed)
             rid = f"cmpl-{uuid.uuid4().hex[:24]}"
             created = int(time.time())
             if body.get("stream"):
