@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import pytest
@@ -113,3 +114,80 @@ def test_health(srv):
     base, _ = srv
     with urllib.request.urlopen(base + "/health", timeout=30) as r:
         assert json.loads(r.read())["status"] == "ok"
+
+
+def test_render_chat_fallback():
+    from xalm_tpu.serve.server import render_chat
+
+    msgs = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"role": "user", "content": "more"},
+    ]
+    out = render_chat(msgs, None)
+    assert out == "[INST] be brief\n\nhi [/INST] hello[INST] more [/INST]"
+
+
+def test_render_chat_jinja_template():
+    from xalm_tpu.serve.server import render_chat
+
+    tpl = ("{% for m in messages %}<{{ m.role }}>{{ m.content }}"
+           "{% endfor %}{% if add_generation_prompt %}<assistant>{% endif %}")
+    out = render_chat([{"role": "user", "content": "yo"}], tpl)
+    assert out == "<user>yo<assistant>"
+
+
+def test_chat_completions_endpoint(srv):
+    base, eng = srv
+    with _post(base + "/v1/chat/completions",
+               {"messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 6}) as r:
+        data = json.loads(r.read())
+    assert data["object"] == "chat.completion"
+    msg = data["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    want, _ = eng.generate(eng.tokenizer.encode("[INST] hello [/INST]"), 6)
+    if want and eng.tokenizer.is_stop(want[-1]):
+        want = want[:-1]
+    assert msg["content"] == eng.tokenizer.decode(want)
+
+
+def test_chat_completions_stream(srv):
+    base, _ = srv
+    with _post(base + "/v1/chat/completions",
+               {"messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 5, "stream": True}) as r:
+        raw = r.read().decode()
+    events = [l[len("data: "):] for l in raw.splitlines() if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    parts = [json.loads(e) for e in events[:-1]]
+    assert all(p["object"] == "chat.completion.chunk" for p in parts)
+    assert parts[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    assert "".join(p["choices"][0]["delta"].get("content", "") for p in parts)
+
+
+def test_chat_bad_request(srv):
+    base, _ = srv
+    try:
+        _post(base + "/v1/chat/completions", {"max_tokens": 4})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_chat_template_roundtrip(tmp_path):
+    """A tokenizer_config.json chat_template survives conversion and lands
+    on the engine."""
+    import json as _json
+
+    from tests.make_tiny_model import make_tiny_model as mk
+    hf = mk(str(tmp_path / "hf"))
+    tpl = "{% for m in messages %}{{ m.content }}{% endfor %}"
+    (tmp_path / "hf" / "tokenizer_config.json").write_text(
+        _json.dumps({"chat_template": tpl})
+    )
+    out = str(tmp_path / "t.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f16"]) == 0
+    eng = Engine.from_xalm(out, progress=False)
+    assert eng.chat_template == tpl

@@ -423,6 +423,14 @@ def main(argv: list[str] | None = None) -> int:
 
     config, tokenizer_path, shards = process_input(input_dir)
     arch, arch_config = normalize_config(config)
+    tc_path = os.path.join(input_dir, "tokenizer_config.json")
+    if os.path.exists(tc_path):
+        with open(tc_path) as f:
+            tc = json.load(f)
+        if isinstance(tc.get("chat_template"), str):
+            # carried for the serving front end's /v1/chat/completions
+            # (stringly container config; the runtime ignores it otherwise)
+            arch_config["chat_template"] = tc["chat_template"]
     print(f"arch={arch} layers={arch_config['n_layers']} dim={arch_config['dim']} target={args.type}")
 
     weights = _read_safetensors(shards)

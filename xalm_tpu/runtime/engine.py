@@ -75,6 +75,7 @@ class Engine:
     _ppl_scan = None
     _sample_scan = None  # stochastic decode scan (both engines build one)
     _sample_scan_rows = None  # per-row keyed variant (continuous batching)
+    chat_template = None  # jinja template carried from the container, if any
 
     def __init__(
         self,
@@ -338,8 +339,9 @@ class Engine:
         else:
             params = load_params(xf, cfg, fp8_mode=fp8_mode)
         tokenizer = Tokenizer.from_xalm(xf) if "tokenizer.tokens" in xf else None
+        chat_template = xf.config.get("chat_template")
         xf.close()
-        return cls(
+        eng = cls(
             cfg,
             params,
             tokenizer,
@@ -350,6 +352,8 @@ class Engine:
             fused_step=fused_step,
             wcls_i8=wcls_i8,
         )
+        eng.chat_template = chat_template
+        return eng
 
     # ----------------------------------------------------------------- steps
 

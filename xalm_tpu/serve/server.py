@@ -98,6 +98,41 @@ class XalmServer:
         self._wake.set()
         self._thread.join(timeout=5)
 
+def render_chat(messages: list[dict], chat_template: str | None) -> str:
+    """Render an OpenAI-style messages list to a prompt string.
+
+    Uses the checkpoint's own jinja chat template when the converter found
+    one in tokenizer_config.json (carried in the container config);
+    otherwise falls back to the Mistral-instruct [INST] convention (the
+    flagship model family's format, reference README examples)."""
+    if chat_template:
+        import jinja2
+
+        env = jinja2.Environment(keep_trailing_newline=True)
+
+        def raise_exception(msg):
+            raise jinja2.TemplateError(msg)
+
+        tpl = env.from_string(chat_template)
+        return tpl.render(
+            messages=messages, add_generation_prompt=True,
+            bos_token="", eos_token="</s>", raise_exception=raise_exception,
+        )
+    # fallback: [INST] blocks, system folded into the first user turn
+    system = "\n".join(m["content"] for m in messages if m["role"] == "system")
+    parts = []
+    for m in messages:
+        if m["role"] == "user":
+            content = m["content"]
+            if system:
+                content = system + "\n\n" + content
+                system = ""
+            parts.append(f"[INST] {content} [/INST]")
+        elif m["role"] == "assistant":
+            parts.append(" " + m["content"])
+    return "".join(parts)
+
+
 def _make_handler(srv: XalmServer):
     tok = srv.engine.tokenizer
 
@@ -129,13 +164,19 @@ def _make_handler(srv: XalmServer):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/v1/completions":
+            chat = self.path == "/v1/chat/completions"
+            if self.path != "/v1/completions" and not chat:
                 self._json(404, {"error": "not found"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                prompt = body.get("prompt", "")
+                if chat:
+                    prompt = render_chat(
+                        body["messages"], getattr(srv.engine, "chat_template", None)
+                    )
+                else:
+                    prompt = body.get("prompt", "")
                 if isinstance(prompt, list):
                     prompt = "".join(prompt)
                 max_tokens = int(body.get("max_tokens", 64))
@@ -143,14 +184,22 @@ def _make_handler(srv: XalmServer):
                 top_p = float(body.get("top_p", 1) or 1)
                 seed = body.get("seed")
                 seed = int(seed) if seed is not None else None
-            except (ValueError, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": {"message": f"bad request: {e}"}})
                 return
             ids = tok.encode(prompt)
             tq = srv.submit(ids, max_tokens, temperature=temperature,
                             top_p=top_p, seed=seed)
-            rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+            rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
             created = int(time.time())
+            obj = "chat.completion" if chat else "text_completion"
+
+            def choice_piece(text, finish):
+                if chat:
+                    return {"index": 0, "delta": ({"content": text} if text
+                                                  or not finish else {}),
+                            "finish_reason": finish}
+                return {"index": 0, "text": text, "finish_reason": finish}
             if body.get("stream"):
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -175,16 +224,16 @@ def _make_handler(srv: XalmServer):
                     text = tok.decode_one(prev, item).decode("utf-8", "replace")
                     prev = item
                     chunk({
-                        "id": rid, "object": "text_completion", "created": created,
+                        "id": rid, "created": created,
+                        "object": obj + ".chunk" if chat else obj,
                         "model": srv.model_name,
-                        "choices": [{"index": 0, "text": text,
-                                     "finish_reason": None}],
+                        "choices": [choice_piece(text, None)],
                     })
                 chunk({
-                    "id": rid, "object": "text_completion", "created": created,
+                    "id": rid, "created": created,
+                    "object": obj + ".chunk" if chat else obj,
                     "model": srv.model_name,
-                    "choices": [{"index": 0, "text": "",
-                                 "finish_reason": finish}],
+                    "choices": [choice_piece("", finish)],
                 })
                 data = b"data: [DONE]\n\n"
                 self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
@@ -202,10 +251,15 @@ def _make_handler(srv: XalmServer):
             if finish == "stop":
                 out = out[:-1]
             text = tok.decode(out)
+            if chat:
+                choice = {"index": 0, "finish_reason": finish,
+                          "message": {"role": "assistant", "content": text}}
+            else:
+                choice = {"index": 0, "text": text, "finish_reason": finish}
             self._json(200, {
-                "id": rid, "object": "text_completion", "created": created,
+                "id": rid, "object": obj, "created": created,
                 "model": srv.model_name,
-                "choices": [{"index": 0, "text": text, "finish_reason": finish}],
+                "choices": [choice],
                 "usage": {"prompt_tokens": len(ids),
                           "completion_tokens": len(req.out_tokens),
                           "total_tokens": len(ids) + len(req.out_tokens)},
