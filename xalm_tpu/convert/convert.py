@@ -303,12 +303,16 @@ def convert_weights(
     if missing:
         raise ValueError(f"missing tensors in checkpoint: {missing[:5]}...")
 
+    # GGUF imports arrive already interleaved (gguf_container.import_gguf)
+    interleaved = arch_config.get("rope_interleaved") == "True"
     analyze_rows: list[dict] = []
     for name in order:
         t = translated[name]
         # rope re-interleave applies to anything with per-output-row layout:
         # q/k projections AND their bias vectors (Qwen2)
-        if ".attn.q." in name:
+        if interleaved:
+            pass
+        elif ".attn.q." in name:
             t = permute_reverse(t, n_heads, rotary_dim)
         elif ".attn.k." in name:
             t = permute_reverse(t, n_kv_heads, rotary_dim)
@@ -420,6 +424,26 @@ def main(argv: list[str] | None = None) -> int:
     input_dir = args.input
     if args.download:
         input_dir = download_model(args.download, os.path.join(args.cache_dir, args.download.replace("/", "--")))
+
+    if input_dir and input_dir.endswith(".gguf"):
+        # GGUF import: dequantize through the golden-pinned block codecs,
+        # then the standard quantize/write pipeline (no rope re-permute —
+        # gguf q/k are already interleaved)
+        from xalm_tpu.convert.gguf_container import import_gguf
+
+        arch, arch_config = None, None
+        arch, arch_config, weights, toks = import_gguf(input_dir)
+        print(
+            f"arch={arch} (from gguf) layers={arch_config['n_layers']} "
+            f"dim={arch_config['dim']} target={args.type}"
+        )
+        tensors = convert_weights(weights, arch_config, args.type, analyze=args.analyze)
+        if toks is not None:
+            tensors["tokenizer.tokens"] = tokens_tensor(toks)
+        out_path = args.output or (input_dir[: -len(".gguf")] + ".xalm")
+        write_xalm(out_path, arch, arch_config, tensors)
+        print(f"wrote {out_path} ({os.path.getsize(out_path) / 1e9:.2f} GB, {len(tensors)} tensors)")
+        return 0
 
     config, tokenizer_path, shards = process_input(input_dir)
     arch, arch_config = normalize_config(config)
