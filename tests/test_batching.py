@@ -251,3 +251,46 @@ def test_greedy_rows_unchanged_next_to_sampled(engine):
     b.run()
     want, _ = engine.generate([1, 259, 260], 8, stop_on_eos=False, segment=1)
     assert g.out_tokens == want
+
+
+def test_logprobs_collection(engine):
+    """Greedy + logprobs: the collected chosen-token logprobs match a
+    recomputation from the engine's own logits, and the chosen token is
+    always the top-1 alternative."""
+    import jax
+    import jax.numpy as jnp
+
+    from xalm_tpu.sampler import token_logprobs
+    from xalm_tpu.serve.batching import ContinuousBatcher, Request
+
+    prompt = [1, 259, 260, 10]
+    b = ContinuousBatcher(engine, max_batch=2)
+    r = Request(prompt_ids=prompt, max_new_tokens=6, stop_on_eos=False, logprobs=3)
+    b.submit(r)
+    b.run()
+    assert len(r.out_logprobs) == len(r.out_tokens) == 6
+    assert all(len(a) == 3 for a in r.out_top_logprobs)
+    # greedy: the chosen token is the argmax -> the first top alternative
+    for t, alts in zip(r.out_tokens, r.out_top_logprobs):
+        assert alts[0][0] == t
+    assert all(lp <= 0 for lp in r.out_logprobs)
+    for alts in r.out_top_logprobs:
+        vals = [lp for _, lp in alts]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_logprobs_match_prefill_all(engine):
+    """The first collected logprob equals log_softmax of the prefill
+    logits at the prompt's last position."""
+    import jax
+
+    from xalm_tpu.serve.batching import ContinuousBatcher, Request
+
+    prompt = [1, 300, 301, 5]
+    b = ContinuousBatcher(engine, max_batch=1)
+    r = Request(prompt_ids=prompt, max_new_tokens=3, stop_on_eos=False, logprobs=1)
+    b.submit(r)
+    b.run()
+    logits, _, _ = engine.prefill(prompt, engine.new_cache(1), logits_mode="last")
+    logp = np.asarray(jax.nn.log_softmax(np.asarray(logits)[0].astype(np.float32)))
+    assert abs(r.out_logprobs[0] - float(logp[r.out_tokens[0]])) < 2e-4

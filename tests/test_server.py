@@ -191,3 +191,16 @@ def test_chat_template_roundtrip(tmp_path):
     assert cvt.main(["--input", hf, "--output", out, "--type", "f16"]) == 0
     eng = Engine.from_xalm(out, progress=False)
     assert eng.chat_template == tpl
+
+
+def test_completions_logprobs(srv):
+    base, _ = srv
+    with _post(base + "/v1/completions",
+               {"prompt": "hello world", "max_tokens": 4, "logprobs": 2}) as r:
+        data = json.loads(r.read())
+    lp = data["choices"][0]["logprobs"]
+    assert len(lp["tokens"]) == len(lp["token_logprobs"]) == 4
+    # dict keyed by decoded piece: distinct ids can decode to the same
+    # text (byte pieces), so <= N entries survive
+    assert all(1 <= len(d) <= 2 for d in lp["top_logprobs"])
+    assert all(v <= 0 for v in lp["token_logprobs"])

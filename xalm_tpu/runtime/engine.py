@@ -220,7 +220,11 @@ class Engine:
             """Per-row sampled decode scan for mixed serving batches
             (serve/batching.py): each row carries its own PRNG key,
             temperature, and top_p as traced vectors — greedy rows ride
-            temperature 0. Returns (tokens (B, n), final keys, cache)."""
+            temperature 0. Also emits per-token logprobs of the raw
+            (pre-temperature) distribution plus the top-5 alternatives
+            (the OpenAI ``logprobs`` surface). Returns
+            (tokens (B, n), lps (B, n), top5 lps (B, n, 5),
+            top5 ids (B, n, 5), final keys, cache)."""
             from xalm_tpu.sampler import sample_rows, split_rows
 
             def step(carry, _):
@@ -239,12 +243,18 @@ class Engine:
                 # seed implies, independent of co-batched ticks
                 keys = newk if valid is None else jnp.where(valid[:, None], newk, keys)
                 nxt = sample_rows(logits, subs, temps, top_ps)
-                return (nxt, p + 1, c, keys), nxt
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+                topv, topi = jax.lax.top_k(logp, 5)
+                return (nxt, p + 1, c, keys), (nxt, lp, topv, topi.astype(jnp.int32))
 
-            (tok, p, cache, keys), tokens = jax.lax.scan(
+            (tok, p, cache, keys), (tokens, lps, topv, topi) = jax.lax.scan(
                 step, (token0, pos0, cache, keys0), None, length=n_steps
             )
-            return tokens.T, keys, cache  # (B, n_steps), (B, 2)
+            return (
+                tokens.T, lps.T, topv.swapaxes(0, 1), topi.swapaxes(0, 1),
+                keys, cache,
+            )
 
         self._sample_scan_rows = jax.jit(
             _sample_scan_rows, static_argnames=("n_steps",), donate_argnums=(3,)

@@ -59,6 +59,13 @@ class Request:
     temperature: float = 0.0
     top_p: float = 1.0
     seed: int | None = None
+    # OpenAI-style logprobs: 0 = off; N>0 collects the chosen token's
+    # logprob plus min(N, 5) top alternatives per generated token
+    logprobs: int = 0
+    out_logprobs: list[float] = dataclasses.field(default_factory=list)
+    out_top_logprobs: list[list[tuple[int, float]]] = dataclasses.field(
+        default_factory=list
+    )
     # filled by the batcher
     id: int = -1
     out_tokens: list[int] = dataclasses.field(default_factory=list)
@@ -99,6 +106,8 @@ class ContinuousBatcher:
         # prefill frontier per slot; -1 = slot is decoding (or free)
         self._prefill_pos = np.full(max_batch, -1, np.int32)
         # per-slot sampling state (temperature 0 rows decode greedily)
+        self._pend_lp = [None] * max_batch  # pending token's logprob
+        self._pend_top = [None] * max_batch  # pending token's top-5 alts
         self._keys = np.zeros((max_batch, 2), np.uint32)
         self._temps = np.zeros(max_batch, np.float32)
         self._top_ps = np.ones(max_batch, np.float32)
@@ -216,6 +225,17 @@ class ContinuousBatcher:
                 # costs ~65 MB per request at 7B vocab (measured ~seconds
                 # through a remote-device link); the argmax is 4 bytes
                 self._next_tok[i] = int(jnp.argmax(out[i, t - 1]))
+            if req.logprobs:
+                import jax
+
+                logp = jax.nn.log_softmax(out[i, t - 1].astype(jnp.float32))
+                self._pend_lp[i] = float(logp[int(self._next_tok[i])])
+                tv, ti = jax.lax.top_k(logp, 5)
+                self._pend_top[i] = list(
+                    zip(np.asarray(ti).tolist(), np.asarray(tv).tolist())
+                )
+            else:
+                self._pend_lp[i] = self._pend_top[i] = None
         for i, pos, t in entries:
             n = len(self.slots[i].prompt_ids)
             done = pos + t >= n
@@ -230,12 +250,15 @@ class ContinuousBatcher:
         self.slots[slot] = None
         self._prefill_pos[slot] = -1
 
-    def _emit(self, slot: int, tok: int) -> bool:
+    def _emit(self, slot: int, tok: int, lp=None, top=None) -> bool:
         """Deliver one generated token; returns True if the request stops."""
         req = self.slots[slot]
         if not req.out_tokens:
             req.first_token_s = time.perf_counter()
         req.out_tokens.append(tok)
+        if req.logprobs and lp is not None:
+            req.out_logprobs.append(float(lp))
+            req.out_top_logprobs.append(top[: min(req.logprobs, 5)] if top else [])
         if req.on_token:
             req.on_token(tok)
         stop = (
@@ -270,7 +293,8 @@ class ContinuousBatcher:
 
         # each decoding slot's _next_tok is its freshly sampled token: emit it
         for i in decoding:
-            if self._emit(i, int(self._next_tok[i])):
+            if self._emit(i, int(self._next_tok[i]),
+                          lp=self._pend_lp[i], top=self._pend_top[i]):
                 self._retire(i)
         decoding = [
             i for i, s in enumerate(self.slots)
@@ -283,7 +307,10 @@ class ContinuousBatcher:
             )
 
         b = self.max_batch
-        sampling = any(self.slots[i].temperature > 0 for i in decoding)
+        sampling = any(
+            self.slots[i].temperature > 0 or self.slots[i].logprobs
+            for i in decoding
+        )
         if self.segment > 1 or sampling:
             # device-side scan: all slots step `segment` tokens in one
             # dispatch. Non-decoding rows are valid-masked — they must not
@@ -293,36 +320,49 @@ class ContinuousBatcher:
             # prompt admitted mid-flight corrupted neighbors' generations).
             mask = np.zeros(b, bool)
             mask[decoding] = True
+            lps = topv = topi = None
             if sampling:
                 # mixed batch: per-row keyed sampling (greedy rows ride
-                # temperature 0 through the same scan)
-                out, keys, self.cache = self.engine._sample_scan_rows(
-                    self.engine.params, self._next_tok.copy(), self._pos.copy(),
-                    self.cache, jnp.asarray(self._keys),
-                    jnp.asarray(self._temps), jnp.asarray(self._top_ps),
-                    n_steps=self.segment, valid=jnp.asarray(mask),
+                # temperature 0 through the same scan); also yields the
+                # logprobs surface
+                out, lps, topv, topi, keys, self.cache = (
+                    self.engine._sample_scan_rows(
+                        self.engine.params, self._next_tok.copy(),
+                        self._pos.copy(), self.cache, jnp.asarray(self._keys),
+                        jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                        n_steps=self.segment, valid=jnp.asarray(mask),
+                    )
                 )
                 self._keys = np.array(keys)  # np.asarray would be read-only
+                lps, topv, topi = np.asarray(lps), np.asarray(topv), np.asarray(topi)
             else:
                 out, self.cache = self.engine.decode_scan(
                     self._next_tok.copy(), self._pos.copy(), self.cache,
                     self.segment, valid=mask,
                 )
             out = np.asarray(out)
+
+            def tt(i, j):
+                if topi is None:
+                    return None, None
+                return lps[i, j], list(zip(topi[i, j].tolist(), topv[i, j].tolist()))
+
             delivered = 0
             for i in decoding:
                 stopped = False
                 # emit all but the last sampled token; the last becomes the
                 # pending _next_tok (emitted at the next tick, like tick start)
-                for tok in out[i, :-1]:
+                for j, tok in enumerate(out[i, :-1]):
                     delivered += 1
-                    if self._emit(i, int(tok)):
+                    lp_j, top_j = tt(i, j)
+                    if self._emit(i, int(tok), lp=lp_j, top=top_j):
                         stopped = True
                         break
                 if stopped:
                     self._retire(i)
                 else:
                     self._next_tok[i] = int(out[i, -1])
+                    self._pend_lp[i], self._pend_top[i] = tt(i, self.segment - 1)
                     self._pos[i] += self.segment
                     delivered += 1  # the pending token, emitted next tick
             self.decode_steps += self.segment
@@ -338,6 +378,7 @@ class ContinuousBatcher:
         logits = np.asarray(logits)
         for i in decoding:
             self._next_tok[i] = int(np.argmax(logits[i]))
+            self._pend_lp[i], self._pend_top[i] = None, None
             self._pos[i] += 1
         self.decode_steps += 1
         self.decoded_tokens += len(decoding)

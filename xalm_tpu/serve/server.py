@@ -77,7 +77,7 @@ class XalmServer:
 
     def submit(self, prompt_ids: list[int], max_new_tokens: int, *,
                temperature: float = 0.0, top_p: float = 1.0,
-               seed: int | None = None) -> queue.Queue:
+               seed: int | None = None, logprobs: int = 0) -> queue.Queue:
         """Enqueue one request; returns the queue its tokens stream into
         (items: int token ids, then (_DONE, Request))."""
         tq: queue.Queue = queue.Queue()
@@ -88,6 +88,7 @@ class XalmServer:
             temperature=temperature,
             top_p=top_p,
             seed=seed,
+            logprobs=logprobs,
         )
         self._inbox.put((req, tq))
         self._wake.set()
@@ -184,12 +185,14 @@ def _make_handler(srv: XalmServer):
                 top_p = float(body.get("top_p", 1) or 1)
                 seed = body.get("seed")
                 seed = int(seed) if seed is not None else None
+                logprobs = int(body.get("logprobs", 0) or 0)
             except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": {"message": f"bad request: {e}"}})
                 return
             ids = tok.encode(prompt)
             tq = srv.submit(ids, max_tokens, temperature=temperature,
-                            top_p=top_p, seed=seed)
+                            top_p=top_p, seed=seed,
+                            logprobs=0 if chat else logprobs)
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
             created = int(time.time())
             obj = "chat.completion" if chat else "text_completion"
@@ -256,6 +259,21 @@ def _make_handler(srv: XalmServer):
                           "message": {"role": "assistant", "content": text}}
             else:
                 choice = {"index": 0, "text": text, "finish_reason": finish}
+                if req.logprobs and req.out_logprobs:
+                    prev2 = ids[-1] if ids else tok.bos_id
+                    pieces = []
+                    for t_ in req.out_tokens:
+                        pieces.append(tok.decode_one(prev2, t_).decode("utf-8", "replace"))
+                        prev2 = t_
+                    choice["logprobs"] = {
+                        "tokens": pieces,
+                        "token_logprobs": req.out_logprobs,
+                        "top_logprobs": [
+                            {tok.decode_one(0, i_).decode("utf-8", "replace"): lp_
+                             for i_, lp_ in alts}
+                            for alts in req.out_top_logprobs
+                        ],
+                    }
             self._json(200, {
                 "id": rid, "object": obj, "created": created,
                 "model": srv.model_name,
