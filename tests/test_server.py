@@ -204,3 +204,34 @@ def test_completions_logprobs(srv):
     # text (byte pieces), so <= N entries survive
     assert all(1 <= len(d) <= 2 for d in lp["top_logprobs"])
     assert all(v <= 0 for v in lp["token_logprobs"])
+
+
+def test_completions_logprobs_stream_and_consistency(srv):
+    base, _ = srv
+    body = {"prompt": "hello world", "max_tokens": 4, "logprobs": 2}
+    with _post(base + "/v1/completions", body) as r:
+        plain = json.loads(r.read())["choices"][0]["logprobs"]
+    # stop-trim alignment: tokens and token_logprobs always same length
+    assert len(plain["tokens"]) == len(plain["token_logprobs"]) == len(plain["top_logprobs"])
+    # chosen piece is a key of its own top dict (consistent prev context),
+    # and its value matches the chosen logprob (collision keeps the max)
+    for piece, lp, top in zip(plain["tokens"], plain["token_logprobs"], plain["top_logprobs"]):
+        assert piece in top
+        assert top[piece] >= lp - 1e-6
+    with _post(base + "/v1/completions", {**body, "stream": True}) as r:
+        raw = r.read().decode()
+    events = [json.loads(l[6:]) for l in raw.splitlines()
+              if l.startswith("data: ") and l != "data: [DONE]"]
+    lps = [e["choices"][0]["logprobs"]["token_logprobs"][0]
+           for e in events if "logprobs" in e["choices"][0]]
+    assert lps == plain["token_logprobs"][:len(lps)]
+
+
+def test_logprobs_out_of_range_rejected(srv):
+    base, _ = srv
+    try:
+        _post(base + "/v1/completions",
+              {"prompt": "x", "max_tokens": 2, "logprobs": -1})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

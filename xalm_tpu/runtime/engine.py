@@ -215,7 +215,8 @@ class Engine:
         )
 
         def _sample_scan_rows(
-            params, token0, pos0, cache, keys0, temps, top_ps, n_steps: int, valid
+            params, token0, pos0, cache, keys0, temps, top_ps, n_steps: int,
+            valid, want_lp: bool = False,
         ):
             """Per-row sampled decode scan for mixed serving batches
             (serve/batching.py): each row carries its own PRNG key,
@@ -243,21 +244,30 @@ class Engine:
                 # seed implies, independent of co-batched ticks
                 keys = newk if valid is None else jnp.where(valid[:, None], newk, keys)
                 nxt = sample_rows(logits, subs, temps, top_ps)
+                if not want_lp:
+                    # no logprobs requested anywhere in the batch: skip the
+                    # vocab-wide log_softmax/top_k and the extra outputs
+                    return (nxt, p + 1, c, keys), nxt
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
                 topv, topi = jax.lax.top_k(logp, 5)
                 return (nxt, p + 1, c, keys), (nxt, lp, topv, topi.astype(jnp.int32))
 
-            (tok, p, cache, keys), (tokens, lps, topv, topi) = jax.lax.scan(
+            (tok, p, cache, keys), outs = jax.lax.scan(
                 step, (token0, pos0, cache, keys0), None, length=n_steps
             )
+            if not want_lp:
+                return outs.T, keys, cache
+            tokens, lps, topv, topi = outs
             return (
                 tokens.T, lps.T, topv.swapaxes(0, 1), topi.swapaxes(0, 1),
                 keys, cache,
             )
 
         self._sample_scan_rows = jax.jit(
-            _sample_scan_rows, static_argnames=("n_steps",), donate_argnums=(3,)
+            _sample_scan_rows,
+            static_argnames=("n_steps", "want_lp"),
+            donate_argnums=(3,),
         )
 
         def _prefill_chunks(params, tokens_c, pos0, cache):

@@ -323,18 +323,24 @@ class ContinuousBatcher:
             lps = topv = topi = None
             if sampling:
                 # mixed batch: per-row keyed sampling (greedy rows ride
-                # temperature 0 through the same scan); also yields the
-                # logprobs surface
-                out, lps, topv, topi, keys, self.cache = (
-                    self.engine._sample_scan_rows(
-                        self.engine.params, self._next_tok.copy(),
-                        self._pos.copy(), self.cache, jnp.asarray(self._keys),
-                        jnp.asarray(self._temps), jnp.asarray(self._top_ps),
-                        n_steps=self.segment, valid=jnp.asarray(mask),
-                    )
+                # temperature 0 through the same scan); the logprobs surface
+                # is gated statically — no vocab-wide softmax unless asked
+                want_lp = any(self.slots[i].logprobs for i in decoding)
+                outs = self.engine._sample_scan_rows(
+                    self.engine.params, self._next_tok.copy(),
+                    self._pos.copy(), self.cache, jnp.asarray(self._keys),
+                    jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                    n_steps=self.segment, valid=jnp.asarray(mask),
+                    want_lp=want_lp,
                 )
+                if want_lp:
+                    out, lps, topv, topi, keys, self.cache = outs
+                    lps, topv, topi = (
+                        np.asarray(lps), np.asarray(topv), np.asarray(topi)
+                    )
+                else:
+                    out, keys, self.cache = outs
                 self._keys = np.array(keys)  # np.asarray would be read-only
-                lps, topv, topi = np.asarray(lps), np.asarray(topv), np.asarray(topi)
             else:
                 out, self.cache = self.engine.decode_scan(
                     self._next_tok.copy(), self._pos.copy(), self.cache,

@@ -84,12 +84,19 @@ class XalmServer:
         req = Request(
             prompt_ids=prompt_ids,
             max_new_tokens=max_new_tokens,
-            on_token=tq.put,  # called from the scheduler thread
             temperature=temperature,
             top_p=top_p,
             seed=seed,
             logprobs=logprobs,
         )
+        if logprobs:
+            # _emit appends out_logprobs/out_top_logprobs BEFORE on_token
+            # fires, so the latest entries belong to this token
+            req.on_token = lambda t: tq.put(
+                (t, req.out_logprobs[-1], req.out_top_logprobs[-1])
+            )
+        else:
+            req.on_token = tq.put  # called from the scheduler thread
         self._inbox.put((req, tq))
         self._wake.set()
         return tq
@@ -132,6 +139,20 @@ def render_chat(messages: list[dict], chat_template: str | None) -> str:
         elif m["role"] == "assistant":
             parts.append(" " + m["content"])
     return "".join(parts)
+
+
+def _top_dict(tok, prev: int, alts) -> dict:
+    """Top-alternatives dict keyed by decoded piece, using the SAME
+    previous-token context as the chosen token's piece so the chosen
+    string is always present as a key. On text collisions (distinct ids
+    decoding to the same piece) the HIGHEST logprob wins — alts arrive
+    best-first, so first-wins keeps the max."""
+    d: dict = {}
+    for i_, lp_ in alts or []:
+        k = tok.decode_one(prev, i_).decode("utf-8", "replace")
+        if k not in d:
+            d[k] = lp_
+    return d
 
 
 def _make_handler(srv: XalmServer):
@@ -186,6 +207,8 @@ def _make_handler(srv: XalmServer):
                 seed = body.get("seed")
                 seed = int(seed) if seed is not None else None
                 logprobs = int(body.get("logprobs", 0) or 0)
+                if not 0 <= logprobs <= 5:
+                    raise ValueError("logprobs must be between 0 and 5")
             except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": {"message": f"bad request: {e}"}})
                 return
@@ -224,13 +247,23 @@ def _make_handler(srv: XalmServer):
                         if req.out_tokens and tok.is_stop(req.out_tokens[-1]):
                             finish = "stop"
                         break
+                    lp = top = None
+                    if isinstance(item, tuple):
+                        item, lp, top = item
                     text = tok.decode_one(prev, item).decode("utf-8", "replace")
+                    piece = choice_piece(text, None)
+                    if lp is not None and not chat:
+                        piece["logprobs"] = {
+                            "tokens": [text],
+                            "token_logprobs": [lp],
+                            "top_logprobs": [_top_dict(tok, prev, top)],
+                        }
                     prev = item
                     chunk({
                         "id": rid, "created": created,
                         "object": obj + ".chunk" if chat else obj,
                         "model": srv.model_name,
-                        "choices": [choice_piece(text, None)],
+                        "choices": [piece],
                     })
                 chunk({
                     "id": rid, "created": created,
@@ -260,19 +293,19 @@ def _make_handler(srv: XalmServer):
             else:
                 choice = {"index": 0, "text": text, "finish_reason": finish}
                 if req.logprobs and req.out_logprobs:
+                    n_lp = len(out)  # stop token (if trimmed) excluded
                     prev2 = ids[-1] if ids else tok.bos_id
-                    pieces = []
-                    for t_ in req.out_tokens:
-                        pieces.append(tok.decode_one(prev2, t_).decode("utf-8", "replace"))
+                    pieces, tops = [], []
+                    for t_, alts in zip(out, req.out_top_logprobs):
+                        pieces.append(
+                            tok.decode_one(prev2, t_).decode("utf-8", "replace")
+                        )
+                        tops.append(_top_dict(tok, prev2, alts))
                         prev2 = t_
                     choice["logprobs"] = {
                         "tokens": pieces,
-                        "token_logprobs": req.out_logprobs,
-                        "top_logprobs": [
-                            {tok.decode_one(0, i_).decode("utf-8", "replace"): lp_
-                             for i_, lp_ in alts}
-                            for alts in req.out_top_logprobs
-                        ],
+                        "token_logprobs": req.out_logprobs[:n_lp],
+                        "top_logprobs": tops,
                     }
             self._json(200, {
                 "id": rid, "object": obj, "created": created,
