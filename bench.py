@@ -86,6 +86,11 @@ def main() -> int:
                     "keeps the whole step 8-bit, delta-ppl +0.001 on the "
                     "real checkpoint (RESULTS.md). keep: boosted bf16 head "
                     "(the converter's default container layout)")
+    ap.add_argument("--spec-verify", type=int, default=0, metavar="K",
+                    help="measure the speculative-decoding verify cost: time "
+                    "a (K+1)-token verify chunk vs the 1-token decode step "
+                    "and report the breakeven draft acceptance "
+                    "(runtime/spec.py)")
     ap.add_argument("--fp8", default="recode", choices=["keep", "recode"],
                     help="fp8 weights: recode to i8 at load (the TPU fast "
                     "path; v5e has no fp8 MXU) or keep true fp8 (XLA "
@@ -186,6 +191,69 @@ def main() -> int:
             "metric": f"mistral7b_{args.dtype}_prefill_tok_s_per_chip",
             "value": round(tok_s, 1),
             "unit": "tok/s",
+            "vs_baseline": None,
+        }))
+        return 0
+
+    if args.spec_verify:
+        # speculative decoding economics on this chip: a verify chunk
+        # streams the weights ONCE for k+1 candidate tokens (like decode)
+        # but pays prefill-style compute + a per-call host dispatch. With
+        # acceptance a, spec emits (a+1) tokens per verify vs 1 per decode
+        # step -> breakeven a* = t_verify/t_decode - 1.
+        k = args.spec_verify
+        from xalm_tpu.runtime.spec import _verify_fn
+
+        cache = eng.new_cache(1)
+        prompt = np.arange(1, 17, dtype=np.int32)[None]
+        _, cache = eng.step(prompt, np.zeros((1,), np.int32), cache, logits_mode="none")
+        pos = prompt.shape[1]
+        # decode baseline: scanned steps (the serving decode path)
+        t0 = time.time()
+        toks, cache = eng.decode_scan(
+            np.array([5], np.int32), np.array([pos], np.int32), cache, args.steps
+        )
+        np.asarray(toks)
+        pos += args.steps
+        log(f"decode compile+warmup: {time.time() - t0:.1f}s")
+        t0 = time.perf_counter()
+        toks, cache = eng.decode_scan(
+            np.asarray(toks)[:, -1].copy(), np.array([pos], np.int32), cache, args.steps
+        )
+        np.asarray(toks)
+        pos += args.steps
+        t_dec = (time.perf_counter() - t0) / args.steps
+        # verify chunks: per-call readback (the host must see the greedy
+        # tokens to build the next chunk — that dispatch cost is real)
+        verify = _verify_fn(eng)
+        chunk = np.arange(1, k + 2, dtype=np.int32)[None]
+        t0 = time.time()
+        g, cache = verify(eng.params, jnp.asarray(chunk), np.array([pos], np.int32), cache)
+        np.asarray(g)
+        log(f"verify compile+warmup: {time.time() - t0:.1f}s")
+        n_calls = 24
+        t0 = time.perf_counter()
+        for i in range(n_calls):
+            # distinct tokens per call (tunnel memoization, CLAUDE.md);
+            # advancing pos stays pre-wrap like generate_spec's gate
+            c = (chunk + 3 * i + 1) % (cfg.vocab_size - 2) + 1
+            g, cache = verify(eng.params, jnp.asarray(c), np.array([pos], np.int32), cache)
+            np.asarray(g)
+            pos += 2  # a+1 with a=1: arbitrary pre-wrap advance
+        t_ver = (time.perf_counter() - t0) / n_calls
+        ratio = t_ver / t_dec
+        log(
+            f"decode step {t_dec * 1e3:.2f} ms | verify({k + 1} tokens) "
+            f"{t_ver * 1e3:.2f} ms | ratio {ratio:.2f} -> breakeven "
+            f"acceptance {max(ratio - 1, 0):.2f} drafts/verify "
+            f"({max(ratio - 1, 0) / k * 100:.0f}% of k={k}); measured real-"
+            f"text acceptance 24% (tools/spec_probe.py) -> projected "
+            f"speedup {((0.242 * k + 1) / ratio):.2f}x on that workload"
+        )
+        print(json.dumps({
+            "metric": f"spec_verify_cost_ratio_k{k}",
+            "value": round(ratio, 3),
+            "unit": "verify/decode step time",
             "vs_baseline": None,
         }))
         return 0

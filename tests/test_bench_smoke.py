@@ -61,3 +61,9 @@ def test_bench_mini_batch(monkeypatch, capsys):
     rec = _run_bench(monkeypatch, capsys, ["--mini", "--steps", "4", "--batch", "2"])
     assert rec["metric"].endswith("_b2")
     assert rec["value"] > 0
+
+
+def test_bench_spec_verify(monkeypatch, capsys):
+    rec = _run_bench(monkeypatch, capsys, ["--mini", "--spec-verify", "7", "--steps", "4"])
+    assert rec["metric"] == "spec_verify_cost_ratio_k7"
+    assert rec["value"] > 0
