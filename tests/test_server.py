@@ -235,3 +235,66 @@ def test_logprobs_out_of_range_rejected(srv):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_stop_sequence_nonstream(srv):
+    base, eng = srv
+    # derive a stop string from the greedy continuation itself so the test
+    # is model-independent: stop on the 3rd+ generated chars
+    ids = eng.tokenizer.encode("hello world")
+    want, _ = eng.generate(ids, 8)
+    if want and eng.tokenizer.is_stop(want[-1]):
+        want = want[:-1]
+    full = eng.tokenizer.decode(want)
+    assert len(full) >= 4
+    stop = full[2:4]
+    with _post(base + "/v1/completions",
+               {"prompt": "hello world", "max_tokens": 8, "stop": stop}) as r:
+        data = json.loads(r.read())
+    ch = data["choices"][0]
+    assert ch["finish_reason"] == "stop"
+    assert stop not in ch["text"]
+    assert ch["text"] == full[: full.index(stop)]
+
+
+def test_stop_sequence_stream(srv):
+    base, eng = srv
+    ids = eng.tokenizer.encode("hello world")
+    want, _ = eng.generate(ids, 8)
+    if want and eng.tokenizer.is_stop(want[-1]):
+        want = want[:-1]
+    full = eng.tokenizer.decode(want)
+    stop = full[2:4]
+    with _post(base + "/v1/completions",
+               {"prompt": "hello world", "max_tokens": 8, "stop": stop,
+                "stream": True}) as r:
+        raw = r.read().decode()
+    events = [json.loads(l[6:]) for l in raw.splitlines()
+              if l.startswith("data: ") and l != "data: [DONE]"]
+    text = "".join(e["choices"][0].get("text", "") for e in events)
+    assert events[-1]["choices"][0]["finish_reason"] == "stop"
+    assert stop not in text
+    assert text == full[: full.index(stop)]
+
+
+def test_batcher_cancel(srv):
+    """cancel() retires an active request early with whatever it emitted."""
+    base, eng = srv
+    from xalm_tpu.serve.server import XalmServer
+
+    xs = XalmServer(eng, max_batch=2, model_name="t")
+    try:
+        tq, cancel = xs.submit(eng.tokenizer.encode("hello"), 64)
+        first = tq.get(timeout=60)  # at least one token out
+        cancel()
+        import queue as _q
+
+        while True:
+            item = tq.get(timeout=60)
+            if isinstance(item, tuple) and item[0] is not None and not isinstance(item[0], int):
+                req = item[1]
+                break
+        assert req.done
+        assert 1 <= len(req.out_tokens) < 64
+    finally:
+        xs.shutdown()

@@ -134,6 +134,23 @@ class ContinuousBatcher:
     def pending(self) -> int:
         return len(self._waiting)
 
+    def cancel(self, req_id: int) -> bool:
+        """Stop a request early (client disconnect / server-side stop
+        sequence). Must be called from the scheduler thread (like step).
+        The request still lands in ``completed`` with whatever it emitted."""
+        for j, r in enumerate(self._waiting):
+            if r.id == req_id:
+                self._waiting.pop(j)
+                r.done = True
+                r.finished_s = time.perf_counter()
+                self.completed.append(r)
+                return True
+        for i, r in enumerate(self.slots):
+            if r is not None and r.id == req_id:
+                self._retire(i)
+                return True
+        return False
+
     def _admit(self) -> None:
         for i in range(self.max_batch):
             if self.slots[i] is None and self._waiting:

@@ -41,6 +41,7 @@ class XalmServer:
         self.model_name = model_name
         self.batcher = ContinuousBatcher(engine, max_batch=max_batch)
         self._inbox: queue.Queue = queue.Queue()
+        self._cancels: queue.Queue = queue.Queue()
         self._wake = threading.Event()
         self._stop = threading.Event()
         self._n_completed = 0
@@ -62,6 +63,14 @@ class XalmServer:
                 rid = b.submit(req)
                 self._req_queues[rid] = tq
                 moved = True
+            while True:
+                try:
+                    creq = self._cancels.get_nowait()
+                except queue.Empty:
+                    break
+                # the inbox drained above, so a submitted request has its id
+                if b.cancel(creq.id):
+                    moved = True
             if b.active or b.pending:
                 moved = b.step() or moved
             # fan out completions (step() moved them to b.completed)
@@ -99,7 +108,14 @@ class XalmServer:
             req.on_token = tq.put  # called from the scheduler thread
         self._inbox.put((req, tq))
         self._wake.set()
-        return tq
+
+        def cancel():
+            """Stop this request early (handler thread-safe: routed through
+            the scheduler loop). The _DONE fan-out still arrives on tq."""
+            self._cancels.put(req)
+            self._wake.set()
+
+        return tq, cancel
 
     def shutdown(self) -> None:
         self._stop.set()
@@ -209,13 +225,18 @@ def _make_handler(srv: XalmServer):
                 logprobs = int(body.get("logprobs", 0) or 0)
                 if not 0 <= logprobs <= 5:
                     raise ValueError("logprobs must be between 0 and 5")
+                stops = body.get("stop") or []
+                if isinstance(stops, str):
+                    stops = [stops]
+                stops = [str(s) for s in stops if s][:4]
             except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": {"message": f"bad request: {e}"}})
                 return
             ids = tok.encode(prompt)
-            tq = srv.submit(ids, max_tokens, temperature=temperature,
-                            top_p=top_p, seed=seed,
-                            logprobs=0 if chat else logprobs)
+            tq, cancel = srv.submit(ids, max_tokens, temperature=temperature,
+                                    top_p=top_p, seed=seed,
+                                    logprobs=0 if chat else logprobs)
+            hold = max((len(s) for s in stops), default=0)
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:24]}"
             created = int(time.time())
             obj = "chat.completion" if chat else "text_completion"
@@ -238,15 +259,65 @@ def _make_handler(srv: XalmServer):
                     self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
                     self.wfile.flush()
 
+                def drain_after_cancel():
+                    """Client went away mid-stream: stop the generation (it
+                    would otherwise burn decode steps to max_tokens) and
+                    absorb the queue through the _DONE fan-out."""
+                    cancel()
+                    while True:
+                        it = tq.get()
+                        if isinstance(it, tuple) and it[0] is _DONE:
+                            return
+
                 prev = ids[-1] if ids else tok.bos_id
                 finish = "length"
-                while True:
+                pend = []  # pieces held back: a stop string may span tokens
+                acc = ""   # all generated text (emitted + held)
+                n_emitted = 0  # chars of acc already emitted
+
+                def send_piece(piece):
+                    chunk({
+                        "id": rid, "created": created,
+                        "object": obj + ".chunk" if chat else obj,
+                        "model": srv.model_name,
+                        "choices": [piece],
+                    })
+
+                def flush(upto: int) -> None:
+                    """Emit held pieces whose text lies before char ``upto``
+                    of acc (trimming the piece that straddles it)."""
+                    nonlocal n_emitted
+                    while pend and n_emitted < upto:
+                        p, start, text = pend[0]
+                        if start >= upto:
+                            break
+                        cut = text[: upto - start]
+                        if chat:
+                            p["delta"] = {"content": cut}
+                        else:
+                            p["text"] = cut
+                        send_piece(p)
+                        n_emitted = start + len(cut)
+                        if len(cut) < len(text):
+                            break
+                        pend.pop(0)
+
+                stopped_early = False
+                try:
+                  while True:
                     item = tq.get()
                     if isinstance(item, tuple) and item[0] is _DONE:
                         req = item[1]
-                        if req.out_tokens and tok.is_stop(req.out_tokens[-1]):
+                        if stopped_early:
                             finish = "stop"
+                        elif req.out_tokens and tok.is_stop(req.out_tokens[-1]):
+                            finish = "stop"
+                            flush(len(acc))
+                        else:
+                            flush(len(acc))
                         break
+                    if stopped_early:
+                        continue  # draining until the cancel lands
                     lp = top = None
                     if isinstance(item, tuple):
                         item, lp, top = item
@@ -259,34 +330,70 @@ def _make_handler(srv: XalmServer):
                             "top_logprobs": [_top_dict(tok, prev, top)],
                         }
                     prev = item
-                    chunk({
-                        "id": rid, "created": created,
-                        "object": obj + ".chunk" if chat else obj,
-                        "model": srv.model_name,
-                        "choices": [piece],
-                    })
-                chunk({
-                    "id": rid, "created": created,
-                    "object": obj + ".chunk" if chat else obj,
-                    "model": srv.model_name,
-                    "choices": [choice_piece("", finish)],
-                })
-                data = b"data: [DONE]\n\n"
-                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
-                self.wfile.write(b"0\r\n\r\n")
-                self.wfile.flush()
+                    pend.append((piece, len(acc), text))
+                    acc += text
+                    if stops:
+                        hits = [i for i in (acc.find(s, max(n_emitted - hold, 0))
+                                            for s in stops) if i >= 0]
+                        if hits:
+                            flush(min(hits))
+                            cancel()
+                            stopped_early = True
+                            continue
+                        flush(len(acc) - (hold - 1))
+                    else:
+                        flush(len(acc))
+                  chunk({
+                      "id": rid, "created": created,
+                      "object": obj + ".chunk" if chat else obj,
+                      "model": srv.model_name,
+                      "choices": [choice_piece("", finish)],
+                  })
+                  data = b"data: [DONE]\n\n"
+                  self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                  self.wfile.write(b"0\r\n\r\n")
+                  self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    drain_after_cancel()
                 return
-            # non-streaming: drain to completion
+            # non-streaming: consume incrementally (stop sequences cancel
+            # the request server-side as soon as they match)
             req = None
+            acc = ""
+            starts = []  # char offset of each token's piece in acc
+            toks_seen = []
+            stop_idx = None
+            prev2 = ids[-1] if ids else tok.bos_id
             while req is None:
                 item = tq.get()
                 if isinstance(item, tuple) and item[0] is _DONE:
                     req = item[1]
-            out = req.out_tokens
-            finish = "stop" if (out and tok.is_stop(out[-1])) else "length"
-            if finish == "stop":
-                out = out[:-1]
-            text = tok.decode(out)
+                    break
+                if stop_idx is not None:
+                    continue  # draining until the cancel lands
+                if isinstance(item, tuple):
+                    item = item[0]
+                starts.append(len(acc))
+                toks_seen.append(item)
+                acc += tok.decode_one(prev2, item).decode("utf-8", "replace")
+                prev2 = item
+                if stops:
+                    hits = [i for i in (acc.find(s) for s in stops) if i >= 0]
+                    if hits:
+                        stop_idx = min(hits)
+                        cancel()
+            if stop_idx is not None:
+                finish = "stop"
+                text = acc[:stop_idx]
+                # token-aligned views for the logprobs arrays: tokens whose
+                # pieces begin before the stop match
+                out = [t_ for t_, s_ in zip(toks_seen, starts) if s_ < stop_idx]
+            else:
+                out = req.out_tokens
+                finish = "stop" if (out and tok.is_stop(out[-1])) else "length"
+                if finish == "stop":
+                    out = out[:-1]
+                text = tok.decode(out)
             if chat:
                 choice = {"index": 0, "finish_reason": finish,
                           "message": {"role": "assistant", "content": text}}
