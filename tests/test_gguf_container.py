@@ -108,3 +108,31 @@ def test_f16_body_roundtrip_exact(tiny_xalm, tmp_path):
     la, _, _ = a.prefill(TOKENS, a.new_cache(1), logits_mode="all")
     lb, _, _ = b.prefill(TOKENS, b.new_cache(1), logits_mode="all")
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-3, atol=2e-3)
+
+
+def test_malformed_gguf_fails_cleanly(tmp_path):
+    """Truncation/corruption anywhere must raise ValueError with context,
+    never a cryptic struct.error or silent garbage (fail-fast contract,
+    tests/test_robustness.py style)."""
+    import struct
+
+    from xalm_tpu import gguf as codecs
+
+    good = str(tmp_path / "g.gguf")
+    a = np.ones((4, 64), np.float32)
+    write_gguf(good, {"general.architecture": "llama"},
+               {"a.weight": ("f32", a.shape, codecs.quantize(a, "f32"))})
+    blob = open(good, "rb").read()
+
+    def expect_fail(data, tag):
+        p = str(tmp_path / f"bad_{tag}.gguf")
+        open(p, "wb").write(data)
+        with pytest.raises(ValueError):
+            read_gguf(p)
+
+    expect_fail(b"NOPE" + blob[4:], "magic")
+    expect_fail(blob[:4] + struct.pack("<I", 99) + blob[8:], "version")
+    expect_fail(blob[:24], "truncated_header")
+    expect_fail(blob[: len(blob) // 2], "truncated_data")
+    # tensor-count says 2 but only 1 directory entry follows
+    expect_fail(blob[:8] + struct.pack("<Q", 2) + blob[16:], "tensor_count")

@@ -58,12 +58,19 @@ class _Reader:
         self.off = 0
 
     def read(self, fmt: str):
-        v = struct.unpack_from(fmt, self.buf, self.off)[0]
+        try:
+            v = struct.unpack_from(fmt, self.buf, self.off)[0]
+        except struct.error as e:
+            raise ValueError(f"truncated GGUF header at offset {self.off}") from e
         self.off += struct.calcsize(fmt)
         return v
 
     def read_str(self) -> str:
         n = self.read("<Q")
+        if n > len(self.buf) - self.off:
+            raise ValueError(
+                f"GGUF string of {n} bytes overruns the file at offset {self.off}"
+            )
         s = bytes(self.buf[self.off : self.off + n])
         self.off += n
         return s.decode("utf-8", "replace")
@@ -78,6 +85,8 @@ class _Reader:
         if t == _ARR:
             et = self.read("<I")
             n = self.read("<Q")
+            if n > len(self.buf):  # cheap sanity: can't have more elems than bytes
+                raise ValueError(f"GGUF array length {n} exceeds file size")
             return [self.read_value(et) for _ in range(n)]
         raise ValueError(f"unknown GGUF metadata type {t}")
 
@@ -120,6 +129,11 @@ def read_gguf(path: str):
         n_elems = int(np.prod(shape)) if shape else 1
         nbytes = codecs.quant_byte_size(n_elems, cname)
         start = data0 + off
+        if start + nbytes > buf.size:
+            raise ValueError(
+                f"{path}: tensor {name} ({cname} {shape}) overruns the file: "
+                f"needs [{start}, {start + nbytes}) of {buf.size} bytes"
+            )
         raw = np.asarray(buf[start : start + nbytes])
         tensors[name] = (cname, shape, raw)
     return md, tensors
