@@ -1,0 +1,83 @@
+"""Pipeline parallelism: pp-sharded layer stack vs single-device engine."""
+
+import numpy as np
+import pytest
+
+from tests.make_tiny_model import make_tiny_model
+from xalm_tpu.convert import convert as cvt
+from xalm_tpu.parallel.pipeline import PipelinedEngine, make_pp_mesh
+from xalm_tpu.runtime.engine import Engine
+
+TOKENS = [1, 259, 260, 10, 20, 300, 5, 77, 261, 262, 263, 264, 8, 9]
+
+
+@pytest.fixture(scope="module")
+def tiny4_xalm(tmp_path_factory):
+    # 4 layers so pp in {2, 4} exercises multi-layer stages
+    hf = make_tiny_model(
+        str(tmp_path_factory.mktemp("hf") / "tiny4"),
+        config_overrides={"num_hidden_layers": 4},
+    )
+    out = str(tmp_path_factory.mktemp("x") / "tiny4.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref(tiny4_xalm):
+    import jax.numpy as jnp
+
+    return Engine.from_xalm(tiny4_xalm, kv_dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("pp", [2, 4])
+def test_pp_prefill_matches_single(tiny4_xalm, ref, pp):
+    import jax.numpy as jnp
+
+    eng = PipelinedEngine.from_xalm(
+        tiny4_xalm, make_pp_mesh(pp), kv_dtype=jnp.float32
+    )
+    want, _, _ = ref.prefill(TOKENS, ref.new_cache(1), logits_mode="all")
+    got, _, _ = eng.prefill(TOKENS, eng.new_cache(1), logits_mode="all")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_pp_generate_matches_single(tiny4_xalm, ref):
+    eng = PipelinedEngine.from_xalm(tiny4_xalm, make_pp_mesh(2))
+    want, _ = ref.generate(TOKENS[:5], 12, stop_on_eos=False, segment=1)
+    got, _ = eng.generate(TOKENS[:5], 12, stop_on_eos=False, segment=4)
+    assert got == want
+
+
+def test_pp_decode_scan_matches_stepwise(tiny4_xalm):
+    """Scanned pp decode equals per-token pp stepping (the ppermute ring
+    and per-stage cache gating compose correctly under lax.scan)."""
+    eng = PipelinedEngine.from_xalm(tiny4_xalm, make_pp_mesh(4))
+    a, _ = eng.generate(TOKENS[:4], 9, stop_on_eos=False, segment=1)
+    b, _ = eng.generate(TOKENS[:4], 9, stop_on_eos=False, segment=3)
+    assert a == b
+
+
+def test_pp_quantized_cache(tiny4_xalm, ref):
+    import jax.numpy as jnp
+
+    eng = PipelinedEngine.from_xalm(tiny4_xalm, make_pp_mesh(2), kv_dtype=jnp.int8)
+    want, _ = ref.generate(TOKENS[:5], 8, stop_on_eos=False, segment=1)
+    got, _ = eng.generate(TOKENS[:5], 8, stop_on_eos=False, segment=1)
+    # int8 KV quantization noise can flip late tokens on a tiny random
+    # model; the first few greedy tokens must agree
+    assert got[:4] == want[:4]
+
+
+def test_pp_validates_divisibility(tiny4_xalm):
+    with pytest.raises(ValueError):
+        PipelinedEngine.from_xalm(tiny4_xalm, make_pp_mesh(3))
+
+
+def test_pp_cache_is_layer_sharded(tiny4_xalm):
+    eng = PipelinedEngine.from_xalm(tiny4_xalm, make_pp_mesh(4))
+    cache = eng.new_cache(1)
+    shard = next(iter(cache.k.addressable_shards))
+    assert shard.data.shape[0] == eng.cfg.n_layers // 4  # L/PP layers local
+    wq = eng.params.layers.wqkv.values
+    assert next(iter(wq.addressable_shards)).data.shape[0] == eng.cfg.n_layers // 4

@@ -291,6 +291,7 @@ def forward(
     matmul_impl: str = "auto",
     a8_prefill: bool = False,
     tp_axis: str | None = None,
+    pp_axis: str | None = None,
     fused_step: bool = True,
 ):
     """One jitted step over a (B, T) token block. Returns (logits, cache).
@@ -642,10 +643,48 @@ def forward(
         x = x + down
         return (x, ck, cv, ks, vs), None
 
-    layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-    (x, ck, cv, ks, vs), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), layer_ids
-    )
+    if pp_axis is not None:
+        # --- pipeline parallelism (capacity mode): the stacked layer dim is
+        # sharded over the `pp` mesh axis; each device holds L/PP layers and
+        # their KV cache slice, so weights AND cache memory divide by PP.
+        # Inference pp is inherently sequential for one sequence: PP
+        # sequencing ticks run here, each device executing its LOCAL stack
+        # and keeping the result only on the tick where it is the active
+        # stage; a ppermute ring hands the residual to the next stage. (All
+        # devices compute every tick — the idle stages' work is discarded,
+        # same wall-clock as hardware-idle pipelining; microbatch overlap is
+        # the standard extension and left to the batcher's dp axis.)
+        pp = jax.lax.axis_size(pp_axis)
+        me = jax.lax.axis_index(pp_axis)
+        l_local = lp.wqkv.values.shape[0]
+        layer_ids = jnp.arange(l_local, dtype=jnp.int32)
+        def run_stack(x_in):
+            (y, ck2, cv2, ks2, vs2), _ = jax.lax.scan(
+                body, (x_in, cache.k, cache.v, cache.k_scale, cache.v_scale),
+                layer_ids,
+            )
+            return y, ck2, cv2, ks2, vs2
+
+        ck, cv, ks, vs = cache.k, cache.v, cache.k_scale, cache.v_scale
+        ring = [(i, (i + 1) % pp) for i in range(pp)]
+        for s_ in range(pp):
+            y, ck2, cv2, ks2, vs2 = run_stack(x)
+            keep = me == s_  # this tick's active stage keeps its outputs
+            x = jnp.where(keep, y, x)
+            ck = jnp.where(keep, ck2, ck)
+            cv = jnp.where(keep, cv2, cv)
+            if ks is not None:
+                ks = jnp.where(keep, ks2, ks)
+                vs = jnp.where(keep, vs2, vs)
+            x = jax.lax.ppermute(x, pp_axis, ring)
+        # after the last ppermute the final stage's residual sits on device
+        # 0; mask+psum broadcasts it so every device computes the logits
+        x = jax.lax.psum(jnp.where(me == 0, x, jnp.zeros_like(x)), pp_axis)
+    else:
+        layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
+        (x, ck, cv, ks, vs), _ = jax.lax.scan(
+            body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), layer_ids
+        )
     new_cache = KVCache(k=ck, v=cv, k_scale=ks, v_scale=vs)
 
     if logits_mode == "none":
