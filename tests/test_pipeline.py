@@ -81,3 +81,24 @@ def test_pp_cache_is_layer_sharded(tiny4_xalm):
     assert shard.data.shape[0] == eng.cfg.n_layers // 4  # L/PP layers local
     wq = eng.params.layers.wqkv.values
     assert next(iter(wq.addressable_shards)).data.shape[0] == eng.cfg.n_layers // 4
+
+
+def test_pp_tp_composed(tiny4_xalm, ref):
+    """(pp=2, tp=2) 2-D mesh: stages over pp, megatron tp within each
+    stage; logits must match the single-device engine."""
+    import jax.numpy as jnp
+
+    eng = PipelinedEngine.from_xalm(
+        tiny4_xalm, make_pp_mesh(2, tp=2), kv_dtype=jnp.float32
+    )
+    # weights are genuinely sharded both ways
+    wq = eng.params.layers.wqkv.values
+    shard = next(iter(wq.addressable_shards)).data
+    assert shard.shape[0] == eng.cfg.n_layers // 2
+    assert shard.shape[1] == wq.shape[1] // 2
+    want, _, _ = ref.prefill(TOKENS, ref.new_cache(1), logits_mode="all")
+    got, _, _ = eng.prefill(TOKENS, eng.new_cache(1), logits_mode="all")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+    a, _ = ref.generate(TOKENS[:5], 10, stop_on_eos=False, segment=1)
+    b, _ = eng.generate(TOKENS[:5], 10, stop_on_eos=False, segment=5)
+    assert a == b

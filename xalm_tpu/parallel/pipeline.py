@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from xalm_tpu.models.config import ModelConfig
+from xalm_tpu.parallel.mesh import AXIS_TP
 from xalm_tpu.models.llama import forward
 from xalm_tpu.models.params import ModelParams
 from xalm_tpu.runtime.cache import KVCache
@@ -32,41 +33,64 @@ __all__ = ["AXIS_PP", "make_pp_mesh", "PipelinedEngine"]
 AXIS_PP = "pp"
 
 
-def make_pp_mesh(pp: int, devices=None) -> Mesh:
+def make_pp_mesh(pp: int, tp: int = 1, devices=None) -> Mesh:
+    """A (pp,) or (pp, tp) mesh: stages over pp, megatron tensor
+    parallelism within each stage over tp (ICI-adjacent devices)."""
     devices = list(jax.devices()) if devices is None else list(devices)
-    if pp > len(devices):
-        raise ValueError(f"pp={pp} > {len(devices)} devices")
-    return Mesh(np.array(devices[:pp]), (AXIS_PP,))
+    if pp * tp > len(devices):
+        raise ValueError(f"pp*tp={pp}*{tp} > {len(devices)} devices")
+    if tp == 1:
+        return Mesh(np.array(devices[:pp]), (AXIS_PP,))
+    return Mesh(np.array(devices[: pp * tp]).reshape(pp, tp), (AXIS_PP, AXIS_TP))
 
 
-def _param_pspecs(params: ModelParams) -> ModelParams:
-    """Layer-stacked arrays shard on their leading L dim; everything else
-    (embed, head, final norm) is replicated on every stage."""
+def _param_pspecs(params: ModelParams, tp: int = 1) -> ModelParams:
+    """Layer-stacked arrays shard on their leading L dim (and, with tp > 1,
+    megatron column/row within each stage — shardings.param_pspecs layout);
+    embed, head, and final norm are replicated on every device (the head's
+    matmul runs on the psum-broadcast final residual)."""
+    from xalm_tpu.models.params import LayerParams, QWeight
 
-    def stage(x):
-        return None if x is None else P(AXIS_PP, *([None] * (x.ndim - 1)))
+    tpa = AXIS_TP if tp > 1 else None
+    col = QWeight(values=P(AXIS_PP, tpa, None), scale=P(AXIS_PP, tpa))
+    row = QWeight(values=P(AXIS_PP, None, tpa), scale=P(AXIS_PP, None))
+    layers = LayerParams(
+        attn_norm=P(AXIS_PP, None),
+        wqkv=col,
+        wo=row,
+        mlp_norm=P(AXIS_PP, None),
+        w13=col,
+        w2=row,
+        bqkv=P(AXIS_PP, tpa),
+    )
 
     def repl(x):
         return None if x is None else P(*([None] * x.ndim))
 
-    lp = jax.tree.map(stage, params.layers, is_leaf=lambda x: x is None)
-    rest = ModelParams(
+    specs = ModelParams(
         embed=jax.tree.map(repl, params.embed),
-        layers=lp,
+        layers=layers,
         out_norm=repl(params.out_norm),
         wcls=jax.tree.map(repl, params.wcls),
     )
-    if params.wcls is params.embed:
-        rest = ModelParams(
-            embed=rest.embed, layers=rest.layers, out_norm=rest.out_norm,
-            wcls=rest.embed,
-        )
-    return rest
+
+    def fix(spec, x):
+        if x is None:
+            return None
+        if isinstance(x, QWeight):
+            return QWeight(spec.values, spec.scale if x.scale is not None else None)
+        return spec
+
+    return jax.tree.map(
+        fix, specs, params,
+        is_leaf=lambda x: isinstance(x, (QWeight, P)) or x is None,
+    )
 
 
-def _cache_pspecs(quantized: bool) -> KVCache:
-    spec = P(AXIS_PP, None, None, None, None)  # (L, B, KH, S, hd)
-    sspec = P(AXIS_PP, None, None, None) if quantized else None
+def _cache_pspecs(quantized: bool, tp: int = 1) -> KVCache:
+    tpa = AXIS_TP if tp > 1 else None
+    spec = P(AXIS_PP, None, tpa, None, None)  # (L, B, KH, S, hd)
+    sspec = P(AXIS_PP, None, tpa, None) if quantized else None
     return KVCache(k=spec, v=spec, k_scale=sspec, v_scale=sspec)
 
 
@@ -88,9 +112,15 @@ class PipelinedEngine(Engine):
         compute_dtype="auto",
     ):
         pp = mesh.shape[AXIS_PP]
+        tp = mesh.shape.get(AXIS_TP, 1)
         if cfg.n_layers % pp != 0:
             raise ValueError(f"pp={pp} must divide n_layers={cfg.n_layers}")
+        if tp > 1:
+            from xalm_tpu.parallel.shardings import validate_tp
+
+            validate_tp(cfg, tp)
         self.mesh = mesh
+        self._tp = tp
 
         # the scalar-prefetch Pallas kernels index the FULL stacked weight
         # buffer; under pp each device holds a slice, so the XLA matmul path
@@ -100,7 +130,7 @@ class PipelinedEngine(Engine):
             kv_dtype=kv_dtype, compute_dtype=compute_dtype,
             matmul_impl="xla", fused_step=False,
         )
-        pspecs = _param_pspecs(self.params)
+        pspecs = _param_pspecs(self.params, tp)
         self.params = jax.tree.map(
             lambda x, s: None if x is None else jax.device_put(
                 x, NamedSharding(mesh, s)
@@ -112,14 +142,17 @@ class PipelinedEngine(Engine):
         repl = P()
 
         def _make_fwd(logits_mode: str):
-            cspecs = _cache_pspecs(jnp.dtype(self.kv_dtype) == jnp.dtype(jnp.int8))
+            cspecs = _cache_pspecs(
+                jnp.dtype(self.kv_dtype) == jnp.dtype(jnp.int8), tp
+            )
             out_logits = None if logits_mode == "none" else repl
 
             def local(params, tokens, pos, cache, valid):
                 return forward(
                     params, cfg, tokens, pos, cache, valid,
                     logits_mode=logits_mode, compute_dtype=cdt,
-                    matmul_impl="xla", pp_axis=AXIS_PP, fused_step=False,
+                    matmul_impl="xla", pp_axis=AXIS_PP,
+                    tp_axis=AXIS_TP if tp > 1 else None, fused_step=False,
                 )
 
             return jax.shard_map(
@@ -180,7 +213,7 @@ class PipelinedEngine(Engine):
 
     def new_cache(self, batch: int = 1) -> KVCache:
         cache = KVCache.init(self.cfg, batch, self.kv_dtype)
-        cspecs = _cache_pspecs(cache.quantized)
+        cspecs = _cache_pspecs(cache.quantized, self._tp)
         return jax.tree.map(
             lambda x, s: None if x is None else jax.device_put(
                 x, NamedSharding(self.mesh, s)
