@@ -106,3 +106,26 @@ def test_comm_model_numbers_match_shapes(tiny_xalm):
     assert len(shapes) == 2, shapes
     for s in shapes:
         assert int(np.prod(s)) == d, (s, d)
+
+
+def test_pp_decode_step_collective_count(tiny_xalm):
+    """One pp decode step (pp=2 of a 2-layer model): exactly PP
+    collective-permutes (the residual ring, one per sequencing tick) plus
+    ONE all-reduce (the masked psum that broadcasts the final stage's
+    residual for the logits); no gathers — the pp comm volume is
+    PP x B x dim x 4 bytes per token, layer-count-independent
+    (docs/SCALING.md pp section)."""
+    from xalm_tpu.parallel.pipeline import PipelinedEngine, make_pp_mesh
+
+    eng = PipelinedEngine.from_xalm(tiny_xalm, make_pp_mesh(2, devices=jax.devices()[:2]))
+    cache = eng.new_cache(1)
+    toks = np.zeros((1, 1), np.int32)
+    pos = np.zeros((1,), np.int32)
+    valid = np.ones((1, 1), bool)
+    lowered = eng._fwd.lower(
+        eng.params, toks, pos, cache, valid, logits_mode="last"
+    )
+    counts = _hlo_counts(lowered)
+    assert counts["collective-permute"] == 2, counts  # PP ring hops
+    assert counts["all-reduce"] == 1, counts  # final-stage broadcast
+    assert counts["all-gather"] == 0 and counts["all-to-all"] == 0, counts
