@@ -101,9 +101,18 @@ def make_weights(config: dict, seed: int = 42) -> dict[str, np.ndarray]:
             tensors[p + "self_attn.v_proj.bias"] = w(n_kv * hd, scale=0.2)
         tensors[p + "self_attn.o_proj.weight"] = w(dim, n_heads * hd)
         tensors[p + "post_attention_layernorm.weight"] = np.abs(w(dim, scale=0.2)) + 0.8
-        tensors[p + "mlp.gate_proj.weight"] = w(hidden, dim)
-        tensors[p + "mlp.down_proj.weight"] = w(dim, hidden)
-        tensors[p + "mlp.up_proj.weight"] = w(hidden, dim)
+        if config.get("model_type") == "mixtral":
+            e_cnt = config["num_local_experts"]
+            tensors[p + "block_sparse_moe.gate.weight"] = w(e_cnt, dim, scale=0.3)
+            for e in range(e_cnt):
+                q = p + f"block_sparse_moe.experts.{e}."
+                tensors[q + "w1.weight"] = w(hidden, dim)
+                tensors[q + "w2.weight"] = w(dim, hidden)
+                tensors[q + "w3.weight"] = w(hidden, dim)
+        else:
+            tensors[p + "mlp.gate_proj.weight"] = w(hidden, dim)
+            tensors[p + "mlp.down_proj.weight"] = w(dim, hidden)
+            tensors[p + "mlp.up_proj.weight"] = w(hidden, dim)
     return tensors
 
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import re
 import os
 import sys
 
@@ -53,6 +54,7 @@ SUPPORTED_ARCHITECTURES = (
     "LlamaForCausalLM",
     "GemmaForCausalLM",
     "Qwen2ForCausalLM",
+    "MixtralForCausalLM",
 )
 
 # dtypes a weight body may be converted to. Runtime types are stored as-is;
@@ -107,6 +109,9 @@ def normalize_config(config: dict) -> tuple[str, dict[str, str]]:
     if arch == "Qwen2ForCausalLM":
         # Qwen2 q/k/v projections carry bias vectors (HF modeling_qwen2)
         out["qkv_bias"] = "True"
+    if arch == "MixtralForCausalLM":
+        out["n_experts"] = str(config["num_local_experts"])
+        out["n_experts_active"] = str(config["num_experts_per_tok"])
     rs = config.get("rope_scaling") or {}
     rtype = rs.get("rope_type") or rs.get("type")
     if rtype in ("linear", "llama3"):
@@ -145,6 +150,11 @@ def translate_name(name: str) -> str:
     name = name.replace(".mlp.gate_proj.", ".mlp.gate.")
     name = name.replace(".mlp.down_proj.", ".mlp.down.")
     name = name.replace(".mlp.up_proj.", ".mlp.up.")
+    # Mixtral sparse-MoE block (HF modeling_mixtral): router + experts
+    name = name.replace(".block_sparse_moe.gate.", ".moe.gate.")
+    name = re.sub(r"\.block_sparse_moe\.experts\.(\d+)\.w1\.", r".moe.\1.gate.", name)
+    name = re.sub(r"\.block_sparse_moe\.experts\.(\d+)\.w3\.", r".moe.\1.up.", name)
+    name = re.sub(r"\.block_sparse_moe\.experts\.(\d+)\.w2\.", r".moe.\1.down.", name)
     return name
 
 
@@ -252,9 +262,11 @@ def _read_safetensors(files: list[str]) -> dict[str, np.ndarray]:
     return weights
 
 
-def canonical_order(n_layers: int, tied: bool, qkv_bias: bool = False) -> list[str]:
+def canonical_order(n_layers: int, tied: bool, qkv_bias: bool = False,
+                    n_experts: int = 0) -> list[str]:
     """Fixed on-disk emission order (reference convert.py:825-848, 1057-1108).
-    ``qkv_bias`` appends the Qwen2-family attention bias vectors."""
+    ``qkv_bias`` appends the Qwen2-family attention bias vectors;
+    ``n_experts`` swaps the dense mlp tensors for the MoE router+experts."""
     names = ["embed.weight"]
     for i in range(n_layers):
         names += [
@@ -272,10 +284,21 @@ def canonical_order(n_layers: int, tied: bool, qkv_bias: bool = False) -> list[s
         names += [
             f"l.{i}.attn.down.weight",
             f"l.{i}.mlp.norm.weight",
-            f"l.{i}.mlp.gate.weight",
-            f"l.{i}.mlp.down.weight",
-            f"l.{i}.mlp.up.weight",
         ]
+        if n_experts:
+            names.append(f"l.{i}.moe.gate.weight")
+            for e in range(n_experts):
+                names += [
+                    f"l.{i}.moe.{e}.gate.weight",
+                    f"l.{i}.moe.{e}.down.weight",
+                    f"l.{i}.moe.{e}.up.weight",
+                ]
+        else:
+            names += [
+                f"l.{i}.mlp.gate.weight",
+                f"l.{i}.mlp.down.weight",
+                f"l.{i}.mlp.up.weight",
+            ]
     if not tied:
         names.append("output.weight")
     names.append("output.norm.weight")
@@ -298,7 +321,9 @@ def convert_weights(
     translated = {translate_name(k): v for k, v in weights.items()}
     out: dict[str, np.ndarray] = {}
     qkv_bias = arch_config.get("qkv_bias") == "True"
-    order = canonical_order(n_layers, tied, qkv_bias)
+    order = canonical_order(
+        n_layers, tied, qkv_bias, int(arch_config.get("n_experts", "0"))
+    )
     missing = [n for n in order if n not in translated]
     if missing:
         raise ValueError(f"missing tensors in checkpoint: {missing[:5]}...")
@@ -317,8 +342,9 @@ def convert_weights(
         elif ".attn.k." in name:
             t = permute_reverse(t, n_kv_heads, rotary_dim)
 
-        if t.ndim == 1:
-            # norm weights stay high precision (reference convert.py:770-774)
+        if t.ndim == 1 or ".moe.gate." in name:
+            # norm weights (and the MoE router, whose precision gates expert
+            # selection) stay high precision (reference convert.py:770-774)
             actual = "bf16" if t.dtype == np.dtype(ml_dtypes.bfloat16) else "f32"
         elif name in ("embed.weight", "output.weight"):
             actual = boost_type(t.dtype, target_type)

@@ -50,6 +50,7 @@ SUPPORTED_ARCHS = (
     "MistralForCausalLM",
     "GemmaForCausalLM",
     "Qwen2ForCausalLM",
+    "MixtralForCausalLM",
 )
 
 _ALIGN_TENSOR = 32

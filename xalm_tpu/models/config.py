@@ -40,6 +40,10 @@ class ModelConfig:
     # Llama/Mistral; sqrt(dim) for Gemma (HF modeling_gemma normalizer) —
     # the converter writes it so the runtime stays family-agnostic.
     embed_scale: float = 1.0
+    # sparse mixture-of-experts FFN (Mixtral): total experts per layer and
+    # how many each token routes to; 0 = dense GLU FFN
+    n_experts: int = 0
+    n_experts_active: int = 0
     # rope frequency rescaling for long-context checkpoints (Llama 3.x):
     # "none" | "linear" | "llama3" (see llama.rope_freqs)
     rope_scaling: str = "none"
@@ -73,6 +77,8 @@ class ModelConfig:
             raise ValueError(f"unsupported rope_scaling {self.rope_scaling}")
         if self.rope_scaling == "llama3" and self.rope_original_max_pos <= 0:
             raise ValueError("llama3 rope_scaling needs rope_original_max_pos")
+        if self.n_experts and not 0 < self.n_experts_active <= self.n_experts:
+            raise ValueError("n_experts_active must be in (0, n_experts]")
 
     @classmethod
     def from_metadata(cls, metadata: dict, context: int = 0) -> "ModelConfig":
@@ -97,6 +103,8 @@ class ModelConfig:
             qkv_clip=float(metadata["qkv_clip"]) if "qkv_clip" in metadata else math.inf,
             tie_word_embeddings=metadata.get("tie_word_embeddings") == "True",
             embed_scale=float(metadata.get("embed_scale", "1.0")),
+            n_experts=int(metadata.get("n_experts", "0")),
+            n_experts_active=int(metadata.get("n_experts_active", "0")),
             rope_scaling=metadata.get("rope_scaling", "none"),
             rope_factor=float(metadata.get("rope_factor", "1.0")),
             rope_low_freq_factor=float(metadata.get("rope_low_freq_factor", "1.0")),

@@ -627,16 +627,59 @@ def forward(
         x = x + attn_proj
 
         # --- GLU FFN ---
-        # fused gate/up stream, chunk-interleaved (params.LayerParams.w13);
-        # mlp rmsnorm folds into the kernel prologue at decode shapes
-        gate, up = split_w13_rows(
-            mm(x, lp.w13, layer, norm_sw=lp.mlp_norm), ffn_chunk(cfg.hidden_dim)
-        )
-        if cfg.act == "silu":
-            act = jax.nn.silu(gate)
+        if lp.w13e is not None:
+            # --- sparse mixture-of-experts FFN (Mixtral; HF
+            # modeling_mixtral semantics): f32 router softmax -> top-k of
+            # the PROBABILITIES, renormalized. Computed densely over the
+            # stacked (E, ...) expert weights with the non-selected experts
+            # masked to weight 0 — semantically exact, E/k x the selected
+            # FLOPs (the TPU-simple correctness tier; a gathered sparse
+            # path is a perf extension).
+            xn2 = rmsnorm(x, _index(lp.mlp_norm, layer), cfg.norm_eps)
+            wg = _index(lp.wgate, layer).astype(jnp.float32)  # (E, dim)
+            rlog = jnp.einsum("btd,ed->bte", xn2, wg)
+            probs = jax.nn.softmax(rlog, axis=-1)
+            topv, topi = jax.lax.top_k(probs, cfg.n_experts_active)
+            topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+            e_ids = jnp.arange(cfg.n_experts, dtype=jnp.int32)
+            wts = jnp.sum(
+                topv[..., None] * (topi[..., None] == e_ids), axis=-2
+            )  # (B, T, E): renormalized top-k probs, zero elsewhere
+            w13v = _index(lp.w13e.values, layer)  # (E, 2h, d)
+            a13 = jnp.einsum(
+                "btd,ehd->bteh",
+                xn2.astype(compute_dtype),
+                w13v.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if lp.w13e.scale is not None:
+                a13 = a13 * _index(lp.w13e.scale, layer)[None, None]
+            gate, up = split_w13_rows(a13, ffn_chunk(cfg.hidden_dim))
+            if cfg.act == "silu":
+                acte = jax.nn.silu(gate)
+            else:
+                acte = jax.nn.gelu(gate, approximate=True)
+            w2v = _index(lp.w2e.values, layer)  # (E, d, h)
+            down_e = jnp.einsum(
+                "bteh,edh->bted",
+                (acte * up).astype(compute_dtype),
+                w2v.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if lp.w2e.scale is not None:
+                down_e = down_e * _index(lp.w2e.scale, layer)[None, None]
+            down = jnp.einsum("bted,bte->btd", down_e, wts)
         else:
-            act = jax.nn.gelu(gate, approximate=True)
-        down = mm(act * up, lp.w2, layer)
+            # fused gate/up stream, chunk-interleaved (LayerParams.w13);
+            # mlp rmsnorm folds into the kernel prologue at decode shapes
+            gate, up = split_w13_rows(
+                mm(x, lp.w13, layer, norm_sw=lp.mlp_norm), ffn_chunk(cfg.hidden_dim)
+            )
+            if cfg.act == "silu":
+                act = jax.nn.silu(gate)
+            else:
+                act = jax.nn.gelu(gate, approximate=True)
+            down = mm(act * up, lp.w2, layer)
         if tp_axis is not None:
             # row-parallel w2: partial sums over the sharded hidden dim
             down = jax.lax.psum(down, tp_axis)

@@ -93,7 +93,10 @@ class QWeight:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["attn_norm", "wqkv", "wo", "mlp_norm", "w13", "w2", "bqkv"],
+    data_fields=[
+        "attn_norm", "wqkv", "wo", "mlp_norm", "w13", "w2", "bqkv",
+        "wgate", "w13e", "w2e",
+    ],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -120,12 +123,18 @@ class LayerParams:
     wqkv: QWeight  # (L, kh*(g+2)*hd, dim) — fused q/k/v, grouped by kv head
     wo: QWeight  # (L, dim, q_dim)
     mlp_norm: Any  # (L, dim)
-    w13: QWeight  # (L, 2*hidden_dim, dim) — fused gate/up, chunk-interleaved
-    w2: QWeight  # (L, dim, hidden_dim)
+    # dense GLU FFN (None for MoE models — w13e/w2e carry the experts)
+    w13: QWeight | None = None  # (L, 2*hidden_dim, dim) — fused gate/up
+    w2: QWeight | None = None  # (L, dim, hidden_dim)
     # Qwen2-family attention bias, fused in wqkv's kv-head-grouped row order
     # (None for Llama/Mistral/Gemma); added to the qkv projection output in
     # llama.forward, outside the matmul kernels
     bqkv: Any = None  # (L, kh*(g+2)*hd) f32 | None
+    # Mixtral sparse-MoE FFN: router + per-expert fused gate/up and down
+    # stacks (None for dense models)
+    wgate: Any = None  # (L, E, dim) f32 router
+    w13e: QWeight | None = None  # (L, E, 2*hidden_dim, dim)
+    w2e: QWeight | None = None  # (L, E, dim, hidden_dim)
 
 
 @functools.partial(
@@ -220,10 +229,39 @@ def split_w13_rows(y, chunk: int):
     return gate, up
 
 
+def _stack_experts_w13(stack_host, put, cfg: ModelConfig, h: int) -> QWeight:
+    """Per-expert fused gate/up stacks -> (L, E, 2h, d) (+ (L, E, 2h) scales)."""
+    vals, scs = [], []
+    for e in range(cfg.n_experts):
+        g, gs = stack_host(f"l.{{}}.moe.{e}.gate.weight", (h, cfg.dim))
+        u, us = stack_host(f"l.{{}}.moe.{e}.up.weight", (h, cfg.dim))
+        vals.append(fuse_w13(g, u, ffn_chunk(h)))
+        if gs is not None:
+            scs.append(fuse_w13(gs, us, ffn_chunk(h)))
+    v = np.stack(vals, axis=1)
+    s = np.stack(scs, axis=1) if scs else None
+    return QWeight(put(v), put(s) if s is not None else None)
+
+
+def _stack_experts_w2(stack_host, put, cfg: ModelConfig, d: int, h: int) -> QWeight:
+    """Per-expert down stacks -> (L, E, d, h) (+ (L, E, d) scales)."""
+    vals, scs = [], []
+    for e in range(cfg.n_experts):
+        w, ws = stack_host(f"l.{{}}.moe.{e}.down.weight", (d, h))
+        vals.append(w)
+        if ws is not None:
+            scs.append(ws)
+    v = np.stack(vals, axis=1)
+    s = np.stack(scs, axis=1) if scs else None
+    return QWeight(put(v), put(s) if s is not None else None)
+
+
 def load_units(cfg: ModelConfig) -> int:
     """Number of progress units load_params reports: 9 tensors per layer
-    (reference model.cpp:89-106) plus embed/out_norm/wcls."""
-    return 9 * cfg.n_layers + 3
+    (reference model.cpp:89-106) plus embed/out_norm/wcls; MoE layers swap
+    the 3 mlp tensors for the router + 3 per expert."""
+    per_layer = 9 if not cfg.n_experts else 7 + 3 * cfg.n_experts
+    return per_layer * cfg.n_layers + 3
 
 
 _FP8_DTYPES = (np.dtype("float8_e4m3fn"), np.dtype("float8_e5m2"))
@@ -308,9 +346,12 @@ def recode_params_fp8(params: ModelParams) -> ModelParams:
         wqkv=recode_fp8_qweight(lp.wqkv),
         wo=recode_fp8_qweight(lp.wo),
         mlp_norm=lp.mlp_norm,
-        w13=recode_fp8_qweight(lp.w13),
-        w2=recode_fp8_qweight(lp.w2),
+        w13=None if lp.w13 is None else recode_fp8_qweight(lp.w13),
+        w2=None if lp.w2 is None else recode_fp8_qweight(lp.w2),
         bqkv=lp.bqkv,
+        wgate=lp.wgate,
+        w13e=None if lp.w13e is None else recode_fp8_qweight(lp.w13e),
+        w2e=None if lp.w2e is None else recode_fp8_qweight(lp.w2e),
     )
     wcls = embed if tied else recode_fp8_qweight(params.wcls)
     return ModelParams(embed=embed, layers=layers, out_norm=params.out_norm, wcls=wcls)
@@ -442,7 +483,7 @@ def load_params(
         ),
         wo=stack_qw("l.{}.attn.down.weight", (d, q)),
         mlp_norm=stack_norm("l.{}.mlp.norm.weight"),
-        w13=_fused(
+        w13=None if cfg.n_experts else _fused(
             [
                 stack_host("l.{}.mlp.gate.weight", (h, d)),
                 stack_host("l.{}.mlp.up.weight", (h, d)),
@@ -450,7 +491,14 @@ def load_params(
             fuse_w13,
             ffn_chunk(h),
         ),
-        w2=stack_qw("l.{}.mlp.down.weight", (d, h)),
+        w2=None if cfg.n_experts else stack_qw("l.{}.mlp.down.weight", (d, h)),
+        wgate=(
+            put(stack_host("l.{}.moe.gate.weight", (cfg.n_experts, d))[0]
+                .astype(np.float32))
+            if cfg.n_experts else None
+        ),
+        w13e=_stack_experts_w13(stack_host, put, cfg, h) if cfg.n_experts else None,
+        w2e=_stack_experts_w2(stack_host, put, cfg, d, h) if cfg.n_experts else None,
         bqkv=(
             put(
                 fuse_qkv(

@@ -62,6 +62,14 @@ def _param_pspecs(params: ModelParams, tp: int = 1) -> ModelParams:
         w13=col,
         w2=row,
         bqkv=P(AXIS_PP, tpa),
+        # MoE expert stacks shard by layer like everything else (E local)
+        wgate=P(AXIS_PP, None, None),
+        w13e=QWeight(
+            values=P(AXIS_PP, None, None, None), scale=P(AXIS_PP, None, None)
+        ),
+        w2e=QWeight(
+            values=P(AXIS_PP, None, None, None), scale=P(AXIS_PP, None, None)
+        ),
     )
 
     def repl(x):
@@ -119,6 +127,11 @@ class PipelinedEngine(Engine):
             from xalm_tpu.parallel.shardings import validate_tp
 
             validate_tp(cfg, tp)
+            if params.layers.w13e is not None:
+                raise NotImplementedError(
+                    "MoE + tp: expert stacks are not tp-sharded yet; "
+                    "use a pp-only mesh"
+                )
         self.mesh = mesh
         self._tp = tp
 

@@ -693,7 +693,11 @@ class Engine:
             return b
 
         lw = p.layers
-        weight_bytes = sum(qbytes(w) for w in (lw.wqkv, lw.wo, lw.w13, lw.w2))
+        mats = [w for w in (lw.wqkv, lw.wo, lw.w13, lw.w2, lw.w13e, lw.w2e)
+                if w is not None]
+        weight_bytes = sum(qbytes(w) for w in mats)
+        if lw.wgate is not None:
+            weight_bytes += lw.wgate.nbytes
         weight_bytes += lw.attn_norm.nbytes + lw.mlp_norm.nbytes
         # one embedding row read
         weight_bytes += qbytes(p.embed) // cfg.vocab_size
