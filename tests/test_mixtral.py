@@ -128,13 +128,23 @@ def test_mixtral_pipeline_parallel(mx_xalm):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
-def test_mixtral_tp_raises(mx_xalm):
+def test_mixtral_expert_parallel_matches_single(mx_xalm):
+    """Expert parallelism over tp: each device computes only its local
+    experts (the router slice is zero elsewhere) and the down psum sums
+    contributions exactly."""
     import jax
+    import jax.numpy as jnp
 
     if len(jax.devices()) < 2:
         pytest.skip("needs the virtual multi-device mesh")
     from xalm_tpu.parallel.mesh import make_mesh
     from xalm_tpu.parallel.sharded_engine import ShardedEngine
 
-    with pytest.raises(NotImplementedError):
-        ShardedEngine.from_xalm(mx_xalm, make_mesh(dp=1, tp=2))
+    ref = Engine.from_xalm(mx_xalm, kv_dtype=jnp.float32, progress=False)
+    want, _, _ = ref.prefill(TOKENS, ref.new_cache(1), logits_mode="all")
+    eng = ShardedEngine.from_xalm(mx_xalm, make_mesh(dp=1, tp=2), kv_dtype=jnp.float32)
+    got, _, _ = eng.prefill(TOKENS, eng.new_cache(1), logits_mode="all")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+    a, _ = ref.generate(TOKENS[:5], 10, stop_on_eos=False, segment=1)
+    b, _ = eng.generate(TOKENS[:5], 10, stop_on_eos=False, segment=5)
+    assert a == b

@@ -645,6 +645,16 @@ def forward(
             wts = jnp.sum(
                 topv[..., None] * (topi[..., None] == e_ids), axis=-2
             )  # (B, T, E): renormalized top-k probs, zero elsewhere
+            if tp_axis is not None:
+                # expert parallelism over the tp axis: the router (replicated)
+                # computes full probabilities, each device contributes only
+                # its LOCAL experts (non-local weights sliced away are zero
+                # in its partial sum) and the shared down psum below sums
+                # the expert contributions exactly
+                e_loc = lp.w13e.values.shape[1]
+                wts = jax.lax.dynamic_slice_in_dim(
+                    wts, jax.lax.axis_index(tp_axis) * e_loc, e_loc, axis=-1
+                )
             w13v = _index(lp.w13e.values, layer)  # (E, 2h, d)
             a13 = jnp.einsum(
                 "btd,ehd->bteh",

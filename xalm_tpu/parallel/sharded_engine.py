@@ -106,12 +106,6 @@ class ShardedEngine(Engine):
         self.mesh = mesh
         tp = mesh.shape[AXIS_TP]
         validate_tp(cfg, tp)
-        if params.layers.w13e is not None:
-            raise NotImplementedError(
-                "MoE (Mixtral) tensor parallelism: expert-parallel sharding "
-                "is not wired yet — use the single-chip Engine or the "
-                "PipelinedEngine (pp shards the expert stacks by layer)"
-            )
 
         if matmul_impl == "auto":
             matmul_impl = "pallas" if jax.default_backend() == "tpu" else "xla"

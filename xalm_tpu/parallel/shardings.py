@@ -39,6 +39,8 @@ def validate_tp(cfg: ModelConfig, tp: int) -> None:
         )
     if cfg.hidden_dim % tp != 0 or cfg.vocab_size % tp != 0:
         raise ValueError(f"tp={tp} must divide hidden_dim and vocab_size")
+    if cfg.n_experts and cfg.n_experts % tp != 0:
+        raise ValueError(f"tp={tp} must divide n_experts={cfg.n_experts}")
     chunks = cfg.hidden_dim // ffn_chunk(cfg.hidden_dim)
     if chunks % tp != 0:
         raise ValueError(
@@ -67,6 +69,12 @@ def param_pspecs(cfg: ModelConfig) -> ModelParams:
         w2=row,
         # qkv bias (Qwen2) shards with the column-parallel qkv output rows
         bqkv=P(None, AXIS_TP),
+        # Mixtral MoE: replicated router, expert stacks sharded over the
+        # expert dim (expert parallelism — llama.forward slices the router
+        # weights to the local experts and the down psum sums contributions)
+        wgate=P(None, None, None),
+        w13e=_qw(P(None, AXIS_TP, None, None), P(None, AXIS_TP, None)),
+        w2e=_qw(P(None, AXIS_TP, None, None), P(None, AXIS_TP, None)),
     )
     return ModelParams(
         embed=_qw(P(None, None), P(None)),  # replicated
