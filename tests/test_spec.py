@@ -96,3 +96,23 @@ def test_spec_ring_wrap_gate(engine):
     got, stats = generate_spec(engine, prompt, n, stop_on_eos=False, segment=1)
     assert got == ref
     assert stats.generated_tokens == n
+
+
+def test_spec_on_sharded_engine(tmp_path_factory):
+    """Speculative decoding composes with the tp/dp engine (the verify
+    chunk runs the sharded forward; logits_mode='all' comes back
+    vocab-global after the engine's gather)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from xalm_tpu.parallel.mesh import make_mesh
+    from xalm_tpu.parallel.sharded_engine import ShardedEngine
+
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf2") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x2") / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+    eng = ShardedEngine.from_xalm(out, make_mesh(dp=1, tp=2))
+    ref, _ = eng.generate([1, 259, 260, 10], 10, stop_on_eos=False, segment=1)
+    got, stats = generate_spec(eng, [1, 259, 260, 10], 10, stop_on_eos=False)
+    assert got == ref

@@ -186,6 +186,8 @@ class ShardedEngine(Engine):
             return fn(params, tokens, pos, cache, valid)
 
         self._fwd = jax.jit(_fwd, static_argnames=("logits_mode",), donate_argnums=(3,))
+        # unjitted: runtime/spec.py composes device-side argmax on top
+        self._fwd_raw = _fwd
 
         def _decode_scan(params, token0, pos0, cache, n_steps: int, valid=None):
             if valid is None:
