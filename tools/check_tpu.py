@@ -144,6 +144,27 @@ def run(backend: str | None):
     for name, kv in (("bf16", jnp.bfloat16), ("i8", jnp.int8)):
         eng = Engine(cfg_loc, params_loc, None, kv_dtype=kv, compute_dtype=jnp.float32)
         drive(eng, 1, cfg_loc.vocab_size, f"tplocal/kv={name}")
+
+    # --- speculative-decoding verify chunk (runtime/spec.py): the k+1-token
+    # chunk forward with logits_mode="all" must agree position-by-position
+    # with sequential 1-token decode (prefill-kernel vs decode-kernel
+    # numerics — the property spec decode's greedy-exactness rests on)
+    eng = Engine(cfg, params, None, kv_dtype=jnp.bfloat16, compute_dtype=jnp.float32)
+    prompt = rng.integers(3, cfg.vocab_size - 2, size=(1, PREFILL)).astype(np.int32)
+    chunk = rng.integers(3, cfg.vocab_size - 2, size=(1, 8)).astype(np.int32)
+    cache = eng.new_cache(1)
+    _, cache = eng.step(prompt, np.zeros(1, np.int32), cache, logits_mode="none")
+    lg_chunk, _ = eng.step(
+        chunk, np.full(1, PREFILL, np.int32), cache, logits_mode="all"
+    )
+    cache2 = eng.new_cache(1)
+    _, cache2 = eng.step(prompt, np.zeros(1, np.int32), cache2, logits_mode="none")
+    lg_steps = []
+    for i in range(8):
+        lg, cache2 = eng.decode(chunk[:, i], np.full(1, PREFILL + i, np.int32), cache2)
+        lg_steps.append(np.asarray(lg))
+    out["specverify/chunk"] = np.asarray(lg_chunk)[0].astype(np.float32)
+    out["specverify/steps"] = np.stack(lg_steps)[:, 0].astype(np.float32)
     return jax.default_backend(), out
 
 
@@ -191,6 +212,16 @@ def main() -> int:
         if agree < 0.95 or err > 5e-2:
             print(f"FAIL: TPU numerics diverge from CPU ({name})", file=sys.stderr)
             rc = 1
+    # intra-TPU: the spec verify chunk must agree with sequential decode at
+    # every position (greedy-exactness of runtime/spec.py rests on this)
+    c8, s8 = tpu["specverify/chunk"], tpu["specverify/steps"]
+    agree = float((c8.argmax(-1) == s8.argmax(-1)).mean())
+    err = float(np.abs(c8 - s8).max() / (np.abs(c8).max() + 1e-9))
+    print(f"[specverify chunk-vs-steps on {tpu_backend}] argmax agreement: "
+          f"{agree * 100:.1f}% | max rel logit delta: {err:.3e}")
+    if agree < 0.95 or err > 5e-2:
+        print("FAIL: spec verify chunk diverges from sequential decode", file=sys.stderr)
+        rc = 1
     print("TPU numerics OK" if rc == 0 else "TPU numerics FAILED")
     return rc
 
