@@ -68,6 +68,7 @@ def synthetic_params(
         cfg.kv_dim,
         cfg.vocab_size,
     )
+    moe = cfg.n_experts > 0
     layers = LayerParams(
         attn_norm=jnp.ones((L, d), jnp.float32),
         # random weights need no interleave pass — draw the fused layouts
@@ -75,8 +76,20 @@ def synthetic_params(
         wqkv=_synth_qweight(keys[0], (L, q + 2 * kv, d), weight_dtype),
         wo=_synth_qweight(keys[3], (L, d, q), weight_dtype),
         mlp_norm=jnp.ones((L, d), jnp.float32),
-        w13=_synth_qweight(keys[4], (L, 2 * h, d), weight_dtype),
-        w2=_synth_qweight(keys[5], (L, d, h), weight_dtype),
+        w13=None if moe else _synth_qweight(keys[4], (L, 2 * h, d), weight_dtype),
+        w2=None if moe else _synth_qweight(keys[5], (L, d, h), weight_dtype),
+        wgate=(
+            jax.random.normal(keys[9], (L, cfg.n_experts, d), jnp.float32) * 0.3
+            if moe else None
+        ),
+        w13e=(
+            _synth_qweight(keys[10], (L, cfg.n_experts, 2 * h, d), weight_dtype)
+            if moe else None
+        ),
+        w2e=(
+            _synth_qweight(keys[11], (L, cfg.n_experts, d, h), weight_dtype)
+            if moe else None
+        ),
     )
     embed = _synth_qweight(keys[7], (v, d), embed_dtype, scale_mag=0.05)
     wcls = embed if cfg.tie_word_embeddings else _synth_qweight(keys[8], (v, d), embed_dtype, scale_mag=0.05)
