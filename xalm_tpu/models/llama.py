@@ -514,6 +514,11 @@ def forward(
     def _index(arr, layer):
         return jax.lax.dynamic_index_in_dim(arr, layer, 0, keepdims=False)
 
+    def _act_fn(g):
+        if cfg.act == "silu":
+            return jax.nn.silu(g)
+        return jax.nn.gelu(g, approximate=True)
+
     def body(carry, layer):
         x, ck, cv, ks, vs = carry
 
@@ -665,10 +670,7 @@ def forward(
             if lp.w13e.scale is not None:
                 a13 = a13 * _index(lp.w13e.scale, layer)[None, None]
             gate, up = split_w13_rows(a13, ffn_chunk(cfg.hidden_dim))
-            if cfg.act == "silu":
-                acte = jax.nn.silu(gate)
-            else:
-                acte = jax.nn.gelu(gate, approximate=True)
+            acte = _act_fn(gate)
             w2v = _index(lp.w2e.values, layer)  # (E, d, h)
             down_e = jnp.einsum(
                 "bteh,edh->bted",
@@ -685,11 +687,7 @@ def forward(
             gate, up = split_w13_rows(
                 mm(x, lp.w13, layer, norm_sw=lp.mlp_norm), ffn_chunk(cfg.hidden_dim)
             )
-            if cfg.act == "silu":
-                act = jax.nn.silu(gate)
-            else:
-                act = jax.nn.gelu(gate, approximate=True)
-            down = mm(act * up, lp.w2, layer)
+            down = mm(_act_fn(gate) * up, lp.w2, layer)
         if tp_axis is not None:
             # row-parallel w2: partial sums over the sharded hidden dim
             down = jax.lax.psum(down, tp_axis)

@@ -229,17 +229,39 @@ def split_w13_rows(y, chunk: int):
     return gate, up
 
 
+def _stack_scales(scs: list, n: int, what: str):
+    """Expert scale lists must be all-present or all-absent — a mix means
+    int8 codes would silently run unscaled (the _fused 'FATAL: mixed
+    quantization' contract, applied across experts)."""
+    if 0 < len(scs) < n:
+        raise ValueError(f"FATAL: mixed quantization across {what} experts")
+    return np.stack(scs, axis=1) if scs else None
+
+
+def _load_router(stack_host, put, cfg: ModelConfig, d: int):
+    """Router weights must be float (the converter keeps them f32 like the
+    norms — expert selection cannot ride a lossy int8 code)."""
+    vals, sc = stack_host("l.{}.moe.gate.weight", (cfg.n_experts, d))
+    if sc is not None:
+        raise ValueError("FATAL: MoE router weights must not be int8-quantized")
+    return put(np.asarray(vals).astype(np.float32))
+
+
 def _stack_experts_w13(stack_host, put, cfg: ModelConfig, h: int) -> QWeight:
     """Per-expert fused gate/up stacks -> (L, E, 2h, d) (+ (L, E, 2h) scales)."""
     vals, scs = [], []
     for e in range(cfg.n_experts):
         g, gs = stack_host(f"l.{{}}.moe.{e}.gate.weight", (h, cfg.dim))
         u, us = stack_host(f"l.{{}}.moe.{e}.up.weight", (h, cfg.dim))
+        if (gs is None) != (us is None):
+            raise ValueError(
+                f"FATAL: mixed quantization across expert {e} gate/up weights"
+            )
         vals.append(fuse_w13(g, u, ffn_chunk(h)))
         if gs is not None:
             scs.append(fuse_w13(gs, us, ffn_chunk(h)))
     v = np.stack(vals, axis=1)
-    s = np.stack(scs, axis=1) if scs else None
+    s = _stack_scales(scs, cfg.n_experts, "gate/up")
     return QWeight(put(v), put(s) if s is not None else None)
 
 
@@ -252,7 +274,7 @@ def _stack_experts_w2(stack_host, put, cfg: ModelConfig, d: int, h: int) -> QWei
         if ws is not None:
             scs.append(ws)
     v = np.stack(vals, axis=1)
-    s = np.stack(scs, axis=1) if scs else None
+    s = _stack_scales(scs, cfg.n_experts, "down")
     return QWeight(put(v), put(s) if s is not None else None)
 
 
@@ -492,11 +514,7 @@ def load_params(
             ffn_chunk(h),
         ),
         w2=None if cfg.n_experts else stack_qw("l.{}.mlp.down.weight", (d, h)),
-        wgate=(
-            put(stack_host("l.{}.moe.gate.weight", (cfg.n_experts, d))[0]
-                .astype(np.float32))
-            if cfg.n_experts else None
-        ),
+        wgate=_load_router(stack_host, put, cfg, d) if cfg.n_experts else None,
         w13e=_stack_experts_w13(stack_host, put, cfg, h) if cfg.n_experts else None,
         w2e=_stack_experts_w2(stack_host, put, cfg, d, h) if cfg.n_experts else None,
         bqkv=(
