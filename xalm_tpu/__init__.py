@@ -38,6 +38,22 @@ def __getattr__(name):
         from xalm_tpu.parallel.sharded_engine import ShardedEngine
 
         return ShardedEngine
+    if name == "PipelinedEngine":
+        from xalm_tpu.parallel.pipeline import PipelinedEngine
+
+        return PipelinedEngine
+    if name == "ContinuousBatcher":
+        from xalm_tpu.serve.batching import ContinuousBatcher
+
+        return ContinuousBatcher
+    if name == "Request":
+        from xalm_tpu.serve.batching import Request
+
+        return Request
+    if name == "generate_spec":
+        from xalm_tpu.runtime.spec import generate_spec
+
+        return generate_spec
     if name == "XalmFile":
         from xalm_tpu.io import XalmFile
 
