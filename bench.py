@@ -54,6 +54,33 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """Device init through the axon tunnel can hang indefinitely when the
+    tunnel is down; a hung bench is worse than a failed one (it blocks the
+    harness that invoked it). Probe in a watchdog thread and fail fast."""
+    import threading
+
+    box = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001
+            box["error"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        log(f"FATAL: jax device init did not complete in {timeout_s:.0f}s "
+            f"(TPU tunnel down?) — aborting instead of hanging")
+        os._exit(3)
+    if "error" in box:
+        log(f"FATAL: jax device init failed: {box['error']}")
+        os._exit(3)
+    return box["devices"]
+
+
 def main() -> int:
     import argparse
 
@@ -119,7 +146,7 @@ def main() -> int:
 
         cfg = dataclasses.replace(cfg, n_layers=args.layers)
 
-    dev = jax.devices()[0]
+    dev = _probe_devices()[0]
     log(f"device: {dev} | backend: {jax.default_backend()}")
     log(f"building synthetic Mistral-7B ({cfg.n_layers} layers) {args.dtype} params...")
     t0 = time.time()
