@@ -82,6 +82,7 @@ def make_weights(config: dict, seed: int = 42) -> dict[str, np.ndarray]:
     def w(*shape, scale=0.05):
         return (rng.normal(size=shape) * scale).astype(np.float32)
 
+    phi3 = config.get("model_type") == "phi3"
     tensors: dict[str, np.ndarray] = {
         "model.embed_tokens.weight": w(vocab, dim, scale=0.1),
         "model.norm.weight": np.abs(w(dim, scale=0.2)) + 0.8,
@@ -92,9 +93,12 @@ def make_weights(config: dict, seed: int = 42) -> dict[str, np.ndarray]:
     for i in range(config["num_hidden_layers"]):
         p = f"model.layers.{i}."
         tensors[p + "input_layernorm.weight"] = np.abs(w(dim, scale=0.2)) + 0.8
-        tensors[p + "self_attn.q_proj.weight"] = w(n_heads * hd, dim)
-        tensors[p + "self_attn.k_proj.weight"] = w(n_kv * hd, dim)
-        tensors[p + "self_attn.v_proj.weight"] = w(n_kv * hd, dim)
+        if phi3:  # HF Phi-3 stores qkv fused: rows [q | k | v]
+            tensors[p + "self_attn.qkv_proj.weight"] = w((n_heads + 2 * n_kv) * hd, dim)
+        else:
+            tensors[p + "self_attn.q_proj.weight"] = w(n_heads * hd, dim)
+            tensors[p + "self_attn.k_proj.weight"] = w(n_kv * hd, dim)
+            tensors[p + "self_attn.v_proj.weight"] = w(n_kv * hd, dim)
         if config.get("model_type") == "qwen2":  # HF Qwen2 has q/k/v bias
             tensors[p + "self_attn.q_proj.bias"] = w(n_heads * hd, scale=0.2)
             tensors[p + "self_attn.k_proj.bias"] = w(n_kv * hd, scale=0.2)
@@ -109,6 +113,9 @@ def make_weights(config: dict, seed: int = 42) -> dict[str, np.ndarray]:
                 tensors[q + "w1.weight"] = w(hidden, dim)
                 tensors[q + "w2.weight"] = w(dim, hidden)
                 tensors[q + "w3.weight"] = w(hidden, dim)
+        elif phi3:  # fused gate/up: rows [gate | up]
+            tensors[p + "mlp.gate_up_proj.weight"] = w(2 * hidden, dim)
+            tensors[p + "mlp.down_proj.weight"] = w(dim, hidden)
         else:
             tensors[p + "mlp.gate_proj.weight"] = w(hidden, dim)
             tensors[p + "mlp.down_proj.weight"] = w(dim, hidden)

@@ -55,6 +55,7 @@ SUPPORTED_ARCHITECTURES = (
     "GemmaForCausalLM",
     "Qwen2ForCausalLM",
     "MixtralForCausalLM",
+    "Phi3ForCausalLM",
 )
 
 # dtypes a weight body may be converted to. Runtime types are stored as-is;
@@ -112,6 +113,10 @@ def normalize_config(config: dict) -> tuple[str, dict[str, str]]:
     if arch == "MixtralForCausalLM":
         out["n_experts"] = str(config["num_local_experts"])
         out["n_experts_active"] = str(config["num_experts_per_tok"])
+    if arch == "Phi3ForCausalLM" and (config.get("rope_scaling") or {}).get(
+        "type"
+    ) in ("longrope", "su", "yarn"):
+        raise ValueError("Phi-3 longrope/su/yarn rope scaling is not supported")
     rs = config.get("rope_scaling") or {}
     rtype = rs.get("rope_type") or rs.get("type")
     if rtype in ("linear", "llama3"):
@@ -484,6 +489,25 @@ def main(argv: list[str] | None = None) -> int:
     print(f"arch={arch} layers={arch_config['n_layers']} dim={arch_config['dim']} target={args.type}")
 
     weights = _read_safetensors(shards)
+    if arch == "Phi3ForCausalLM":
+        # Phi-3 stores qkv and gate/up FUSED (modeling_phi3: qkv_proj rows
+        # [q | k | v], gate_up_proj rows [gate | up]); split them into the
+        # canonical separate tensors the container keeps
+        q_dim = int(arch_config["n_heads"]) * int(arch_config["head_dim"])
+        kv_dim = int(arch_config["n_kv_heads"]) * int(arch_config["head_dim"])
+        h = int(arch_config["hidden_dim"])
+        for k in list(weights):
+            if k.endswith(".self_attn.qkv_proj.weight"):
+                w = weights.pop(k)
+                base = k[: -len("qkv_proj.weight")]
+                weights[base + "q_proj.weight"] = w[:q_dim]
+                weights[base + "k_proj.weight"] = w[q_dim : q_dim + kv_dim]
+                weights[base + "v_proj.weight"] = w[q_dim + kv_dim :]
+            elif k.endswith(".mlp.gate_up_proj.weight"):
+                w = weights.pop(k)
+                base = k[: -len("gate_up_proj.weight")]
+                weights[base + "gate_proj.weight"] = w[:h]
+                weights[base + "up_proj.weight"] = w[h:]
     if arch == "GemmaForCausalLM":
         # GemmaRMSNorm scales by (1 + weight): fold the offset into the
         # stored norm weights so the runtime's plain rmsnorm serves every

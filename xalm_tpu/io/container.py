@@ -51,6 +51,7 @@ SUPPORTED_ARCHS = (
     "GemmaForCausalLM",
     "Qwen2ForCausalLM",
     "MixtralForCausalLM",
+    "Phi3ForCausalLM",
 )
 
 _ALIGN_TENSOR = 32
