@@ -77,3 +77,17 @@ def test_prompt_file_and_errors(tiny_xalm, tmp_path, capsys):
         harness.main([tiny_xalm, "-m", "c"])  # no prompt
     rc = harness.main(["/does/not/exist.xalm", "-m", "c", "-i", "x"])
     assert rc == 1
+
+
+def test_pp_flag(tmp_path_factory, capsys):
+    """--pp 2 routes through the PipelinedEngine and still completes."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    hf = make_tiny_model(str(tmp_path_factory.mktemp("hf") / "tiny"))
+    out = str(tmp_path_factory.mktemp("x") / "tiny.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f16"]) == 0
+    rc = harness.main([out, "-m", "c", "-i", "hello", "-n", "4", "--pp", "2"])
+    assert rc == 0
+    assert "pp=2" in capsys.readouterr().out

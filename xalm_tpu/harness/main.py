@@ -76,6 +76,9 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel ways (device mesh)")
     p.add_argument("--dp", type=int, default=1, help="data-parallel ways (device mesh)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (layer-sharded capacity "
+                        "mode; composes with --tp, exclusive with --dp)")
     p.add_argument("--coordinator", default=None,
                    help="multi-host: coordinator address host:port (or XALM_COORDINATOR)")
     p.add_argument("--num-processes", type=int, default=None,
@@ -117,7 +120,21 @@ def _load_engine(args):
     dt = {"f16": jnp.float16, "bf16": jnp.bfloat16, "f32": jnp.float32, "i8": jnp.int8, "auto": "auto"}
     print(f"loading model {args.checkpoint}")
     with profile("model load"):
-        if args.tp * args.dp > 1:
+        if args.pp > 1:
+            if args.dp > 1:
+                raise SystemExit("error: --pp composes with --tp, not --dp")
+            from xalm_tpu.parallel.pipeline import PipelinedEngine, make_pp_mesh
+
+            mesh = make_pp_mesh(args.pp, tp=args.tp)
+            print(f"mesh: pp={args.pp} x tp={args.tp} over {len(jax.devices())} devices")
+            eng = PipelinedEngine.from_xalm(
+                args.checkpoint,
+                mesh,
+                context=args.context,
+                kv_dtype=dt[args.kv_dtype],
+                compute_dtype=dt[args.compute],
+            )
+        elif args.tp * args.dp > 1:
             from xalm_tpu.parallel.mesh import make_mesh
             from xalm_tpu.parallel.sharded_engine import ShardedEngine
 
