@@ -55,7 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from xalm_tpu.models.config import KV_SINKS
-from xalm_tpu.ops.pallas_attention import _quant_rows_f32
+from xalm_tpu.ops.pallas_attention import _quant_rows_f32, rope_lane
 
 __all__ = ["fused_decode_step", "fused_step_supported"]
 
@@ -89,13 +89,6 @@ def _nbuf(n_entries: int) -> int:
     return 1
 
 
-def _rope_lane(v, cexp, sexp, hd):
-    """Interleaved-pair rotation, lane-wise (same identity as
-    pallas_attention: swap[2j] = -v[2j+1], swap[2j+1] = v[2j])."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    even = (lane % 2) == 0
-    sw = jnp.where(even, -pltpu.roll(v, hd - 1, 1), pltpu.roll(v, 1, 1))
-    return v * cexp + sw * sexp
 
 
 def _kernel(
@@ -285,14 +278,14 @@ def _kernel(
             qh = y[:, base + a * hd : base + (a + 1) * hd]
             if clip is not None:
                 qh = jnp.clip(qh, -clip, clip)
-            qr = _rope_lane(qh, cexp, sexp, hd)
+            qr = rope_lane(qh, cexp, sexp, hd)
             qs.append(qr if quant else qr * inv)
         kh = y[:, base + G * hd : base + (G + 1) * hd]
         vh = y[:, base + (G + 1) * hd : base + (G + 2) * hd]
         if clip is not None:
             kh = jnp.clip(kh, -clip, clip)
             vh = jnp.clip(vh, -clip, clip)
-        kh = _rope_lane(kh, cexp, sexp, hd)
+        kh = rope_lane(kh, cexp, sexp, hd)
         if quant:
             # the i8 weight scheme applied to the KV rows (per-layer
             # _insert_q_kernel parity: same _quant_rows_f32)
@@ -378,7 +371,7 @@ def _kernel(
                     axis=1, keepdims=True,
                 )  # (sw_rows, 1): row r carries scale lane r
                 win = sinkw[j].astype(jnp.float32) * sc_col
-                rotw = _rope_lane(win, c1, s1, hd)
+                rotw = rope_lane(win, c1, s1, hd)
                 rq, rsc = _quant_rows_f32(rotw)  # requant (per-layer parity)
                 new = jnp.where(
                     rows == kvp,
@@ -395,7 +388,7 @@ def _kernel(
                 scsink[j : j + 1, :] = srow
             else:
                 win = sinkw[j].astype(jnp.float32)  # (sw_rows, hd)
-                rotw = _rope_lane(win, c1, s1, hd).astype(cdtype)
+                rotw = rope_lane(win, c1, s1, hd).astype(cdtype)
                 new = jnp.where(
                     rows == kvp,
                     jnp.broadcast_to(kw_ref[j, bi : bi + 1], (sw_rows, hd)),
@@ -767,6 +760,11 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None)
     ta = min(_TILE_A, DQ, N, h2)
     if DQ % ta or N % ta or h2 % ta or ta % (2 * c13):
         return False
+    # int8 tile second-to-last dims must be 32-row sublane multiples or
+    # Mosaic rejects the HBM slices (CLAUDE.md tiling rule); every real
+    # family is 128-aligned, this guards exotic debug shapes
+    if ta % 32 or _pick_div(N, _TILE_B) % 32:
+        return False
     if cfg.head_dim % 2 != 0:
         return False
     # sequence-dim DMA slices (8/32-row insert/sink windows, sb-row flash
@@ -815,6 +813,8 @@ def wcls_fold_supported(cfg, params) -> bool:
     if w.values.dtype != jnp.int8 or w.scale is None:
         return False
     lp = params.layers
+    if lp.w13 is None:
+        return False  # MoE FFN (Mixtral): the megakernel is dense-only
     _, DQ, N = lp.wqkv.values.shape
     H2 = lp.w13.values.shape[1]
     ta = min(_TILE_A, DQ, N, H2)
@@ -1068,8 +1068,10 @@ def fused_decode_step(
             has_side_effects=True,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (DQ * N + N * QD + H2 * N + N * H) * L,
-            bytes_accessed=weight_bytes,
+            flops=2 * B * (DQ * N + N * QD + H2 * N + N * H) * L
+            + (2 * B * V * N if fold_wcls else 0),
+            bytes_accessed=weight_bytes
+            + (wcls.values.nbytes if fold_wcls else 0),
             transcendentals=0,
         ),
         interpret=interp,

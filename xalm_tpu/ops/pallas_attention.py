@@ -71,6 +71,18 @@ _ROWBLK = 8  # Mosaic's minimal second-to-last tile — the RMW window height
 _ROWBLK_I8 = 32  # int8 sublane tile height
 
 
+def rope_lane(v, cexp, sexp, hd: int):
+    """Interleaved-pair rotation, lane-wise: swap[2j] = -v[2j+1],
+    swap[2j+1] = v[2j], built from two rolls (Mosaic has no stride-2 lane
+    access). Shared by the sink-rotation kernels here and the decode
+    megakernel (ops/fused_decode.py) — the sign/roll identity must stay
+    bit-identical across them for the kernel-equivalence tests to hold."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    even = (lane % 2) == 0
+    sw = jnp.where(even, -pltpu.roll(v, hd - 1, 1), pltpu.roll(v, 1, 1))
+    return v * cexp + sw * sexp
+
+
 def _quant_rows_f32(vals, axis=-1):
     """f32 -> (int8 codes, f32 per-row scale), absmax/127 (the `i8` scheme).
     Integer cast routes through int32 (Mosaic's native width)."""
@@ -151,10 +163,7 @@ def _sink_q_kernel(
     rowscale = jnp.sum(jnp.where(col_pick, swin, 0.0), axis=1, keepdims=True)
 
     vals = codes.astype(jnp.float32) * rowscale
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n, hd), 1)
-    even = (lane % 2) == 0
-    swapped = jnp.where(even, -pltpu.roll(vals, hd - 1, 1), pltpu.roll(vals, 1, 1))
-    rotated = vals * cexp_ref[0][None, :] + swapped * sexp_ref[0][None, :]
+    rotated = rope_lane(vals, cexp_ref[0][None, :], sexp_ref[0][None, :], hd)
     rq, rscale = _quant_rows_f32(rotated)  # (n, hd), (n, 1)
     live = (row_in < KV_SINKS) & (rot != 0)
     kout_ref[0, 0] = jnp.where(live, rq, codes).reshape(kh, rowblk, hd)
@@ -533,10 +542,7 @@ def _update_kernel(
         k0 = jnp.where(
             rows == kvp, knew_ref[0, pl.ds(j, 1), :].astype(kwin.dtype), kwin
         ).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWBLK, hd), 1)
-        even = (lane % 2) == 0
-        swapped = jnp.where(even, -pltpu.roll(k0, hd - 1, 1), pltpu.roll(k0, 1, 1))
-        rotated = k0 * cexp_ref[0][None, :] + swapped * sexp_ref[0][None, :]
+        rotated = rope_lane(k0, cexp_ref[0][None, :], sexp_ref[0][None, :], hd)
         k0 = jnp.where((rows < KV_SINKS) & (rot != 0), rotated, k0)
         kout_ref[0, 0, 0] = k0.astype(kout_ref.dtype)
         is_new = blk_ref[b] * _ROWBLK + rows == kvp
