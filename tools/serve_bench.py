@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument("--gen", type=int, default=96, help="max new tokens per request")
     ap.add_argument("--kv", default="bf16", choices=["bf16", "i8"])
     ap.add_argument("--segment", type=int, default=None)
+    ap.add_argument("--sampled-frac", type=float, default=0.0,
+                    help="fraction of requests using temperature 0.8 + "
+                    "top_p 0.95 (the mixed-batch per-row sampled scan)")
+    ap.add_argument("--logprobs-frac", type=float, default=0.0,
+                    help="fraction of requests collecting logprobs=3")
     args = ap.parse_args()
 
     import jax
@@ -55,10 +60,17 @@ def main() -> int:
     rng = np.random.default_rng(0)
     batcher = ContinuousBatcher(eng, max_batch=args.max_batch, segment=args.segment)
     reqs = []
-    for _ in range(args.requests):
+    for i in range(args.requests):
         plen = int(rng.integers(args.prompt // 2, args.prompt * 2))
         ids = rng.integers(3, cfg.vocab_size - 2, size=plen).tolist()
-        reqs.append(Request(prompt_ids=ids, max_new_tokens=args.gen, stop_on_eos=False))
+        sampled = rng.random() < args.sampled_frac
+        reqs.append(Request(
+            prompt_ids=ids, max_new_tokens=args.gen, stop_on_eos=False,
+            temperature=0.8 if sampled else 0.0,
+            top_p=0.95 if sampled else 1.0,
+            seed=i,
+            logprobs=3 if rng.random() < args.logprobs_frac else 0,
+        ))
 
     # warm every compiled shape the run will hit (prefill buckets 16/32/64
     # in both logits modes + the decode segment) — compile time would
