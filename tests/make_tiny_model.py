@@ -105,6 +105,9 @@ def make_weights(config: dict, seed: int = 42) -> dict[str, np.ndarray]:
             tensors[p + "self_attn.v_proj.bias"] = w(n_kv * hd, scale=0.2)
         tensors[p + "self_attn.o_proj.weight"] = w(dim, n_heads * hd)
         tensors[p + "post_attention_layernorm.weight"] = np.abs(w(dim, scale=0.2)) + 0.8
+        if config.get("model_type") == "gemma2":  # 4 norms per layer
+            tensors[p + "pre_feedforward_layernorm.weight"] = np.abs(w(dim, scale=0.2)) + 0.8
+            tensors[p + "post_feedforward_layernorm.weight"] = np.abs(w(dim, scale=0.2)) + 0.8
         if config.get("model_type") == "mixtral":
             e_cnt = config["num_local_experts"]
             tensors[p + "block_sparse_moe.gate.weight"] = w(e_cnt, dim, scale=0.3)

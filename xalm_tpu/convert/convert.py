@@ -56,6 +56,7 @@ SUPPORTED_ARCHITECTURES = (
     "Qwen2ForCausalLM",
     "MixtralForCausalLM",
     "Phi3ForCausalLM",
+    "Gemma2ForCausalLM",
 )
 
 # dtypes a weight body may be converted to. Runtime types are stored as-is;
@@ -103,10 +104,21 @@ def normalize_config(config: dict) -> tuple[str, dict[str, str]]:
         "act_type": str(act),
         "tie_word_embeddings": str(config["tie_word_embeddings"]),
     }
-    if arch == "GemmaForCausalLM":
+    if arch in ("GemmaForCausalLM", "Gemma2ForCausalLM"):
         # HF modeling_gemma scales the embed output by sqrt(hidden_size);
         # stored in the container so the runtime stays family-agnostic
         out["embed_scale"] = repr(float(config["hidden_size"]) ** 0.5)
+    if arch == "Gemma2ForCausalLM":
+        # alternating local/global attention collapses to ONE behavior when
+        # the context never exceeds the sliding window — clamp the stored
+        # max_seq_len so the equivalence holds (the runtime's 4k clamp
+        # matches Gemma-2's 4k window anyway)
+        out["max_seq_len"] = str(
+            min(int(config["max_position_embeddings"]), int(config["sliding_window"]))
+        )
+        out["attn_softcap"] = repr(float(config["attn_logit_softcapping"] or 0))
+        out["logit_softcap"] = repr(float(config["final_logit_softcapping"] or 0))
+        out["post_norms"] = "True"
     if arch == "Qwen2ForCausalLM":
         # Qwen2 q/k/v projections carry bias vectors (HF modeling_qwen2)
         out["qkv_bias"] = "True"
@@ -268,7 +280,7 @@ def _read_safetensors(files: list[str]) -> dict[str, np.ndarray]:
 
 
 def canonical_order(n_layers: int, tied: bool, qkv_bias: bool = False,
-                    n_experts: int = 0) -> list[str]:
+                    n_experts: int = 0, post_norms: bool = False) -> list[str]:
     """Fixed on-disk emission order (reference convert.py:825-848, 1057-1108).
     ``qkv_bias`` appends the Qwen2-family attention bias vectors;
     ``n_experts`` swaps the dense mlp tensors for the MoE router+experts."""
@@ -288,8 +300,10 @@ def canonical_order(n_layers: int, tied: bool, qkv_bias: bool = False,
             ]
         names += [
             f"l.{i}.attn.down.weight",
-            f"l.{i}.mlp.norm.weight",
         ]
+        if post_norms:
+            names.append(f"l.{i}.attn.postnorm.weight")
+        names.append(f"l.{i}.mlp.norm.weight")
         if n_experts:
             names.append(f"l.{i}.moe.gate.weight")
             for e in range(n_experts):
@@ -304,6 +318,8 @@ def canonical_order(n_layers: int, tied: bool, qkv_bias: bool = False,
                 f"l.{i}.mlp.down.weight",
                 f"l.{i}.mlp.up.weight",
             ]
+        if post_norms:
+            names.append(f"l.{i}.mlp.postnorm.weight")
     if not tied:
         names.append("output.weight")
     names.append("output.norm.weight")
@@ -327,7 +343,8 @@ def convert_weights(
     out: dict[str, np.ndarray] = {}
     qkv_bias = arch_config.get("qkv_bias") == "True"
     order = canonical_order(
-        n_layers, tied, qkv_bias, int(arch_config.get("n_experts", "0"))
+        n_layers, tied, qkv_bias, int(arch_config.get("n_experts", "0")),
+        arch_config.get("post_norms") == "True",
     )
     missing = [n for n in order if n not in translated]
     if missing:
@@ -508,7 +525,31 @@ def main(argv: list[str] | None = None) -> int:
                 base = k[: -len("gate_up_proj.weight")]
                 weights[base + "gate_proj.weight"] = w[:h]
                 weights[base + "up_proj.weight"] = w[h:]
-    if arch == "GemmaForCausalLM":
+    if arch == "Gemma2ForCausalLM":
+        # Gemma-2's four per-layer norms map onto [attn.norm, attn.postnorm,
+        # mlp.norm, mlp.postnorm]: rename BEFORE translate_name so the
+        # generic post_attention_layernorm -> mlp.norm rule doesn't misfile
+        # the post-ATTENTION norm (in Gemma-2 the mlp norm is
+        # pre_feedforward_layernorm). Also fold query_pre_attn_scalar into
+        # the q weights: attention computes q.k/sqrt(hd), Gemma-2 wants
+        # q.k/sqrt(qpas) -> scale q rows by sqrt(hd)/sqrt(qpas) (exact,
+        # commutes with the linear rope permute).
+        qpas = float(config["query_pre_attn_scalar"])
+        hd = float(config.get("head_dim") or config["hidden_size"] // config["num_attention_heads"])
+        qfold = np.float32((hd ** 0.5) / (qpas ** 0.5))
+        renames = {
+            ".post_attention_layernorm.": ".attn.postnorm.",
+            ".pre_feedforward_layernorm.": ".mlp.norm.",
+            ".post_feedforward_layernorm.": ".mlp.postnorm.",
+        }
+        for k in list(weights):
+            if ".self_attn.q_proj." in k:
+                weights[k] = weights[k].astype(np.float32) * qfold
+            for old, new in renames.items():
+                if old in k:
+                    weights[k.replace(old, new)] = weights.pop(k)
+                    break
+    if arch in ("GemmaForCausalLM", "Gemma2ForCausalLM"):
         # GemmaRMSNorm scales by (1 + weight): fold the offset into the
         # stored norm weights so the runtime's plain rmsnorm serves every
         # family (norm weights stay f32 in the container, so this is exact)

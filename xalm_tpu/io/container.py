@@ -52,6 +52,7 @@ SUPPORTED_ARCHS = (
     "Qwen2ForCausalLM",
     "MixtralForCausalLM",
     "Phi3ForCausalLM",
+    "Gemma2ForCausalLM",
 )
 
 _ALIGN_TENSOR = 32

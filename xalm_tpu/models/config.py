@@ -44,6 +44,13 @@ class ModelConfig:
     # how many each token routes to; 0 = dense GLU FFN
     n_experts: int = 0
     n_experts_active: int = 0
+    # Gemma-2 logit softcapping: x -> tanh(x/c)*c on attention scores /
+    # final logits (0 = off). Gemma-2 also carries post-attention and
+    # post-feedforward norms (optional LayerParams fields) and folds its
+    # query_pre_attn_scalar into the q weights at conversion.
+    attn_softcap: float = 0.0
+    logit_softcap: float = 0.0
+    post_norms: bool = False
     # rope frequency rescaling for long-context checkpoints (Llama 3.x):
     # "none" | "linear" | "llama3" (see llama.rope_freqs)
     rope_scaling: str = "none"
@@ -105,6 +112,9 @@ class ModelConfig:
             embed_scale=float(metadata.get("embed_scale", "1.0")),
             n_experts=int(metadata.get("n_experts", "0")),
             n_experts_active=int(metadata.get("n_experts_active", "0")),
+            attn_softcap=float(metadata.get("attn_softcap", "0.0")),
+            logit_softcap=float(metadata.get("logit_softcap", "0.0")),
+            post_norms=metadata.get("post_norms") == "True",
             rope_scaling=metadata.get("rope_scaling", "none"),
             rope_factor=float(metadata.get("rope_factor", "1.0")),
             rope_low_freq_factor=float(metadata.get("rope_low_freq_factor", "1.0")),

@@ -158,6 +158,9 @@ def attention(
         k.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
+    if cfg.attn_softcap:
+        # Gemma-2 attention logit softcapping (HF modeling_gemma2 eager)
+        scores = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
     mask = (
         jnp.arange(s, dtype=jnp.int32)[None, None, None, None, :]
         < kv_len[:, None, None, :, None]
@@ -541,7 +544,10 @@ def forward(
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
-        fuse_attn = t == 1 and use_pallas and (ks is not None or _fused_cache_ok(ck))
+        fuse_attn = (
+            t == 1 and use_pallas and cfg.attn_softcap == 0.0
+            and (ks is not None or _fused_cache_ok(ck))
+        )
         if fuse_attn:
             # fused kernels: in-place ring write + sink rotation + flash
             # attention; no cache copies exist (ops/pallas_attention.py).
@@ -629,6 +635,8 @@ def forward(
         if tp_axis is not None:
             # row-parallel wo produced partial sums over the sharded head dim
             attn_proj = jax.lax.psum(attn_proj, tp_axis)
+        if lp.post_attn_norm is not None:  # Gemma-2 post-block norm
+            attn_proj = rmsnorm(attn_proj, _index(lp.post_attn_norm, layer), cfg.norm_eps)
         x = x + attn_proj
 
         # --- GLU FFN ---
@@ -691,6 +699,8 @@ def forward(
         if tp_axis is not None:
             # row-parallel w2: partial sums over the sharded hidden dim
             down = jax.lax.psum(down, tp_axis)
+        if lp.post_mlp_norm is not None:  # Gemma-2 post-block norm
+            down = rmsnorm(down, _index(lp.post_mlp_norm, layer), cfg.norm_eps)
         x = x + down
         return (x, ck, cv, ks, vs), None
 
@@ -744,6 +754,8 @@ def forward(
         x = x[:, -1:]
     xn = rmsnorm(x, params.out_norm, cfg.norm_eps)
     logits = mm(xn, params.wcls)
+    if cfg.logit_softcap:
+        logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
     if logits_mode in ("last", "token"):
         logits = logits[:, 0]
     if logits_mode == "token":

@@ -95,7 +95,7 @@ class QWeight:
     jax.tree_util.register_dataclass,
     data_fields=[
         "attn_norm", "wqkv", "wo", "mlp_norm", "w13", "w2", "bqkv",
-        "wgate", "w13e", "w2e",
+        "wgate", "w13e", "w2e", "post_attn_norm", "post_mlp_norm",
     ],
     meta_fields=[],
 )
@@ -135,6 +135,10 @@ class LayerParams:
     wgate: Any = None  # (L, E, dim) f32 router
     w13e: QWeight | None = None  # (L, E, 2*hidden_dim, dim)
     w2e: QWeight | None = None  # (L, E, dim, hidden_dim)
+    # Gemma-2 post-block norms, applied to the sub-block OUTPUT before the
+    # residual add (None for every other family)
+    post_attn_norm: Any = None  # (L, dim)
+    post_mlp_norm: Any = None  # (L, dim)
 
 
 @functools.partial(
@@ -283,6 +287,8 @@ def load_units(cfg: ModelConfig) -> int:
     (reference model.cpp:89-106) plus embed/out_norm/wcls; MoE layers swap
     the 3 mlp tensors for the router + 3 per expert."""
     per_layer = 9 if not cfg.n_experts else 7 + 3 * cfg.n_experts
+    if cfg.post_norms:
+        per_layer += 2
     return per_layer * cfg.n_layers + 3
 
 
@@ -517,6 +523,12 @@ def load_params(
         wgate=_load_router(stack_host, put, cfg, d) if cfg.n_experts else None,
         w13e=_stack_experts_w13(stack_host, put, cfg, h) if cfg.n_experts else None,
         w2e=_stack_experts_w2(stack_host, put, cfg, d, h) if cfg.n_experts else None,
+        post_attn_norm=(
+            stack_norm("l.{}.attn.postnorm.weight") if cfg.post_norms else None
+        ),
+        post_mlp_norm=(
+            stack_norm("l.{}.mlp.postnorm.weight") if cfg.post_norms else None
+        ),
         bqkv=(
             put(
                 fuse_qkv(

@@ -70,6 +70,8 @@ def _param_pspecs(params: ModelParams, tp: int = 1) -> ModelParams:
         w2e=QWeight(
             values=P(AXIS_PP, None, None, None), scale=P(AXIS_PP, None, None)
         ),
+        post_attn_norm=P(AXIS_PP, None),
+        post_mlp_norm=P(AXIS_PP, None),
     )
 
     def repl(x):

@@ -75,6 +75,8 @@ def param_pspecs(cfg: ModelConfig) -> ModelParams:
         wgate=P(None, None, None),
         w13e=_qw(P(None, AXIS_TP, None, None), P(None, AXIS_TP, None)),
         w2e=_qw(P(None, AXIS_TP, None, None), P(None, AXIS_TP, None)),
+        post_attn_norm=P(None, None),
+        post_mlp_norm=P(None, None),
     )
     return ModelParams(
         embed=_qw(P(None, None), P(None)),  # replicated
