@@ -99,6 +99,9 @@ def make_weights(config: dict, seed: int = 42) -> dict[str, np.ndarray]:
             tensors[p + "self_attn.q_proj.weight"] = w(n_heads * hd, dim)
             tensors[p + "self_attn.k_proj.weight"] = w(n_kv * hd, dim)
             tensors[p + "self_attn.v_proj.weight"] = w(n_kv * hd, dim)
+        if config.get("model_type") == "qwen3":  # per-head q/k norms
+            tensors[p + "self_attn.q_norm.weight"] = np.abs(w(hd, scale=0.2)) + 0.8
+            tensors[p + "self_attn.k_norm.weight"] = np.abs(w(hd, scale=0.2)) + 0.8
         if config.get("model_type") == "qwen2":  # HF Qwen2 has q/k/v bias
             tensors[p + "self_attn.q_proj.bias"] = w(n_heads * hd, scale=0.2)
             tensors[p + "self_attn.k_proj.bias"] = w(n_kv * hd, scale=0.2)

@@ -57,6 +57,7 @@ SUPPORTED_ARCHITECTURES = (
     "MixtralForCausalLM",
     "Phi3ForCausalLM",
     "Gemma2ForCausalLM",
+    "Qwen3ForCausalLM",
 )
 
 # dtypes a weight body may be converted to. Runtime types are stored as-is;
@@ -122,6 +123,9 @@ def normalize_config(config: dict) -> tuple[str, dict[str, str]]:
     if arch == "Qwen2ForCausalLM":
         # Qwen2 q/k/v projections carry bias vectors (HF modeling_qwen2)
         out["qkv_bias"] = "True"
+    if arch == "Qwen3ForCausalLM":
+        # Qwen3 dropped the bias but normalizes q/k per head before rope
+        out["qk_norm"] = "True"
     if arch == "MixtralForCausalLM":
         out["n_experts"] = str(config["num_local_experts"])
         out["n_experts_active"] = str(config["num_experts_per_tok"])
@@ -162,6 +166,8 @@ def translate_name(name: str) -> str:
     name = name.replace(".self_attn.k_proj.", ".attn.k.")
     name = name.replace(".self_attn.v_proj.", ".attn.v.")
     name = name.replace(".self_attn.o_proj.", ".attn.down.")
+    name = name.replace(".self_attn.q_norm.", ".attn.qnorm.")
+    name = name.replace(".self_attn.k_norm.", ".attn.knorm.")
     name = name.replace(".post_attention_layernorm.", ".mlp.norm.")
     name = name.replace(".input_layernorm.", ".attn.norm.")
     name = name.replace(".mlp.gate_proj.", ".mlp.gate.")
@@ -280,7 +286,8 @@ def _read_safetensors(files: list[str]) -> dict[str, np.ndarray]:
 
 
 def canonical_order(n_layers: int, tied: bool, qkv_bias: bool = False,
-                    n_experts: int = 0, post_norms: bool = False) -> list[str]:
+                    n_experts: int = 0, post_norms: bool = False,
+                    qk_norm: bool = False) -> list[str]:
     """Fixed on-disk emission order (reference convert.py:825-848, 1057-1108).
     ``qkv_bias`` appends the Qwen2-family attention bias vectors;
     ``n_experts`` swaps the dense mlp tensors for the MoE router+experts."""
@@ -303,6 +310,8 @@ def canonical_order(n_layers: int, tied: bool, qkv_bias: bool = False,
         ]
         if post_norms:
             names.append(f"l.{i}.attn.postnorm.weight")
+        if qk_norm:
+            names += [f"l.{i}.attn.qnorm.weight", f"l.{i}.attn.knorm.weight"]
         names.append(f"l.{i}.mlp.norm.weight")
         if n_experts:
             names.append(f"l.{i}.moe.gate.weight")
@@ -345,6 +354,7 @@ def convert_weights(
     order = canonical_order(
         n_layers, tied, qkv_bias, int(arch_config.get("n_experts", "0")),
         arch_config.get("post_norms") == "True",
+        arch_config.get("qk_norm") == "True",
     )
     missing = [n for n in order if n not in translated]
     if missing:
@@ -363,6 +373,11 @@ def convert_weights(
             t = permute_reverse(t, n_heads, rotary_dim)
         elif ".attn.k." in name:
             t = permute_reverse(t, n_kv_heads, rotary_dim)
+        elif ".attn.qnorm." in name or ".attn.knorm." in name:
+            # per-head (head_dim,) qk-norm weights (Qwen3) must carry the
+            # same in-head permutation as the rows they scale; the RMS
+            # reduction itself is permutation-invariant
+            t = permute_reverse(t, 1, rotary_dim)
 
         if t.ndim == 1 or ".moe.gate." in name:
             # norm weights (and the MoE router, whose precision gates expert

@@ -53,6 +53,7 @@ SUPPORTED_ARCHS = (
     "MixtralForCausalLM",
     "Phi3ForCausalLM",
     "Gemma2ForCausalLM",
+    "Qwen3ForCausalLM",
 )
 
 _ALIGN_TENSOR = 32

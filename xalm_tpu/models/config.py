@@ -51,6 +51,8 @@ class ModelConfig:
     attn_softcap: float = 0.0
     logit_softcap: float = 0.0
     post_norms: bool = False
+    # Qwen3-style per-head q/k RMS norms applied before rope
+    qk_norm: bool = False
     # rope frequency rescaling for long-context checkpoints (Llama 3.x):
     # "none" | "linear" | "llama3" (see llama.rope_freqs)
     rope_scaling: str = "none"
@@ -115,6 +117,7 @@ class ModelConfig:
             attn_softcap=float(metadata.get("attn_softcap", "0.0")),
             logit_softcap=float(metadata.get("logit_softcap", "0.0")),
             post_norms=metadata.get("post_norms") == "True",
+            qk_norm=metadata.get("qk_norm") == "True",
             rope_scaling=metadata.get("rope_scaling", "none"),
             rope_factor=float(metadata.get("rope_factor", "1.0")),
             rope_low_freq_factor=float(metadata.get("rope_low_freq_factor", "1.0")),

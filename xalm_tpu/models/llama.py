@@ -541,6 +541,12 @@ def forward(
         q = q.reshape(b, t, -1, cfg.head_dim)
         k = k.reshape(b, t, -1, cfg.head_dim)
         v = v.reshape(b, t, -1, cfg.head_dim)
+        if lp.q_norm is not None:
+            # Qwen3 per-head q/k RMS norms before rope (weights carry the
+            # converter's rope permutation; the RMS itself is
+            # permutation-invariant, so this matches HF exactly)
+            q = rmsnorm(q, _index(lp.q_norm, layer), cfg.norm_eps)
+            k = rmsnorm(k, _index(lp.k_norm, layer), cfg.norm_eps)
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 

@@ -96,6 +96,7 @@ class QWeight:
     data_fields=[
         "attn_norm", "wqkv", "wo", "mlp_norm", "w13", "w2", "bqkv",
         "wgate", "w13e", "w2e", "post_attn_norm", "post_mlp_norm",
+        "q_norm", "k_norm",
     ],
     meta_fields=[],
 )
@@ -139,6 +140,10 @@ class LayerParams:
     # residual add (None for every other family)
     post_attn_norm: Any = None  # (L, dim)
     post_mlp_norm: Any = None  # (L, dim)
+    # Qwen3-style per-head q/k RMS norms, applied before rope (rows carry
+    # the converter's rope permutation so they scale the permuted head dims)
+    q_norm: Any = None  # (L, head_dim)
+    k_norm: Any = None  # (L, head_dim)
 
 
 @functools.partial(
@@ -242,6 +247,17 @@ def _stack_scales(scs: list, n: int, what: str):
     return np.stack(scs, axis=1) if scs else None
 
 
+def _stack_hd_norm(xf, put, cfg: ModelConfig, name_fmt: str):
+    """Stacked (L, head_dim) f32 per-head q/k norms (Qwen3)."""
+    vals = np.stack(
+        [
+            _load_qweight(xf, name_fmt.format(i), (cfg.head_dim,))[0]
+            for i in range(cfg.n_layers)
+        ]
+    )
+    return put(np.asarray(vals).astype(np.float32))
+
+
 def _load_router(stack_host, put, cfg: ModelConfig, d: int):
     """Router weights must be float (the converter keeps them f32 like the
     norms — expert selection cannot ride a lossy int8 code)."""
@@ -289,6 +305,7 @@ def load_units(cfg: ModelConfig) -> int:
     per_layer = 9 if not cfg.n_experts else 7 + 3 * cfg.n_experts
     if cfg.post_norms:
         per_layer += 2
+    # qk norms load outside the ticking stack helpers — not counted
     return per_layer * cfg.n_layers + 3
 
 
@@ -529,6 +546,8 @@ def load_params(
         post_mlp_norm=(
             stack_norm("l.{}.mlp.postnorm.weight") if cfg.post_norms else None
         ),
+        q_norm=_stack_hd_norm(xf, put, cfg, "l.{}.attn.qnorm.weight") if cfg.qk_norm else None,
+        k_norm=_stack_hd_norm(xf, put, cfg, "l.{}.attn.knorm.weight") if cfg.qk_norm else None,
         bqkv=(
             put(
                 fuse_qkv(

@@ -746,6 +746,8 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None)
         return False  # qkv bias (Qwen2) not folded into the megakernel yet
     if lp.post_attn_norm is not None or cfg.attn_softcap or cfg.logit_softcap:
         return False  # Gemma-2 post norms / softcapping: XLA path
+    if lp.q_norm is not None:
+        return False  # Qwen3 qk-norm: XLA path
     if lp.w13 is None:
         return False  # MoE FFN (Mixtral) decodes through the XLA path
     for qw in (lp.wqkv, lp.wo, lp.w13, lp.w2):

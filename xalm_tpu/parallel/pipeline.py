@@ -72,6 +72,8 @@ def _param_pspecs(params: ModelParams, tp: int = 1) -> ModelParams:
         ),
         post_attn_norm=P(AXIS_PP, None),
         post_mlp_norm=P(AXIS_PP, None),
+        q_norm=P(AXIS_PP, None),
+        k_norm=P(AXIS_PP, None),
     )
 
     def repl(x):

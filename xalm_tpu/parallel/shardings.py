@@ -77,6 +77,8 @@ def param_pspecs(cfg: ModelConfig) -> ModelParams:
         w2e=_qw(P(None, AXIS_TP, None, None), P(None, AXIS_TP, None)),
         post_attn_norm=P(None, None),
         post_mlp_norm=P(None, None),
+        q_norm=P(None, None),
+        k_norm=P(None, None),
     )
     return ModelParams(
         embed=_qw(P(None, None), P(None)),  # replicated
