@@ -294,3 +294,39 @@ def test_logprobs_match_prefill_all(engine):
     logits, _, _ = engine.prefill(prompt, engine.new_cache(1), logits_mode="last")
     logp = np.asarray(jax.nn.log_softmax(np.asarray(logits)[0].astype(np.float32)))
     assert abs(r.out_logprobs[0] - float(logp[r.out_tokens[0]])) < 2e-4
+
+
+def test_prefix_caching_reuses_shared_prompt(engine):
+    """A second request sharing a long prompt prefix skips re-prefilling it
+    (lane KV copy) and still produces the exact greedy continuation."""
+    from xalm_tpu.serve.batching import ContinuousBatcher, Request
+
+    sys_prompt = [1] + list(range(259, 259 + 40))  # 41 shared tokens
+    a_ids = sys_prompt + [300, 301]
+    b_ids = sys_prompt + [310, 311, 312]
+
+    want_a, _ = engine.generate(a_ids, 8, stop_on_eos=False, segment=1)
+    want_b, _ = engine.generate(b_ids, 8, stop_on_eos=False, segment=1)
+
+    b = ContinuousBatcher(engine, max_batch=2, prefill_budget=16)
+    ra = Request(prompt_ids=a_ids, max_new_tokens=8, stop_on_eos=False)
+    rb = Request(prompt_ids=b_ids, max_new_tokens=8, stop_on_eos=False)
+    b.submit(ra)
+    b.step()  # admit A, first prefill chunk
+    b.submit(rb)
+    b.run()
+    assert ra.out_tokens == want_a
+    assert rb.out_tokens == want_b
+    assert b.prefix_hits == 1
+    assert b.prefix_tokens_saved >= 16
+
+
+def test_prefix_caching_below_threshold_skipped(engine):
+    from xalm_tpu.serve.batching import ContinuousBatcher, Request
+
+    b = ContinuousBatcher(engine, max_batch=2)
+    b.submit(Request(prompt_ids=[1, 259, 260], max_new_tokens=4, stop_on_eos=False))
+    b.step()
+    b.submit(Request(prompt_ids=[1, 259, 261], max_new_tokens=4, stop_on_eos=False))
+    b.run()
+    assert b.prefix_hits == 0

@@ -31,15 +31,28 @@ slot dimension).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from xalm_tpu.runtime.engine import Engine, _bucket
 
 __all__ = ["Request", "ContinuousBatcher"]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _copy_lane(cache, dst, src):
+    """Copy one batch lane's KV (+ scale planes) onto another, in place on
+    the donated cache (prefix caching; ~1.3 ms for a full 7B lane)."""
+
+    def cp(x):
+        return None if x is None else x.at[:, dst].set(x[:, src])
+
+    return jax.tree.map(cp, cache, is_leaf=lambda x: x is None)
 
 # widest packed prefill call: the engine's largest compiled chunk bucket —
 # a single tick can then use the big buckets instead of paying up to 8x the
@@ -116,6 +129,8 @@ class ContinuousBatcher:
         self.completed: list[Request] = []
         self.decode_steps = 0
         self.decoded_tokens = 0
+        self.prefix_hits = 0
+        self.prefix_tokens_saved = 0
 
     # ------------------------------------------------------------- lifecycle
 
@@ -151,14 +166,49 @@ class ContinuousBatcher:
                 return True
         return False
 
+    def _shared_prefix(self, req: Request) -> tuple[int, int]:
+        """Longest already-prefilled common prompt prefix among ACTIVE slots
+        (automatic prefix caching: a repeated system prompt's KV rows copy
+        lane-to-lane instead of recomputing). Pre-wrap only — past the ring
+        boundary position->slot mapping depends on history. Returns
+        (src_slot, shared_tokens); (-1, 0) when nothing usable."""
+        best, best_n = -1, 0
+        s = self.engine.cfg.max_seq_len
+        for j, r in enumerate(self.slots):
+            if r is None or int(self._pos[j]) >= s:
+                continue  # a wrapped src has clobbered its early prompt rows
+            pj = r.prompt_ids
+            # rows are valid up to the src's prefill frontier (or the whole
+            # prompt once it is decoding)
+            avail = len(pj) if self._prefill_pos[j] < 0 else int(self._prefill_pos[j])
+            n = 0
+            lim = min(len(req.prompt_ids) - 1, avail, s - 1)
+            while n < lim and req.prompt_ids[n] == pj[n]:
+                n += 1
+            if n > best_n:
+                best, best_n = j, n
+        return (best, best_n) if best_n >= self._PREFIX_MIN else (-1, 0)
+
+    _PREFIX_MIN = 16  # below this the lane copy costs more than it saves
+
     def _admit(self) -> None:
         for i in range(self.max_batch):
             if self.slots[i] is None and self._waiting:
                 req = self._waiting.pop(0)
                 req.admitted_s = time.perf_counter()
+                src, shared = self._shared_prefix(req)
                 self.slots[i] = req
                 self._prefill_pos[i] = 0
                 self._pos[i] = 0
+                if src >= 0:
+                    # copy the src lane's KV (rows beyond `shared` are junk
+                    # the kv_len masking never exposes; they are rewritten
+                    # as this slot prefills/decodes past them)
+                    self.cache = _copy_lane(self.cache, i, src)
+                    self._prefill_pos[i] = shared
+                    self._pos[i] = shared
+                    self.prefix_hits += 1
+                    self.prefix_tokens_saved += shared
                 self._temps[i] = max(req.temperature, 0.0)
                 self._top_ps[i] = req.top_p
                 if req.temperature > 0:
