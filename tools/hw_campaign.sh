@@ -46,6 +46,7 @@ run_step 6 eval 3600 python tools/eval_real_model.py
 run_step 7 check_tpu 5400 python tools/check_tpu.py
 run_step 8 serve 3600 python tools/serve_bench.py
 run_step 8 serve_mixed 3600 python tools/serve_bench.py --sampled-frac 0.5 --logprobs-frac 0.25
+run_step 8 serve_prefix 3600 python tools/serve_bench.py --shared-prefix 256
 
 run_step 9 bench_kv_i8 3600 python bench.py --kv i8
 run_step 10 bench_b8 3600 python bench.py --batch 8 --kv i8

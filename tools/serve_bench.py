@@ -38,6 +38,9 @@ def main() -> int:
                     "top_p 0.95 (the mixed-batch per-row sampled scan)")
     ap.add_argument("--logprobs-frac", type=float, default=0.0,
                     help="fraction of requests collecting logprobs=3")
+    ap.add_argument("--shared-prefix", type=int, default=0, metavar="N",
+                    help="prepend the same N-token system prompt to every "
+                    "request (measures automatic prefix caching)")
     args = ap.parse_args()
 
     import jax
@@ -59,10 +62,11 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     batcher = ContinuousBatcher(eng, max_batch=args.max_batch, segment=args.segment)
+    shared = rng.integers(3, cfg.vocab_size - 2, size=args.shared_prefix).tolist()
     reqs = []
     for i in range(args.requests):
         plen = int(rng.integers(args.prompt // 2, args.prompt * 2))
-        ids = rng.integers(3, cfg.vocab_size - 2, size=plen).tolist()
+        ids = shared + rng.integers(3, cfg.vocab_size - 2, size=plen).tolist()
         sampled = rng.random() < args.sampled_frac
         reqs.append(Request(
             prompt_ids=ids, max_new_tokens=args.gen, stop_on_eos=False,
@@ -89,6 +93,12 @@ def main() -> int:
     t0 = time.perf_counter()
     batcher.run()
     wall = time.perf_counter() - t0
+    if batcher.prefix_hits:
+        print(
+            f"prefix caching: {batcher.prefix_hits} hits, "
+            f"{batcher.prefix_tokens_saved} prompt tokens skipped",
+            file=sys.stderr, flush=True,
+        )
 
     gen_tokens = sum(len(r.out_tokens) for r in reqs)
     prompt_tokens = sum(len(r.prompt_ids) for r in reqs)
