@@ -298,3 +298,67 @@ def test_batcher_cancel(srv):
         assert 1 <= len(req.out_tokens) < 64
     finally:
         xs.shutdown()
+
+
+def test_mixed_feature_concurrency_stress(srv):
+    """Everything at once: concurrent greedy/sampled/logprobs/stop/stream/
+    chat requests against one scheduler. Flushes feature-interaction bugs
+    (queue fan-out, per-slot key/logprob state, cancel-during-stream)."""
+    base, eng = srv
+    shared = "hello world hello world "  # exercises prefix caching too
+    results = {}
+    errors = []
+
+    def go(i):
+        try:
+            kind = i % 5
+            if kind == 0:  # plain greedy
+                with _post(base + "/v1/completions",
+                           {"prompt": shared + "alpha", "max_tokens": 6}) as r:
+                    results[i] = json.loads(r.read())["choices"][0]["text"]
+            elif kind == 1:  # sampled + seeded
+                with _post(base + "/v1/completions",
+                           {"prompt": shared + "beta", "max_tokens": 6,
+                            "temperature": 0.9, "seed": i}) as r:
+                    results[i] = json.loads(r.read())["choices"][0]["text"]
+            elif kind == 2:  # logprobs
+                with _post(base + "/v1/completions",
+                           {"prompt": shared + "gamma", "max_tokens": 5,
+                            "logprobs": 2}) as r:
+                    d = json.loads(r.read())["choices"][0]
+                    assert len(d["logprobs"]["tokens"]) == len(d["logprobs"]["token_logprobs"])
+                    results[i] = d["text"]
+            elif kind == 3:  # streaming with a stop string
+                with _post(base + "/v1/completions",
+                           {"prompt": shared + "delta", "max_tokens": 12,
+                            "stop": "e", "stream": True}) as r:
+                    raw = r.read().decode()
+                assert raw.strip().endswith("data: [DONE]")
+                text = "".join(
+                    json.loads(l[6:])["choices"][0].get("text", "")
+                    for l in raw.splitlines()
+                    if l.startswith("data: ") and l != "data: [DONE]"
+                )
+                assert "e" not in text
+                results[i] = text
+            else:  # chat streaming
+                with _post(base + "/v1/chat/completions",
+                           {"messages": [{"role": "user", "content": "hi"}],
+                            "max_tokens": 5, "stream": True}) as r:
+                    raw = r.read().decode()
+                assert raw.strip().endswith("data: [DONE]")
+                results[i] = raw
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, repr(e)))
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(10)]
+    [t.start() for t in ts]
+    [t.join(timeout=180) for t in ts]
+    assert not errors, errors
+    assert len(results) == 10
+    # seeded sampled requests with different seeds may differ; same-kind
+    # greedy requests must agree with each other
+    greedy = [results[i] for i in (0, 5)]
+    assert greedy[0] == greedy[1]
+    # scheduler drained cleanly
+    assert srv[1] is not None
