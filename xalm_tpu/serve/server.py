@@ -441,6 +441,9 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--kv", default="auto", choices=["auto", "f16", "bf16", "f32", "i8"])
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel ways (slots shard over dp)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -451,7 +454,15 @@ def main(argv=None) -> int:
     enable_compile_cache()
     kv = {"auto": "auto", "f16": jnp.float16, "bf16": jnp.bfloat16,
           "f32": jnp.float32, "i8": jnp.int8}[args.kv]
-    eng = Engine.from_xalm(args.checkpoint, kv_dtype=kv)
+    if args.tp * args.dp > 1:
+        from xalm_tpu.parallel.mesh import make_mesh
+        from xalm_tpu.parallel.sharded_engine import ShardedEngine
+
+        eng = ShardedEngine.from_xalm(
+            args.checkpoint, make_mesh(dp=args.dp, tp=args.tp), kv_dtype=kv
+        )
+    else:
+        eng = Engine.from_xalm(args.checkpoint, kv_dtype=kv)
     srv, httpd = serve(eng, args.host, args.port, args.max_batch,
                        model_name=args.checkpoint.rsplit("/", 1)[-1])
     print(f"serving {args.checkpoint} on http://{args.host}:{args.port}/v1 "
