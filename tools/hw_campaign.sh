@@ -43,6 +43,7 @@ run_step 4 bench_fallback 3600 env XALM_NO_MEGAKERNEL=1 python bench.py
 
 run_step 5 train 3600 python tools/train_tiny_lm.py
 run_step 6 eval 3600 python tools/eval_real_model.py
+run_step 6 spec_probe 3600 python tools/spec_probe.py --json /tmp/hw_campaign/spec_probe.json
 run_step 7 check_tpu 5400 python tools/check_tpu.py
 run_step 8 serve 3600 python tools/serve_bench.py
 run_step 8 serve_mixed 3600 python tools/serve_bench.py --sampled-frac 0.5 --logprobs-frac 0.25
