@@ -157,6 +157,45 @@ def render_chat(messages: list[dict], chat_template: str | None) -> str:
     return "".join(parts)
 
 
+def _consume(tok, tq, cancel, stops, ids):
+    """Drain one request's queue to completion with server-side stop
+    matching. Returns (out tokens, text, finish_reason, Request)."""
+    req = None
+    acc = ""
+    starts = []  # char offset of each token's piece in acc
+    toks_seen = []
+    stop_idx = None
+    prev2 = ids[-1] if ids else tok.bos_id
+    while req is None:
+        item = tq.get()
+        if isinstance(item, tuple) and item[0] is _DONE:
+            req = item[1]
+            break
+        if stop_idx is not None:
+            continue  # draining until the cancel lands
+        if isinstance(item, tuple):
+            item = item[0]
+        starts.append(len(acc))
+        toks_seen.append(item)
+        acc += tok.decode_one(prev2, item).decode("utf-8", "replace")
+        prev2 = item
+        if stops:
+            hits = [i for i in (acc.find(s) for s in stops) if i >= 0]
+            if hits:
+                stop_idx = min(hits)
+                cancel()
+    if stop_idx is not None:
+        # token-aligned views for the logprobs arrays: tokens whose pieces
+        # begin before the stop match
+        out = [t_ for t_, s_ in zip(toks_seen, starts) if s_ < stop_idx]
+        return out, acc[:stop_idx], "stop", req
+    out = req.out_tokens
+    finish = "stop" if (out and tok.is_stop(out[-1])) else "length"
+    if finish == "stop":
+        out = out[:-1]
+    return out, tok.decode(out), finish, req
+
+
 def _top_dict(tok, prev: int, alts) -> dict:
     """Top-alternatives dict keyed by decoded piece, using the SAME
     previous-token context as the chosen token's piece so the chosen
@@ -229,6 +268,13 @@ def _make_handler(srv: XalmServer):
                 if isinstance(stops, str):
                     stops = [stops]
                 stops = [str(s) for s in stops if s][:4]
+                n_raw = body.get("n", 1)
+                n_choices = int(1 if n_raw is None else n_raw)
+                if not 1 <= n_choices <= 8:
+                    raise ValueError("n must be between 1 and 8")
+                if n_choices > 1 and body.get("stream"):
+                    raise ValueError("n > 1 with stream is not supported")
+                echo = bool(body.get("echo"))
             except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": {"message": f"bad request: {e}"}})
                 return
@@ -356,71 +402,52 @@ def _make_handler(srv: XalmServer):
                 except (BrokenPipeError, ConnectionResetError):
                     drain_after_cancel()
                 return
-            # non-streaming: consume incrementally (stop sequences cancel
-            # the request server-side as soon as they match)
-            req = None
-            acc = ""
-            starts = []  # char offset of each token's piece in acc
-            toks_seen = []
-            stop_idx = None
-            prev2 = ids[-1] if ids else tok.bos_id
-            while req is None:
-                item = tq.get()
-                if isinstance(item, tuple) and item[0] is _DONE:
-                    req = item[1]
-                    break
-                if stop_idx is not None:
-                    continue  # draining until the cancel lands
-                if isinstance(item, tuple):
-                    item = item[0]
-                starts.append(len(acc))
-                toks_seen.append(item)
-                acc += tok.decode_one(prev2, item).decode("utf-8", "replace")
-                prev2 = item
-                if stops:
-                    hits = [i for i in (acc.find(s) for s in stops) if i >= 0]
-                    if hits:
-                        stop_idx = min(hits)
-                        cancel()
-            if stop_idx is not None:
-                finish = "stop"
-                text = acc[:stop_idx]
-                # token-aligned views for the logprobs arrays: tokens whose
-                # pieces begin before the stop match
-                out = [t_ for t_, s_ in zip(toks_seen, starts) if s_ < stop_idx]
-            else:
-                out = req.out_tokens
-                finish = "stop" if (out and tok.is_stop(out[-1])) else "length"
-                if finish == "stop":
-                    out = out[:-1]
-                text = tok.decode(out)
-            if chat:
-                choice = {"index": 0, "finish_reason": finish,
-                          "message": {"role": "assistant", "content": text}}
-            else:
-                choice = {"index": 0, "text": text, "finish_reason": finish}
-                if req.logprobs and req.out_logprobs:
-                    n_lp = len(out)  # stop token (if trimmed) excluded
-                    prev2 = ids[-1] if ids else tok.bos_id
-                    pieces, tops = [], []
-                    for t_, alts in zip(out, req.out_top_logprobs):
-                        pieces.append(
-                            tok.decode_one(prev2, t_).decode("utf-8", "replace")
-                        )
-                        tops.append(_top_dict(tok, prev2, alts))
-                        prev2 = t_
-                    choice["logprobs"] = {
-                        "tokens": pieces,
-                        "token_logprobs": req.out_logprobs[:n_lp],
-                        "top_logprobs": tops,
-                    }
+            # non-streaming: consume to completion (stop sequences cancel
+            # server-side as soon as they match). n > 1: the extra choices
+            # were submitted with distinct seeds and generate concurrently
+            # in the batcher; prefix caching makes their prefills cheap.
+            extra = []
+            for ci in range(1, n_choices):
+                s_i = seed + ci if seed is not None else None
+                extra.append(srv.submit(
+                    ids, max_tokens, temperature=temperature, top_p=top_p,
+                    seed=s_i, logprobs=0 if chat else logprobs,
+                ))
+            choices = []
+            total_completion = 0
+            for ci, (q_i, cancel_i) in enumerate([(tq, cancel)] + extra):
+                out, text, finish, req = _consume(tok, q_i, cancel_i, stops, ids)
+                total_completion += len(req.out_tokens)
+                if echo and not chat:
+                    text = prompt + text
+                if chat:
+                    choice = {"index": ci, "finish_reason": finish,
+                              "message": {"role": "assistant", "content": text}}
+                else:
+                    choice = {"index": ci, "text": text, "finish_reason": finish}
+                    if req.logprobs and req.out_logprobs:
+                        n_lp = len(out)  # stop token (if trimmed) excluded
+                        prev2 = ids[-1] if ids else tok.bos_id
+                        pieces, tops = [], []
+                        for t_, alts in zip(out, req.out_top_logprobs):
+                            pieces.append(
+                                tok.decode_one(prev2, t_).decode("utf-8", "replace")
+                            )
+                            tops.append(_top_dict(tok, prev2, alts))
+                            prev2 = t_
+                        choice["logprobs"] = {
+                            "tokens": pieces,
+                            "token_logprobs": req.out_logprobs[:n_lp],
+                            "top_logprobs": tops,
+                        }
+                choices.append(choice)
             self._json(200, {
                 "id": rid, "object": obj, "created": created,
                 "model": srv.model_name,
-                "choices": [choice],
+                "choices": choices,
                 "usage": {"prompt_tokens": len(ids),
-                          "completion_tokens": len(req.out_tokens),
-                          "total_tokens": len(ids) + len(req.out_tokens)},
+                          "completion_tokens": total_completion,
+                          "total_tokens": len(ids) + total_completion},
             })
 
     return Handler
