@@ -68,3 +68,29 @@ def test_family_tp2_matches_single(family, tmp_path_factory):
     a, _ = ref.generate(TOKENS[:5], 8, stop_on_eos=False, segment=1)
     b, _ = eng.generate(TOKENS[:5], 8, stop_on_eos=False, segment=4)
     assert a == b, family
+
+
+@pytest.mark.parametrize("family", ["mistral", "gemma2", "qwen3"])
+def test_family_pp2_matches_single(family, tmp_path_factory):
+    """Representative families under pipeline parallelism (pp=2): the
+    family deltas ride the per-stage local stacks + ppermute ring."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from xalm_tpu.parallel.pipeline import PipelinedEngine, make_pp_mesh
+
+    hf = make_tiny_model(
+        str(tmp_path_factory.mktemp("hf") / family), config_overrides=_overrides(family)
+    )
+    out = str(tmp_path_factory.mktemp("x") / f"{family}.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "f32"]) == 0
+
+    ref = Engine.from_xalm(out, kv_dtype=jnp.float32, progress=False)
+    want, _, _ = ref.prefill(TOKENS, ref.new_cache(1), logits_mode="all")
+    eng = PipelinedEngine.from_xalm(out, make_pp_mesh(2), kv_dtype=jnp.float32)
+    got, _, _ = eng.prefill(TOKENS, eng.new_cache(1), logits_mode="all")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
