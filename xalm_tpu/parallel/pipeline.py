@@ -209,17 +209,26 @@ class PipelinedEngine(Engine):
         )
         self._sample_scan = None  # stochastic decode: not built for pp yet
         self._sample_scan_rows = None
+        # Engine.__init__ set instance attrs for its plain-jit fast paths;
+        # on pp-sharded params those would dynamic-slice L-sharded stacks
+        # (GSPMD all-gathers the whole weight set — OOM in exactly the
+        # capacity regime pp exists for). Null them: the portable per-chunk
+        # prefill/perplexity paths run the shard_map step instead.
+        self._prefill_chunks = None
+        self._ppl_scan = None
 
     @classmethod
     def from_xalm(cls, path: str, mesh: Mesh, *, context: int = 0,
-                  kv_dtype="auto", compute_dtype="auto", fp8_mode: str = "auto",
-                  progress: bool = False) -> "PipelinedEngine":
+                  kv_dtype="auto", compute_dtype="auto",
+                  fp8_mode: str = "auto") -> "PipelinedEngine":
         from xalm_tpu.io import XalmFile
         from xalm_tpu.models.params import load_params
 
         xf = XalmFile(path)
         cfg = ModelConfig.from_metadata(xf.config, context)
-        params = load_params(xf, cfg, fp8_mode=fp8_mode)
+        # host-side load: committing the full weight set to device 0 before
+        # resharding would OOM in the capacity regime pp exists for
+        params = load_params(xf, cfg, device_put=False, fp8_mode=fp8_mode)
         tokenizer = Tokenizer.from_xalm(xf) if "tokenizer.tokens" in xf else None
         chat_template = xf.config.get("chat_template")
         xf.close()
@@ -229,11 +238,17 @@ class PipelinedEngine(Engine):
         return eng
 
     def new_cache(self, batch: int = 1) -> KVCache:
-        cache = KVCache.init(self.cfg, batch, self.kv_dtype)
-        cspecs = _cache_pspecs(cache.quantized, self._tp)
-        return jax.tree.map(
-            lambda x, s: None if x is None else jax.device_put(
-                x, NamedSharding(self.mesh, s)
-            ),
-            cache, cspecs, is_leaf=lambda x: x is None,
+        quantized = jnp.dtype(self.kv_dtype) == jnp.dtype(jnp.int8)
+        cspecs = _cache_pspecs(quantized, self._tp)
+        shardings = jax.tree.map(
+            lambda s: None if s is None else NamedSharding(self.mesh, s),
+            cspecs, is_leaf=lambda x: x is None,
         )
+        # born sharded (jit out_shardings): no device ever materializes the
+        # whole cache — the capacity constraint pp exists to relieve
+        init = jax.jit(
+            lambda: KVCache.init(self.cfg, batch, self.kv_dtype),
+            out_shardings=shardings,
+        )
+        with self.mesh:
+            return init()

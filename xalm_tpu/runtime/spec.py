@@ -141,8 +141,8 @@ def generate_spec(
             a = 0
             while a < k and drafts[a] == int(greedy[a]):
                 a += 1
-            stats.spec_proposed += k
-            stats.spec_accepted += a
+            stats.spec_proposed += len(draft)
+            stats.spec_accepted += min(a, len(draft))
             new_toks = drafts[:a] + [int(greedy[a])]
             # the verify chunk streams the weights ONCE for a+1 emitted
             # tokens; only the KV traffic scales with the extra tokens

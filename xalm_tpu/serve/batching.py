@@ -57,7 +57,9 @@ def _copy_lane(cache, dst, src):
 # widest packed prefill call: the engine's largest compiled chunk bucket —
 # a single tick can then use the big buckets instead of paying up to 8x the
 # dispatches at the old 64 cap; the per-tick stall bound stays prefill_budget
-_MAX_CHUNK = 512
+from xalm_tpu.runtime.engine import _CHUNK_BUCKETS as _ENGINE_BUCKETS
+
+_MAX_CHUNK = _ENGINE_BUCKETS[-1]
 
 
 @dataclasses.dataclass
@@ -135,6 +137,13 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- lifecycle
 
     def submit(self, req: Request) -> int:
+        if (req.temperature > 0 or req.logprobs) and (
+            getattr(self.engine, "_sample_scan_rows", None) is None
+        ):
+            raise NotImplementedError(
+                "this engine has no per-row sampled scan (PipelinedEngine): "
+                "submit greedy requests without logprobs"
+            )
         req.id = self._next_id
         req.submitted_s = time.perf_counter()
         self._next_id += 1
@@ -263,13 +272,28 @@ class ContinuousBatcher:
             posv[i] = pos
             if pos + t >= len(ids):
                 finishing.append((i, t))
-        out, self.cache = self.engine.step(
-            tokens,
-            posv,
-            self.cache,
-            jnp.asarray(valid),
-            logits_mode="all" if finishing else "none",
+        _, self.cache = self.engine.step(
+            tokens, posv, self.cache, jnp.asarray(valid), logits_mode="none"
         )
+        if finishing:
+            # next-token logits for the finishing rows via ONE (B, 1)
+            # "last" call re-feeding each row's final prompt token at its
+            # final position with every write masked off (the packed call
+            # above already wrote that KV; kv_len lets the row attend to
+            # itself). The old logits_mode="all" computed the head over the
+            # whole (B, bucket, vocab) block — ~0.5 GB of f32 logits per
+            # finishing tick at 7B shapes — for one needed row each.
+            toks2 = np.zeros((b, 1), np.int32)
+            pos2 = posv.copy()
+            for i, t in finishing:
+                ids_i = self.slots[i].prompt_ids
+                toks2[i, 0] = ids_i[-1]
+                pos2[i] = len(ids_i) - 1
+            probe, self.cache = self.engine.step(
+                toks2, pos2, self.cache,
+                jnp.asarray(np.zeros((b, 1), bool)),
+                logits_mode="last",
+            )  # (B, vocab)
         for i, t in finishing:
             req = self.slots[i]
             if req.temperature > 0:
@@ -280,7 +304,7 @@ class ContinuousBatcher:
 
                 ks = jax.random.split(jnp.asarray(self._keys[i]))
                 draw = sample_rows(
-                    out[i : i + 1, t - 1],
+                    probe[i : i + 1],
                     ks[0][None],
                     jnp.full((1,), self._temps[i]),
                     jnp.full((1,), self._top_ps[i]),
@@ -291,11 +315,11 @@ class ContinuousBatcher:
                 # argmax on device: reading the (B, T, vocab) logits back
                 # costs ~65 MB per request at 7B vocab (measured ~seconds
                 # through a remote-device link); the argmax is 4 bytes
-                self._next_tok[i] = int(jnp.argmax(out[i, t - 1]))
+                self._next_tok[i] = int(jnp.argmax(probe[i]))
             if req.logprobs:
                 import jax
 
-                logp = jax.nn.log_softmax(out[i, t - 1].astype(jnp.float32))
+                logp = jax.nn.log_softmax(probe[i].astype(jnp.float32))
                 self._pend_lp[i] = float(logp[int(self._next_tok[i])])
                 tv, ti = jax.lax.top_k(logp, 5)
                 self._pend_top[i] = list(
