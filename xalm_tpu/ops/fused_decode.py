@@ -139,9 +139,9 @@ def _kernel(
     (
         x_ref, bufA, bufB,
         kblk, vblk, sinkw, kwin, vwin, kw_ref, vw_ref,
-        acc_ref, m_ref, l_ref, act_ref, attn_ref,
-    ) = scr[:15]
-    i_s = 15
+        acc_ref, m_ref, l_ref, act_ref, attn_ref, q_ref,
+    ) = scr[:16]
+    i_s = 16
     if quant:
         (ksb, vsb, kwsc, vwsc, scsink, scins, scv) = scr[i_s : i_s + 7]
         i_s += 7
@@ -493,6 +493,12 @@ def _kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
         m_ref[...] = jnp.full_like(m_ref, neg_inf)
         l_ref[...] = jnp.zeros_like(l_ref)
+        # park this row's rotated q heads as a (hq, hd) scratch matrix:
+        # Mosaic cannot lower a sublane concat of vectors whose lane
+        # offsets differ (hd < 128 heads are lane slices of y), but
+        # per-row masked stores + sliced loads lower fine
+        for h in range(hq):
+            q_ref[h : h + 1, :] = qs[h][bi : bi + 1]
         nblk = (kvl + sb - 1) // sb
         dma_kb(bi, 0, 0).start()
         dma_vb(bi, 0, 0).start()
@@ -539,9 +545,9 @@ def _kernel(
                         ksc = jnp.where(
                             (lane_sb == (si - t * sb)) & (rot != 0), rscj[si, 0], ksc
                         )
-                    qj = jnp.concatenate(
-                        [qs[j * G + a][bi : bi + 1] for a in range(G)], axis=0
-                    ).astype(jnp.bfloat16)  # (G, hd) — per-layer q dtype
+                    qj = q_ref[j * G : j * G + G, :].astype(
+                        jnp.bfloat16
+                    )  # (G, hd) — per-layer q dtype
                     scores = jax.lax.dot_general(
                         qj, kb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -557,9 +563,7 @@ def _kernel(
                         kb = jnp.where(
                             (rows2 == (si - t * sb)) & (rot != 0), rs[j][si : si + 1], kb
                         )
-                    qj = jnp.concatenate(
-                        [qs[j * G + a][bi : bi + 1] for a in range(G)], axis=0
-                    )  # (G, hd)
+                    qj = q_ref[j * G : j * G + G, :]  # (G, hd)
                     scores = jax.lax.dot_general(
                         qj, kb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -589,9 +593,10 @@ def _kernel(
         # (hq sublane row picks; every wo tile is then ONE (B, TA) dot)
         lsafe = jnp.where(l_ref[:hq, :1] > 0, l_ref[:hq, :1], 1.0)
         attn = acc_ref[:hq, :] / lsafe  # (HQ, hd) f32
-        attn_ref[bi : bi + 1, :] = jnp.concatenate(
-            [attn[h : h + 1] for h in range(hq)], axis=1
-        )
+        # lane-flatten via per-head stores: a lane concat of rows taken at
+        # different sublane offsets is another Mosaic concat NotImplemented
+        for h in range(hq):
+            attn_ref[bi : bi + 1, h * hd : (h + 1) * hd] = attn[h : h + 1, :]
 
     def dma_kb(bi, t, slot):
         return pltpu.make_async_copy(
@@ -781,6 +786,14 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None)
     S = cache_k.shape[3]
     if S < 8 or S % 8:
         return False
+    # real Mosaic cannot memref_slice sub-lane-tile trailing dims (the
+    # manual DMAs slice (.., hd)/(.., N)-shaped HBM windows); interpret
+    # mode (CPU tests) has no such limit, so only gate on the TPU backend
+    if jax.default_backend() == "tpu" and (
+        cfg.head_dim % 128 or N % 128 or DQ % 128 or h2 % 128
+        or cfg.hidden_dim % 128
+    ):
+        return False
     if quant:
         if S < 32 or S % 32:
             return False
@@ -788,6 +801,11 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None)
         if sb != S and sb % 128:
             return False
         if S % min(128, S):
+            return False
+        # real Mosaic cannot memref_slice a sub-128-lane window out of the
+        # (L, B, KH, S) scale planes (lane tile is 128): tiny quant windows
+        # run the per-layer path on hardware, interpret mode still covers
+        if S % 128 and jax.default_backend() == "tpu":
             return False
     if os.environ.get("XALM_NO_MEGAKERNEL"):
         return False
@@ -803,6 +821,10 @@ def embed_fold_supported(cfg, params) -> bool:
         return False
     Ve, n = e.values.shape
     if Ve < 16 or Ve % 16:
+        return False
+    if n % 128 and jax.default_backend() == "tpu":
+        # Mosaic cannot memref_slice a dynamic sublane window out of a
+        # sub-lane-tile (n < 128 or unaligned) HBM table; interpret mode can
         return False
     if os.environ.get("XALM_NO_MK_EMBED"):
         return False
@@ -975,6 +997,7 @@ def fused_decode_step(
             pltpu.VMEM((hq_p, 128), jnp.float32),  # flash l
             pltpu.VMEM((B, H), jnp.float32),  # act
             pltpu.VMEM((B, QD), jnp.float32),  # attention out rows
+            pltpu.VMEM((hq_p, hd), jnp.float32),  # q rows (row-serial)
         ]
         + ([
             pltpu.VMEM((2, KH, sb), jnp.float32),  # K scale flash blocks
