@@ -59,9 +59,9 @@ from xalm_tpu.ops.pallas_attention import _quant_rows_f32, rope_lane
 
 __all__ = ["fused_decode_step", "fused_step_supported"]
 
-_TILE_A = 256  # pool-A tile rows (x N lanes int8 = 1 MiB at 7B)
-_TILE_B = 128  # pool-B (w2) tile rows (x hidden lanes)
-_NBUF_CAP = 8  # max outstanding tiles per pool
+_TILE_A = int(os.environ.get("XALM_MK_TA", 256))  # pool-A tile rows (x N lanes int8 = 1 MiB at 7B)
+_TILE_B = int(os.environ.get("XALM_MK_TB", 128))  # pool-B (w2) tile rows (x hidden lanes)
+_NBUF_CAP = int(os.environ.get("XALM_MK_NBUF", 8))  # max outstanding tiles per pool
 _MAX_B = 8  # attention/ring phase unrolls rows; compile time scales with B
 
 
