@@ -286,6 +286,7 @@ def main() -> int:
         return 0
 
     b = max(args.batch, 1)
+    log(f"decode path: {eng.decode_path(b)}")
     cache = eng.new_cache(b)
     log(
         f"kv cache: {cache.nbytes() / 1e9:.2f} GB "

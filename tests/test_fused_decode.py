@@ -426,3 +426,20 @@ def test_fused_embed_fold_matches(tiny_i8, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
     )
+
+
+def test_decode_path_is_surfaced(tiny_i8, monkeypatch):
+    """Engine.decode_path reports which decode implementation a config
+    actually runs (fallbacks must be visible, not silent)."""
+    import jax.numpy as jnp
+
+    fused, ref = _engines(tiny_i8)
+    assert fused.decode_path(1) == "megakernel"
+    assert ref.decode_path(1) == "perlayer"
+    # batch beyond the kernel's unroll cap falls back — and says so
+    assert fused.decode_path(64) == "perlayer"
+    xla = Engine.from_xalm(tiny_i8, matmul_impl="xla",
+                           kv_dtype=jnp.float32, progress=False)
+    assert xla.decode_path(1) == "xla"
+    monkeypatch.setenv("XALM_NO_MEGAKERNEL", "1")
+    assert fused.decode_path(1) == "perlayer"

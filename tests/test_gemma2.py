@@ -109,14 +109,35 @@ def test_gemma2_generate_greedy_matches_hf(g2_xalm, tiny_g2):
     assert out == hf
 
 
-def test_gemma2_megakernel_gated_off(g2_xalm, tmp_path):
-    """Softcapping/post-norms cannot ride the fused decode paths."""
+def test_gemma2_megakernel_matches_perlayer(tiny_g2, tmp_path):
+    """Post-attn/post-ffn norms + both softcaps folded into the megakernel:
+    i8 decode through a ring wrap must match the per-layer path exactly
+    (same bf16 MXU compute on both sides)."""
+    import jax.numpy as jnp
+
     from xalm_tpu.ops.fused_decode import fused_step_supported
 
     out = str(tmp_path / "g2_i8.xalm")
-    # i8 body: the only weights the megakernel would otherwise accept
-    # (fixture source dir is the same family checkpoint)
-    eng = Engine.from_xalm(g2_xalm, progress=False)
-    assert not fused_step_supported(
-        eng.cfg, eng.params, eng.new_cache(1).k, 1, 1, None
+    assert cvt.main(["--input", tiny_g2, "--output", out, "--type", "i8"]) == 0
+    fused = Engine.from_xalm(
+        out, matmul_impl="pallas", kv_dtype=jnp.float32, context=16,
+        progress=False,
+    )
+    ref = Engine.from_xalm(
+        out, matmul_impl="pallas", kv_dtype=jnp.float32, context=16,
+        progress=False, fused_step=False,
+    )
+    cache = fused.new_cache(1)
+    assert fused_step_supported(fused.cfg, fused.params, cache.k, 1, 1)
+    rng = np.random.default_rng(4)
+    toks = rng.integers(3, 350, size=24)  # crosses the 16-token window
+    cf, cr = cache, ref.new_cache(1)
+    for i, t in enumerate(toks):
+        lf, cf = fused.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=3e-4, atol=3e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
     )

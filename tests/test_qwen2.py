@@ -130,3 +130,37 @@ def test_qwen2_sharded_matches_single(qwen_xalm):
     eng = ShardedEngine.from_xalm(qwen_xalm, mesh, kv_dtype=jnp.float32)
     got, _, _ = eng.prefill(TOKENS, eng.new_cache(1), logits_mode="all")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_megakernel_matches_perlayer(tiny_qwen, tmp_path):
+    """The fused qkv bias rides the megakernel's phase-1 epilogue: i8
+    decode through a ring wrap must match the per-layer path exactly."""
+    import jax.numpy as jnp
+
+    from xalm_tpu.ops.fused_decode import fused_step_supported
+
+    out = str(tmp_path / "qwen2_i8.xalm")
+    assert cvt.main(["--input", tiny_qwen, "--output", out, "--type", "i8"]) == 0
+    fused = Engine.from_xalm(
+        out, matmul_impl="pallas", kv_dtype=jnp.float32, context=16,
+        progress=False,
+    )
+    ref = Engine.from_xalm(
+        out, matmul_impl="pallas", kv_dtype=jnp.float32, context=16,
+        progress=False, fused_step=False,
+    )
+    cache = fused.new_cache(1)
+    assert fused.params.layers.bqkv is not None
+    assert fused_step_supported(fused.cfg, fused.params, cache.k, 1, 1)
+    rng = np.random.default_rng(6)
+    toks = rng.integers(3, 350, size=24)  # crosses the 16-token window
+    cf, cr = cache, ref.new_cache(1)
+    for i, t in enumerate(toks):
+        lf, cf = fused.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=3e-4, atol=3e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )

@@ -90,3 +90,38 @@ def test_qwen3_decode_matches_prefill(q3_xalm):
     got = np.stack(outs)
     prefill, _, _ = eng.prefill(TOKENS, eng.new_cache(1), logits_mode="all")
     np.testing.assert_allclose(got, prefill, rtol=1e-4, atol=1e-5)
+
+
+def test_qwen3_megakernel_matches_perlayer(tiny_q3, tmp_path):
+    """Per-head q/k RMS norms folded into the megakernel (pre-rope, after
+    clip — llama.body order): i8 decode through a ring wrap must match the
+    per-layer path exactly."""
+    import jax.numpy as jnp
+
+    from xalm_tpu.ops.fused_decode import fused_step_supported
+
+    out = str(tmp_path / "qwen3_i8.xalm")
+    assert cvt.main(["--input", tiny_q3, "--output", out, "--type", "i8"]) == 0
+    fused = Engine.from_xalm(
+        out, matmul_impl="pallas", kv_dtype=jnp.float32, context=16,
+        progress=False,
+    )
+    ref = Engine.from_xalm(
+        out, matmul_impl="pallas", kv_dtype=jnp.float32, context=16,
+        progress=False, fused_step=False,
+    )
+    cache = fused.new_cache(1)
+    assert fused.params.layers.q_norm is not None
+    assert fused_step_supported(fused.cfg, fused.params, cache.k, 1, 1)
+    rng = np.random.default_rng(8)
+    toks = rng.integers(3, 350, size=24)  # crosses the 16-token window
+    cf, cr = cache, ref.new_cache(1)
+    for i, t in enumerate(toks):
+        lf, cf = fused.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=3e-4, atol=3e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )

@@ -227,7 +227,8 @@ def run_completion(args) -> int:
         f"  prompt: {stats.prompt_tokens} tokens, hydrate: {stats.prefill_s:.4g}s\n"
         f"  {stats.generated_tokens} tokens, throughput: {stats.tok_per_s:.5g} tok/s, "
         f"latency: {stats.decode_s/max(stats.generated_tokens,1):.5g} s/tok\n"
-        f"  bandwidth: {stats.bandwidth_gb_s:.5g} GB/s (vs active bytes model)"
+        f"  bandwidth: {stats.bandwidth_gb_s:.5g} GB/s (vs active bytes model)\n"
+        f"  decode path: {eng.decode_path(1)}"
     )
     if stats.spec_proposed:
         print(

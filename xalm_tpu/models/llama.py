@@ -430,6 +430,8 @@ def forward(
                 logits = qmatmul(
                     xn, params.wcls, compute_dtype=compute_dtype, impl="xla"
                 )
+            if cfg.logit_softcap:  # Gemma-2 (the wcls fold caps in-kernel)
+                logits = jnp.tanh(logits / cfg.logit_softcap) * cfg.logit_softcap
             if logits_mode == "token":
                 return (
                     jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32),

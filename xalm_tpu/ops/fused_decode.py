@@ -102,6 +102,12 @@ def _kernel(
     B: int = 1, quant: bool = False,
     V: int = 0, fold_wcls: bool = False, fold_embed: bool = False,
     ES: float = 1.0,
+    # family deltas folded under the weight stream (all VPU work):
+    has_bias: bool = False,  # Qwen2 fused qkv bias
+    has_qk: bool = False,  # Qwen3 per-head q/k RMS norms before rope
+    has_pn: bool = False,  # Gemma-2 post-attention/post-ffn block norms
+    asc: float = 0.0,  # Gemma-2 attention-score softcap (0 = off)
+    lsc: float = 0.0,  # Gemma-2 final-logit softcap (0 = off)
 ):
     it = iter(refs)
     x0_ref = None if fold_embed else next(it)
@@ -116,6 +122,11 @@ def _kernel(
     so_ref = next(it)
     s13_ref = next(it)
     s2_ref = next(it)
+    bqkv_ref = next(it) if has_bias else None
+    qn_ref = next(it) if has_qk else None
+    kn_ref = next(it) if has_qk else None
+    pan_ref = next(it) if has_pn else None
+    pmn_ref = next(it) if has_pn else None
     onorm_ref = next(it) if fold_wcls else None
     swcls_ref = next(it) if fold_wcls else None
     wqkv_hbm = next(it)
@@ -142,6 +153,8 @@ def _kernel(
         acc_ref, m_ref, l_ref, act_ref, attn_ref, q_ref,
     ) = scr[:16]
     i_s = 16
+    pn_ref = scr[i_s] if has_pn else None  # ffn output row (postnorm fold)
+    i_s += 1 if has_pn else 0
     if quant:
         (ksb, vsb, kwsc, vwsc, scsink, scins, scv) = scr[i_s : i_s + 7]
         i_s += 7
@@ -244,13 +257,19 @@ def _kernel(
     ms = jnp.mean(x * x, axis=-1, keepdims=True)
     xn = (x * jax.lax.rsqrt(ms + eps) * anorm_ref[0]).astype(jnp.bfloat16)
     sqkv = sqkv_ref[0]
+    skip_dot = "nodot" in PR  # probe: stream tiles with ZERO matmul work
     ys = []
     for e in range(nqkv):
         consume_wait(e)
-        yt = jax.lax.dot_general(
-            xn, bufA[e % nbA], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sqkv[:, e * TA : (e + 1) * TA]
+        if skip_dot:
+            yt = jnp.zeros((xn.shape[0], TA), jnp.float32)
+        else:
+            yt = jax.lax.dot_general(
+                xn, bufA[e % nbA], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sqkv[:, e * TA : (e + 1) * TA]
+        if has_bias:  # Qwen2 fused qkv bias (rows match wqkv's order)
+            yt = yt + bqkv_ref[0][:, e * TA : (e + 1) * TA]
         ys.append(yt)
         issue(e + nbA)
     y = jnp.concatenate(ys, axis=1)  # (1, DQ) — lane concat, layout-free
@@ -270,6 +289,12 @@ def _kernel(
     # qs: HQ rotated query rows, (B, hd) f32. Float path pre-scales by
     # 1/sqrt(hd); the quant path folds inv into the scale product instead,
     # mirroring the per-layer _attn_q_kernel's op order exactly.
+    def _hnorm(v, w_ref):
+        # Qwen3 per-head RMS norm (per-layer path: llama.body's q_norm);
+        # w_ref block is (1, 1, hd) -> [0] is the (1, hd) lane vector
+        msv = jnp.mean(v * v, axis=-1, keepdims=True)
+        return v * jax.lax.rsqrt(msv + eps) * w_ref[0]
+
     qs = []
     kw_f = []  # float path: per-kv-head rotated K rows as written
     for j in range(KH):
@@ -278,6 +303,8 @@ def _kernel(
             qh = y[:, base + a * hd : base + (a + 1) * hd]
             if clip is not None:
                 qh = jnp.clip(qh, -clip, clip)
+            if has_qk:
+                qh = _hnorm(qh, qn_ref)
             qr = rope_lane(qh, cexp, sexp, hd)
             qs.append(qr if quant else qr * inv)
         kh = y[:, base + G * hd : base + (G + 1) * hd]
@@ -285,6 +312,8 @@ def _kernel(
         if clip is not None:
             kh = jnp.clip(kh, -clip, clip)
             vh = jnp.clip(vh, -clip, clip)
+        if has_qk:
+            kh = _hnorm(kh, kn_ref)
         kh = rope_lane(kh, cexp, sexp, hd)
         if quant:
             # the i8 weight scheme applied to the KV rows (per-layer
@@ -568,6 +597,8 @@ def _kernel(
                         qj, kb, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (G, sb)
+                if asc:  # Gemma-2 attention-score softcap (HF eager parity)
+                    scores = jnp.tanh(scores * (1.0 / asc)) * asc
                 scores = jnp.where(live, scores, neg_inf)
                 lo = j * G
                 m_old = m_ref[lo : lo + G, :1]
@@ -633,12 +664,26 @@ def _kernel(
     for e in range(nqkv, nqkv + nwo):
         consume_wait(e)
         eo = e - nqkv
+        if skip_dot:
+            issue(e + nbA)
+            continue
         part = jax.lax.dot_general(
             attn_flat, bufA[e % nbA], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * so[:, eo * TA : (eo + 1) * TA]
-        x_ref[:, eo * TA : (eo + 1) * TA] = x[:, eo * TA : (eo + 1) * TA] + part
+        if has_pn:
+            # Gemma-2 post-attention norm needs the FULL projection before
+            # the residual add: park tiles in attn_ref (dead after the
+            # attn_flat read above; QD == N by the support gate), normalize
+            # below
+            attn_ref[:, eo * TA : (eo + 1) * TA] = part
+        else:
+            x_ref[:, eo * TA : (eo + 1) * TA] = x[:, eo * TA : (eo + 1) * TA] + part
         issue(e + nbA)
+    if has_pn:
+        proj = attn_ref[...]
+        msp = jnp.mean(proj * proj, axis=-1, keepdims=True)
+        x_ref[...] = x + proj * jax.lax.rsqrt(msp + eps) * pan_ref[0]
 
     # ---- phase 3: w13 tiles -> silu GLU ---------------------------------
     x = x_ref[...]
@@ -683,11 +728,18 @@ def _kernel(
                 actb, bufB[slot], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * s2[:, i * TB : (i + 1) * TB]  # (1, TB)
-            x_ref[:, i * TB : (i + 1) * TB] = x_ref[:, i * TB : (i + 1) * TB] + y2
+            if has_pn:  # Gemma-2: park for the post-ffn norm below
+                pn_ref[:, i * TB : (i + 1) * TB] = y2
+            else:
+                x_ref[:, i * TB : (i + 1) * TB] = x_ref[:, i * TB : (i + 1) * TB] + y2
         if i + nbB < nt2:
             pltpu.make_async_copy(
                 w2_hbm.at[l, pl.ds((i + nbB) * TB, TB), :], bufB.at[slot], sB.at[slot]
             ).start()
+    if has_pn and not skip_ffn:
+        down = pn_ref[...]
+        msd = jnp.mean(down * down, axis=-1, keepdims=True)
+        x_ref[...] = x_ref[...] + down * jax.lax.rsqrt(msd + eps) * pmn_ref[0]
 
     @pl.when(l == L - 1)
     def _emit():
@@ -718,6 +770,9 @@ def _kernel(
                         xn3, bufA[i % nbA], (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) * sw[:, i * TA : (i + 1) * TA]  # (B, TA)
+                    if lsc:  # Gemma-2 final-logit softcap (monotone:
+                        # the running argmax below is unaffected)
+                        lt = jnp.tanh(lt * (1.0 / lsc)) * lsc
                     logits_ref[:, i * TA : (i + 1) * TA] = lt
                     tmax = jnp.max(lt, axis=1, keepdims=True)  # (B, 1)
                     # first-occurrence tie-break, matching jnp.argmax
@@ -747,12 +802,8 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None)
     ):
         return False
     lp = params.layers
-    if lp.bqkv is not None:
-        return False  # qkv bias (Qwen2) not folded into the megakernel yet
-    if lp.post_attn_norm is not None or cfg.attn_softcap or cfg.logit_softcap:
-        return False  # Gemma-2 post norms / softcapping: XLA path
-    if lp.q_norm is not None:
-        return False  # Qwen3 qk-norm: XLA path
+    # Qwen2 qkv bias, Qwen3 qk-norm, and Gemma-2 postnorms/softcaps are all
+    # folded in-kernel (VPU work under the weight stream) — no family gate
     if lp.w13 is None:
         return False  # MoE FFN (Mixtral) decodes through the XLA path
     for qw in (lp.wqkv, lp.wo, lp.w13, lp.w2):
@@ -938,12 +989,19 @@ def fused_decode_step(
         ]
     )
 
+    has_bias = lp.bqkv is not None
+    has_qk = lp.q_norm is not None
+    has_pn = lp.post_attn_norm is not None
+    if has_pn:
+        assert lp.post_mlp_norm is not None and QD == N
     kernel = functools.partial(
         _kernel,
         L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, H2=H2, S=S, sb=sb,
         TA=TA, TB=TB, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
         cdtype=cdtype, B=B, quant=quant, V=V, fold_wcls=fold_wcls,
         fold_embed=fold_embed, ES=float(cfg.embed_scale),
+        has_bias=has_bias, has_qk=has_qk, has_pn=has_pn,
+        asc=float(cfg.attn_softcap), lsc=float(cfg.logit_softcap),
     )
     const = lambda l, m: (0, 0)
     row = lambda l, m: (l, 0, 0)
@@ -964,6 +1022,18 @@ def fused_decode_step(
         pl.BlockSpec((1, 1, H2), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
     ]
+    if has_bias:
+        vm_specs.append(pl.BlockSpec((1, 1, DQ), row, memory_space=pltpu.VMEM))
+    if has_qk:
+        vm_specs += [
+            pl.BlockSpec((1, 1, hd), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), row, memory_space=pltpu.VMEM),
+        ]
+    if has_pn:
+        vm_specs += [
+            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+        ]
     if fold_wcls:
         vm_specs += [
             pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),  # out_norm
@@ -999,6 +1069,7 @@ def fused_decode_step(
             pltpu.VMEM((B, QD), jnp.float32),  # attention out rows
             pltpu.VMEM((hq_p, hd), jnp.float32),  # q rows (row-serial)
         ]
+        + ([pltpu.VMEM((B, N), jnp.float32)] if has_pn else [])  # ffn out
         + ([
             pltpu.VMEM((2, KH, sb), jnp.float32),  # K scale flash blocks
             pltpu.VMEM((2, KH, sb), jnp.float32),  # V scale flash blocks
@@ -1066,6 +1137,18 @@ def fused_decode_step(
         lp.w13.scale.reshape(L, 1, H2).astype(jnp.float32),
         lp.w2.scale.reshape(L, 1, N).astype(jnp.float32),
     ]
+    if has_bias:
+        call_args.append(lp.bqkv.reshape(L, 1, DQ).astype(jnp.float32))
+    if has_qk:
+        call_args += [
+            lp.q_norm.reshape(L, 1, hd).astype(jnp.float32),
+            lp.k_norm.reshape(L, 1, hd).astype(jnp.float32),
+        ]
+    if has_pn:
+        call_args += [
+            lp.post_attn_norm.reshape(L, 1, N).astype(jnp.float32),
+            lp.post_mlp_norm.reshape(L, 1, N).astype(jnp.float32),
+        ]
     if fold_wcls:
         call_args += [
             jnp.asarray(out_norm, jnp.float32).reshape(1, N),

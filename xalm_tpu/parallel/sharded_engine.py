@@ -91,6 +91,14 @@ def _pspecs_like(params: ModelParams, cfg: ModelConfig) -> ModelParams:
 class ShardedEngine(Engine):
     """Engine whose step functions run under shard_map over a (dp, tp) mesh."""
 
+    def decode_path(self, batch: int = 1) -> str:
+        # the megakernel is single-device (forward gates on tp_axis); every
+        # sharded decode step runs the per-layer kernels inside shard_map
+        return (
+            f"perlayer (shard_map dp={self.mesh.shape[AXIS_DP]}"
+            f" tp={self.mesh.shape[AXIS_TP]})"
+        )
+
     def __init__(
         self,
         cfg: ModelConfig,

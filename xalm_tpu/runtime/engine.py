@@ -380,6 +380,26 @@ class Engine:
     def new_cache(self, batch: int = 1) -> KVCache:
         return KVCache.init(self.cfg, batch, self.kv_dtype)
 
+    def decode_path(self, batch: int = 1) -> str:
+        """Which implementation a (batch, T=1) decode step runs on this
+        backend: 'megakernel' (whole-step fused pallas_call), 'perlayer'
+        (per-op pallas kernels), or 'xla'. Shape-only — mirrors the gates
+        in models/llama.forward — so fallbacks are visible up front in
+        bench/harness/serving stats instead of silently costing tok/s."""
+        if self.matmul_impl != "pallas":
+            return "xla"
+        from xalm_tpu.ops.fused_decode import fused_step_supported
+
+        shape = KVCache.plane_shape(self.cfg, batch)
+        quant = jnp.dtype(self.kv_dtype) == jnp.dtype(jnp.int8)
+        k = jax.ShapeDtypeStruct(shape, self.kv_dtype)
+        ks = jax.ShapeDtypeStruct(shape[:-1], jnp.float32) if quant else None
+        if self.fused_step and fused_step_supported(
+            self.cfg, self.params, k, batch, 1, ks
+        ):
+            return "megakernel"
+        return "perlayer"
+
     def step(self, tokens, pos, cache: KVCache, valid=None, logits_mode="last"):
         """Raw jitted forward on device arrays. tokens (B,T), pos (B,)."""
         tokens = jnp.asarray(tokens, jnp.int32)

@@ -493,7 +493,8 @@ def main(argv=None) -> int:
     srv, httpd = serve(eng, args.host, args.port, args.max_batch,
                        model_name=args.checkpoint.rsplit("/", 1)[-1])
     print(f"serving {args.checkpoint} on http://{args.host}:{args.port}/v1 "
-          f"(max_batch={args.max_batch})", flush=True)
+          f"(max_batch={args.max_batch}, "
+          f"decode path: {eng.decode_path(args.max_batch)})", flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
