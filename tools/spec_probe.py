@@ -39,6 +39,12 @@ def main() -> int:
     ap.add_argument("--gen", type=int, default=64, help="tokens generated per prompt")
     ap.add_argument("--k", type=int, default=7, help="drafts per verify chunk")
     ap.add_argument("--json", default=None, help="also write a JSON summary here")
+    ap.add_argument("--draft", action="store_true",
+                    help="draft-model mode: the model drafts for itself via "
+                    "a second engine (two-model speculation plumbing)")
+    ap.add_argument("--context", type=int, default=0,
+                    help="override the window (e.g. 128 with ctx 192: the "
+                    "ring wraps, exercising wrap-safe verify-then-commit)")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +65,13 @@ def main() -> int:
     if not xalm.exists():
         rc = cvt.main(["--input", model_dir, "--output", str(xalm), "--type", "i8"])
         assert rc == 0
-    eng = Engine.from_xalm(str(xalm))
+    eng = Engine.from_xalm(str(xalm), context=args.context)
+    draft_eng = None
+    if args.draft:
+        # second engine over the SAME params: separate cache/jit, no extra
+        # weight memory — the self-draft plumbing check
+        eng2 = Engine(eng.cfg, eng.params, eng.tokenizer)
+        draft_eng = eng2
 
     heldout = np.load(Path(model_dir) / "heldout_ids.npy")
     stride = (len(heldout) - args.ctx - 1) // args.prompts
@@ -79,7 +91,8 @@ def main() -> int:
         plain_calls += -(-len(ref) // segment)
         t0 = time.perf_counter()
         out, st = generate_spec(
-            eng, prompt, args.gen, k=args.k, stop_on_eos=False, segment=segment
+            eng, prompt, args.gen, k=args.k, stop_on_eos=False,
+            segment=segment, draft_engine=draft_eng,
         )
         t_spec += time.perf_counter() - t0
         if out != ref:
@@ -110,6 +123,8 @@ def main() -> int:
         "spec_s": round(t_spec, 2),
         "plain_s": round(t_plain, 2),
         "backend": jax.default_backend(),
+        "mode": "draft-model" if args.draft else "ngram",
+        "context": args.context,
     }
     print(
         f"\nacceptance {100 * acc:.1f}% | weight-stream reuse {reuse:.2f} "

@@ -122,7 +122,45 @@ def xalm_tokenizer(tokenizer_json: Path, vocab_size: int):
     return Tokenizer(blob, "1", "2")
 
 
-RECALL_MIX = 0.15  # fraction of training rows carrying a recall pattern
+RECALL_MIX = 0.2  # fraction of training rows carrying a recall pattern
+
+
+def build_passkey_pool(tok, rng, n: int = 2048, seq: int = SEQ):
+    """Rows in the EXACT harness passkey format (harness.main PASSKEY_*,
+    reference main.cpp:293-309): prefix, junk sentences, the hidden
+    "The pass key is K..." info at a varying depth, junk, then the quiz
+    suffix and the answer. An English quiz format is out of distribution
+    for a Python-corpus model — round-3 probes MISSED for exactly that
+    reason — so the retrieval gate's format is taught explicitly; the
+    *skill* (copying digits across up to a full window of junk) is still
+    learned, not memorized, since keys and depths are random per row."""
+    from xalm_tpu.harness.main import (
+        PASSKEY_JUNK,
+        PASSKEY_PREFIX,
+        PASSKEY_SUFFIX,
+    )
+
+    junk = tok.encode(PASSKEY_JUNK, bos=False)
+    prefix = tok.encode(PASSKEY_PREFIX, bos=False)
+    pool = np.zeros((n, seq), np.int32)
+    for i in range(n):
+        key = int(rng.integers(1, 50001))
+        info = tok.encode(
+            f" The pass key is {key}. Remember it. {key} is the pass key.",
+            bos=False,
+        )
+        ans = tok.encode(
+            PASSKEY_SUFFIX + f" {key}. The pass key is {key}.", bos=False
+        )
+        budget = seq - len(prefix) - len(info) - len(ans)
+        n_junk = budget // len(junk) + 1
+        # info depth varies: right after the prefix to just before the quiz
+        a = int(rng.integers(0, n_junk + 1))
+        row = prefix + junk * a + info + junk * (n_junk - a) + ans
+        # trim from the FRONT (answer + info stay in-window), pad with junk
+        row = row[-seq:] if len(row) >= seq else (junk * seq)[: seq - len(row)] + row
+        pool[i] = np.asarray(row[:seq], np.int32)
+    return pool
 
 
 def build_recall_pool(tok, train_ids: np.ndarray, rng, n: int = 2048, seq: int = SEQ):
@@ -377,8 +415,11 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     n_tok = len(train_ids)
     t0 = time.time()
-    recall_pool = build_recall_pool(tok, train_ids, rng)
-    print(f"recall pool: {len(recall_pool)} rows, mix {RECALL_MIX:.0%}", flush=True)
+    recall_pool = np.concatenate(
+        [build_recall_pool(tok, train_ids, rng), build_passkey_pool(tok, rng)]
+    )
+    print(f"recall pool: {len(recall_pool)} rows (python + passkey formats), "
+          f"mix {RECALL_MIX:.0%}", flush=True)
     done = 0
     while done < args.steps:
         k = min(STEPS_PER_DISPATCH, args.steps - done)

@@ -281,6 +281,119 @@ def _rotate_sinks(
     return jax.lax.dynamic_update_slice(cache_k, new[None], (layer, 0, 0, 0, 0)), None
 
 
+def _spec_verify_attention(
+    q, k, v, ck, cv, ks, vs, layer, kv_pos, cfg, freqs, compute_dtype
+):
+    """Attention for a WRAPPED-ring speculative verify chunk (runtime/spec.py).
+
+    The chunk's KV rows are NOT written to the ring; instead each query i
+    attends [per-query-rotated sinks] + [ring minus the rows this chunk
+    would overwrite] + [in-chunk causal draft rows]. In the plain decode
+    path, the row written at kv_pos(pos+j) evicts the oldest window
+    position pos+j-(S-KV_SINKS) — outside every chunk query's window — so
+    masking exactly those slots (for j <= i) reproduces per-step ring
+    semantics without mutating the cache. Sinks are pinned but re-rotated
+    +1 per emitted position (reference infer.cpp:416-431); query i sees
+    them rotated +(i+1) from the pre-chunk state, rounded through the
+    cache dtype like the plain path's write-then-read.
+
+    Returns (attn_out (B, T, q_dim), rows) where rows is the chunk's KV in
+    stored form — (k, v) cache-dtype rows, plus (k_scale, v_scale) for
+    quantized caches — for runtime/spec.spec_commit to scatter the
+    accepted prefix."""
+    b, t, hq, hd = q.shape
+    kl = jax.lax.dynamic_index_in_dim(ck, layer, axis=0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(cv, layer, axis=0, keepdims=False)
+    if ks is not None:
+        kq_codes, ksc = _quantize_rows(k)
+        vq_codes, vsc = _quantize_rows(v)
+        rows = (kq_codes, vq_codes, ksc, vsc)
+        kl = kl.astype(jnp.float32) * jax.lax.dynamic_index_in_dim(
+            ks, layer, 0, keepdims=False
+        )[..., None]
+        vl = vl.astype(jnp.float32) * jax.lax.dynamic_index_in_dim(
+            vs, layer, 0, keepdims=False
+        )[..., None]
+        # draft rows attend in stored (quantize-rounded) form, like a
+        # write-then-read on the plain path
+        kd = kq_codes.astype(jnp.float32) * ksc[..., None]
+        vd = vq_codes.astype(jnp.float32) * vsc[..., None]
+    else:
+        rows = (k.astype(ck.dtype), v.astype(cv.dtype))
+        kd = rows[0].astype(jnp.float32)
+        vd = rows[1].astype(jnp.float32)
+    kh = kl.shape[1]
+    g = hq // kh
+    s = kl.shape[2]
+    qg = q.reshape(b, t, kh, g, hd) * (1.0 / math.sqrt(hd))
+    qc = qg.astype(compute_dtype)
+    # ring region: everything except sinks and the slots this chunk evicts
+    sc_ring = jnp.einsum(
+        "btkgh,bksh->bkgts", qc, kl.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    slot = jnp.arange(s, dtype=jnp.int32)
+    evicted = jnp.cumsum(
+        (slot[None, None, :] == kv_pos[:, :, None]).astype(jnp.int32), axis=1
+    ) > 0  # (B, T, S): slot kv_pos[:, j] is dead for queries i >= j
+    # physical planes are padded past the logical window (KVCache.plane_
+    # shape %32): padding rows are never live, exactly like kv_len masking
+    dead = evicted | ((slot < KV_SINKS) | (slot >= cfg.max_seq_len))[None, None, :]
+    sc_ring = jnp.where(dead[:, None, None], -jnp.inf, sc_ring)  # (B,K,G,T,S)
+    # in-chunk causal draft rows (query i sees drafts j <= i)
+    sc_draft = jnp.einsum(
+        "btkgh,bjkh->bkgtj", qc, kd.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    causal = (
+        jnp.arange(t, dtype=jnp.int32)[:, None]
+        >= jnp.arange(t, dtype=jnp.int32)[None, :]
+    )
+    sc_draft = jnp.where(causal[None, None, None], sc_draft, -jnp.inf)
+    # sinks rotated +(i+1) per query, rounded through the cache dtype
+    sink_k = kl[:, :, :KV_SINKS]  # (B, KH, KV_SINKS, hd) f32
+    base = jnp.broadcast_to(
+        sink_k.reshape(b, 1, kh * KV_SINKS, hd), (b, t, kh * KV_SINKS, hd)
+    )
+    steps = jnp.broadcast_to(
+        jnp.arange(1, t + 1, dtype=jnp.int32)[None, :], (b, t)
+    )
+    rot = apply_rope(base, steps, freqs).reshape(b, t, kh, KV_SINKS, hd)
+    if ks is not None:
+        rq, rsc = _quantize_rows(rot.reshape(b, t * kh, KV_SINKS, hd))
+        rot = (rq.astype(jnp.float32) * rsc[..., None]).reshape(
+            b, t, kh, KV_SINKS, hd
+        )
+    else:
+        rot = rot.astype(ck.dtype).astype(jnp.float32)
+    sc_sink = jnp.einsum(
+        "btkgh,btksh->bkgts", qc, rot.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.concatenate([sc_sink, sc_ring, sc_draft], axis=-1)
+    if cfg.attn_softcap:
+        # cap only finite scores (tanh(-inf) would resurrect masked slots)
+        capped = jnp.tanh(scores / cfg.attn_softcap) * cfg.attn_softcap
+        scores = jnp.where(jnp.isfinite(scores), capped, scores)
+    att = jax.nn.softmax(scores, axis=-1)
+    a_sink = att[..., :KV_SINKS]
+    a_ring = att[..., KV_SINKS : KV_SINKS + s]
+    a_draft = att[..., KV_SINKS + s :]
+    sink_v = vl[:, :, :KV_SINKS]  # V rows are never rotated
+    out = (
+        jnp.einsum("bkgts,bksh->btkgh", a_sink.astype(compute_dtype),
+                   sink_v.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("bkgts,bksh->btkgh", a_ring.astype(compute_dtype),
+                     vl.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+        + jnp.einsum("bkgtj,bjkh->btkgh", a_draft.astype(compute_dtype),
+                     vd.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    )
+    return out.reshape(b, t, hq * hd), rows
+
+
 def forward(
     params: ModelParams,
     cfg: ModelConfig,
@@ -296,6 +409,7 @@ def forward(
     tp_axis: str | None = None,
     pp_axis: str | None = None,
     fused_step: bool = True,
+    spec_verify: bool = False,
 ):
     """One jitted step over a (B, T) token block. Returns (logits, cache).
 
@@ -315,6 +429,9 @@ def forward(
     b, t = tokens.shape
     s = cfg.max_seq_len
     freqs = rope_freqs(cfg)
+    if spec_verify:
+        assert tp_axis is None and pp_axis is None, "spec verify is single-device"
+        assert t > 1 and logits_mode == "all"
 
     positions = pos[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # (B, T)
     _, kv_pos, kv_len = ring_indices(positions, s)
@@ -552,11 +669,19 @@ def forward(
         q = apply_rope(q, positions, freqs)
         k = apply_rope(k, positions, freqs)
 
+        rows = None
         fuse_attn = (
             t == 1 and use_pallas and cfg.attn_softcap == 0.0
             and (ks is not None or _fused_cache_ok(ck))
         )
-        if fuse_attn:
+        if spec_verify:
+            # wrapped-ring verify chunk: masked attention, NO cache writes;
+            # the chunk's stored-form KV rows come back for spec_commit
+            attn_out, rows = _spec_verify_attention(
+                q, k, v, ck, cv, ks, vs, layer, kv_pos, cfg, freqs,
+                compute_dtype,
+            )
+        elif fuse_attn:
             # fused kernels: in-place ring write + sink rotation + flash
             # attention; no cache copies exist (ops/pallas_attention.py).
             # Quantized caches use the _q variants (in-VMEM quantize/dequant
@@ -710,7 +835,7 @@ def forward(
         if lp.post_mlp_norm is not None:  # Gemma-2 post-block norm
             down = rmsnorm(down, _index(lp.post_mlp_norm, layer), cfg.norm_eps)
         x = x + down
-        return (x, ck, cv, ks, vs), None
+        return (x, ck, cv, ks, vs), rows
 
     if pp_axis is not None:
         # --- pipeline parallelism (capacity mode): the stacked layer dim is
@@ -751,10 +876,21 @@ def forward(
         x = jax.lax.psum(jnp.where(me == 0, x, jnp.zeros_like(x)), pp_axis)
     else:
         layer_ids = jnp.arange(cfg.n_layers, dtype=jnp.int32)
-        (x, ck, cv, ks, vs), _ = jax.lax.scan(
+        (x, ck, cv, ks, vs), rows_l = jax.lax.scan(
             body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale), layer_ids
         )
     new_cache = KVCache(k=ck, v=cv, k_scale=ks, v_scale=vs)
+
+    if spec_verify:
+        # rows_l: per-layer stored-form chunk KV, stacked (L, B, T, K, ...);
+        # the cache itself is unmodified (spec_commit scatters the accepted
+        # prefix). Logits come back "all" for the acceptance argmax.
+        assert tp_axis is None and pp_axis is None and logits_mode == "all"
+        xn_v = rmsnorm(x, params.out_norm, cfg.norm_eps)
+        logits_v = mm(xn_v, params.wcls)
+        if cfg.logit_softcap:
+            logits_v = jnp.tanh(logits_v / cfg.logit_softcap) * cfg.logit_softcap
+        return logits_v, new_cache, rows_l
 
     if logits_mode == "none":
         return None, new_cache

@@ -234,12 +234,36 @@ def _kernel(
             embed_hbm.at[pl.ds(start, 16), :], ebuf, s_emb
         )
 
+    # ---- pool-B tile stream (w2; own pool: different contraction width) -
+    # Cross-layer pipelined exactly like pool A: entry e >= nt2 is the NEXT
+    # layer's tile e - nt2, slots line up because nbB divides nt2. Without
+    # this, phase 4's first tiles queue BEHIND the ~nbA-tile pool-A
+    # lookahead at every layer boundary (a measured ramp stall; the r4
+    # ablation sweep put the whole FFN phase at ~0.65 ms/step of exposed
+    # time vs a 738 GB/s zero-compute stream).
+    def entryB_dma(e: int):
+        slot = e % nbB
+        lyr, r = (l + 1, e - nt2) if e >= nt2 else (l, e)
+        return pltpu.make_async_copy(
+            w2_hbm.at[lyr, pl.ds(r * TB, TB), :], bufB.at[slot], sB.at[slot]
+        )
+
+    def issueB(e: int):
+        if e >= nt2:
+            @pl.when(l + 1 < L)
+            def _():
+                entryB_dma(e).start()
+        else:
+            entryB_dma(e).start()
+
     @pl.when(l == 0)
     def _boot():
         if fold_embed:
             emb_cp().start()
         for e in range(min(nbA, n_lay)):
             entry_dma(e).start()
+        for e in range(min(nbB, nt2)):
+            entryB_dma(e).start()
         if fold_embed:
             emb_cp().wait()
             tok = meta_ref[3 * B]
@@ -711,31 +735,21 @@ def _kernel(
                 act_ref[:, o : o + c13] = a
         issue(e + nbA)
 
-    # ---- phase 4: w2 tiles (own pool: different contraction width) ------
-    for i in range(min(nbB, nt2)):
-        pltpu.make_async_copy(
-            w2_hbm.at[l, pl.ds(i * TB, TB), :], bufB.at[i], sB.at[i]
-        ).start()
+    # ---- phase 4: w2 tiles (cross-layer pipelined pool B) ----------------
     actb = act_ref[...].astype(jnp.bfloat16)
     s2 = s2_ref[0]
     for i in range(nt2):
-        slot = i % nbB
-        pltpu.make_async_copy(
-            w2_hbm.at[l, pl.ds(i * TB, TB), :], bufB.at[slot], sB.at[slot]
-        ).wait()
+        entryB_dma(i).wait()
         if not skip_ffn:
             y2 = jax.lax.dot_general(
-                actb, bufB[slot], (((1,), (1,)), ((), ())),
+                actb, bufB[i % nbB], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * s2[:, i * TB : (i + 1) * TB]  # (1, TB)
             if has_pn:  # Gemma-2: park for the post-ffn norm below
                 pn_ref[:, i * TB : (i + 1) * TB] = y2
             else:
                 x_ref[:, i * TB : (i + 1) * TB] = x_ref[:, i * TB : (i + 1) * TB] + y2
-        if i + nbB < nt2:
-            pltpu.make_async_copy(
-                w2_hbm.at[l, pl.ds((i + nbB) * TB, TB), :], bufB.at[slot], sB.at[slot]
-            ).start()
+        issueB(i + nbB)
     if has_pn and not skip_ffn:
         down = pn_ref[...]
         msd = jnp.mean(down * down, axis=-1, keepdims=True)
