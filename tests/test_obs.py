@@ -49,6 +49,11 @@ def test_container_cli(tmp_path, capsys):
     assert container_cli([out, "--dump", "l.0.attn.q.weight"]) == 0
     text = capsys.readouterr().out
     assert "l.0.attn.q.weight float32" in text
+    # --hist: histogram-in-cell listing (reference table.h / stats.h:38-53)
+    assert container_cli([out, "--hist"]) == 0
+    text = capsys.readouterr().out
+    assert "distribution" in text and "min" in text
+    assert any(c in text for c in "▁▂▃▄▅▆▇█")
 
 
 def test_profiler():

@@ -219,13 +219,37 @@ class XalmFile:
         raw = self._view[info.offset : info.offset + info.size]
         return xxhash.xxh3_64(raw.tobytes()).intdigest() == info.hash
 
-    def format(self) -> str:
-        """Human-readable tensor listing (reference file_info::format, xalm.h:49-62)."""
+    def format(self, histograms: bool = False) -> str:
+        """Human-readable tensor listing (reference file_info::format,
+        xalm.h:49-62). ``histograms=True`` adds a per-tensor value-
+        distribution sparkline + min/max cell (the reference table.h's
+        histogram-in-cell rendering, table.h:1-618 / stats.h:38-53) —
+        this dequantizes every tensor, so it reads the whole file."""
         from xalm_tpu.obs.table import Table, human_size
 
-        tbl = Table(["#", "name", "type", "shape", "size"])
+        cols = ["#", "name", "type", "shape", "size"]
+        if histograms:
+            cols += ["distribution", "min", "max"]
+        tbl = Table(cols)
         for i, (name, t) in enumerate(self.tensors.items()):
-            tbl.add(i, name, t.dtype.name, "x".join(map(str, t.shape)), human_size(t.size))
+            row = [i, name, t.dtype.name, "x".join(map(str, t.shape)),
+                   human_size(t.size)]
+            if histograms:
+                from xalm_tpu import quant
+                from xalm_tpu.obs.stats import Histogram
+
+                scale = None
+                sname = name + ".scale"
+                if t.dtype.name == "i8" and sname in self.tensors:
+                    scale = self.load(sname)
+                vals = np.asarray(
+                    quant.dequantize(self.load(name), t.dtype.name, scale),
+                    np.float32,
+                ).ravel()
+                sample = vals[:: max(vals.size // 65536, 1)]
+                h = Histogram(sample, bins=10)
+                row += [h.sparkline(), f"{h.min:+.3g}", f"{h.max:+.3g}"]
+            tbl.add(*row)
         return tbl.format(title=self.path)
 
 

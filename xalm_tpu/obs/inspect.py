@@ -67,6 +67,9 @@ def container_cli(argv=None) -> int:
     p = argparse.ArgumentParser(prog="xalm-inspect")
     p.add_argument("checkpoint")
     p.add_argument("--dump", help="tensor name to dump with per-row histograms")
+    p.add_argument("--hist", action="store_true",
+                   help="add per-tensor distribution sparklines + min/max to "
+                   "the listing (dequantizes every tensor)")
     p.add_argument("--verify", action="store_true", help="check all content hashes")
     args = p.parse_args(argv)
 
@@ -81,7 +84,7 @@ def container_cli(argv=None) -> int:
             vals = quant.dequantize(raw, info.dtype.name, scale)
             print(format_tensor(vals, args.dump))
         else:
-            print(xf.format())
+            print(xf.format(histograms=args.hist))
             print(f"arch: {xf.arch}")
             for k, v in xf.config.items():
                 print(f"  {k} = {v}")
