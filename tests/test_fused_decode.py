@@ -443,3 +443,40 @@ def test_decode_path_is_surfaced(tiny_i8, monkeypatch):
     assert xla.decode_path(1) == "xla"
     monkeypatch.setenv("XALM_NO_MEGAKERNEL", "1")
     assert fused.decode_path(1) == "perlayer"
+
+
+def test_fused_mixed_lane_width(tmp_path):
+    """q_dim != dim (Gemma-2-style geometry): pool A carries two lane
+    widths (wqkv/w13/wcls contract dim, wo contracts q_dim) — tiles DMA
+    into a lane-prefix slice of the max-width pool. Decode through a wrap
+    must match the per-layer path."""
+    from tests.make_tiny_model import make_tiny_model
+    from xalm_tpu.ops.fused_decode import fused_step_supported
+
+    hf = make_tiny_model(
+        str(tmp_path / "hf"),
+        config_overrides={"head_dim": 32},  # q_dim 4*32=128 != dim 64
+    )
+    out = str(tmp_path / "t.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "i8"]) == 0
+    fused = Engine.from_xalm(
+        out, matmul_impl="pallas", kv_dtype=jnp.float32, context=16,
+        progress=False, wcls_i8=True,
+    )
+    ref = Engine(fused.cfg, fused.params, fused.tokenizer,
+                 matmul_impl="pallas", kv_dtype=jnp.float32, fused_step=False)
+    assert fused.params.layers.wo.values.shape[2] != fused.cfg.dim
+    cache = fused.new_cache(1)
+    assert fused_step_supported(fused.cfg, fused.params, cache.k, 1, 1)
+    rng = np.random.default_rng(21)
+    toks = rng.integers(3, 350, size=24)
+    cf, cr = cache, ref.new_cache(1)
+    for i, t in enumerate(toks):
+        lf, cf = fused.decode(np.array([t]), np.array([i]), cf)
+        lr, cr = ref.decode(np.array([t]), np.array([i]), cr)
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lr), rtol=3e-4, atol=3e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
+    )

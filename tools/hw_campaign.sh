@@ -20,7 +20,7 @@ set -u
 LOGDIR=/tmp/hw_campaign
 mkdir -p "$LOGDIR"
 cd /root/repo
-export XALM_COMPILE_CACHE=${XALM_COMPILE_CACHE:-/tmp/xalm_compile_cache}
+export XALM_COMPILE_CACHE=${XALM_COMPILE_CACHE:-/root/.cache/xalm_jax_cache}
 START=${1:-1}
 
 run_step() { # num name timeout_s cmd...
@@ -44,6 +44,8 @@ run_step 4 bench_fallback 3600 env XALM_NO_MEGAKERNEL=1 python bench.py
 run_step 5 train 3600 python tools/train_tiny_lm.py
 run_step 6 eval 3600 python tools/eval_real_model.py
 run_step 6 spec_probe 3600 python tools/spec_probe.py --json /tmp/hw_campaign/spec_probe.json
+run_step 6 spec_wrap 3600 python tools/spec_probe.py --context 128 --json /tmp/hw_campaign/spec_wrap.json
+run_step 6 spec_draft 3600 python tools/spec_probe.py --draft --json /tmp/hw_campaign/spec_draft.json
 run_step 7 check_tpu 5400 python tools/check_tpu.py
 run_step 8 serve 3600 python tools/serve_bench.py
 run_step 8 serve_mixed 3600 python tools/serve_bench.py --sampled-frac 0.5 --logprobs-frac 0.25
@@ -51,6 +53,7 @@ run_step 8 serve_prefix 3600 python tools/serve_bench.py --shared-prefix 256
 
 run_step 9 bench_kv_i8 3600 python bench.py --kv i8
 run_step 10 bench_b8 3600 python bench.py --batch 8 --kv i8
+run_step 11 bench_prefill 3600 python bench.py --prefill 2048
 run_step 11 bench_prefill_a8 3600 python bench.py --prefill 2048 --a8
 run_step 12 bench_fp8 3600 python bench.py --dtype f8_e4m3
 run_step 13 bench_wrap 3600 python bench.py --wrap

@@ -49,14 +49,16 @@ def log(msg: str) -> None:
 
 
 def parse_variant(spec: str):
-    """-> (ta, tb, nbuf, probe_csv, fused)"""
-    ta, tb, nbuf, probes, fused = 256, 128, 8, [], True
+    """-> (ta, tb, nbuf, probe_csv, fused, bpipe)"""
+    ta, tb, nbuf, probes, fused, bpipe = 256, 128, 8, [], True, True
     for tok in spec.split("+"):
         tok = tok.strip()
         if tok in ("", "base"):
             continue
         if tok == "perlayer":
             fused = False
+        elif tok == "nobpipe":
+            bpipe = False
         elif tok.startswith("ta="):
             ta = int(tok[3:])
         elif tok.startswith("tb="):
@@ -65,7 +67,7 @@ def parse_variant(spec: str):
             nbuf = int(tok[5:])
         else:
             probes.extend(p for p in tok.split(",") if p)
-    return ta, tb, nbuf, ",".join(probes), fused
+    return ta, tb, nbuf, ",".join(probes), fused, bpipe
 
 
 def main() -> int:
@@ -94,15 +96,16 @@ def main() -> int:
 
     results = []
     for spec in args.variants:
-        ta, tb, nbuf, probe, fused = parse_variant(spec)
+        ta, tb, nbuf, probe, fused, bpipe = parse_variant(spec)
         fd._TILE_A, fd._TILE_B, fd._NBUF_CAP = ta, tb, nbuf
+        fd._B_PIPE = bpipe
         os.environ["XALM_MK_PROBE"] = probe
         if not fused:
             os.environ["XALM_NO_MEGAKERNEL"] = "1"
         else:
             os.environ.pop("XALM_NO_MEGAKERNEL", None)
         log(f"--- variant {spec!r}: TA={ta} TB={tb} NBUF={nbuf} "
-            f"probe={probe!r} fused={fused}")
+            f"probe={probe!r} fused={fused} bpipe={bpipe}")
         try:
             eng = Engine(cfg, params, None, kv_dtype=kv_dt, fused_step=fused)
             cache = eng.new_cache(b)

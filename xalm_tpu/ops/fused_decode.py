@@ -62,6 +62,7 @@ __all__ = ["fused_decode_step", "fused_step_supported"]
 _TILE_A = int(os.environ.get("XALM_MK_TA", 256))  # pool-A tile rows (x N lanes int8 = 1 MiB at 7B)
 _TILE_B = int(os.environ.get("XALM_MK_TB", 128))  # pool-B (w2) tile rows (x hidden lanes)
 _NBUF_CAP = int(os.environ.get("XALM_MK_NBUF", 8))  # max outstanding tiles per pool
+_B_PIPE = os.environ.get("XALM_MK_BPIPE", "1") != "0"  # cross-layer pool-B prefetch
 _MAX_B = 8  # attention/ring phase unrolls rows; compile time scales with B
 
 
@@ -96,7 +97,7 @@ def _kernel(
     # rotate*B, token*B, pos*B] — index [k*B + bi]
     *refs,  # pipelined VMEM inputs, ANY (HBM) inputs, outputs, scratch —
     # order depends on the fold flags, unpacked below
-    L: int, N: int, DQ: int, KH: int, G: int, hd: int,
+    L: int, N: int, DQ: int, KH: int, G: int, hd: int, QW: int,
     H2: int, S: int, sb: int, TA: int, TB: int, c13: int,
     eps: float, clip: float | None, act: str, cdtype,
     B: int = 1, quant: bool = False,
@@ -188,16 +189,29 @@ def _kernel(
     # of entry e issues entry e + nbA (slot layout is layer-invariant since
     # nbA divides n_lay), so the engine always has nbA tiles in flight —
     # including through the attention phase and the layer boundary.
+    # pool-A tiles may have TWO lane widths (wqkv/w13/wcls contract N, wo
+    # contracts QW = q_dim; Gemma-2 has QW != N): the pool is allocated at
+    # max(N, QW) lanes and narrower tiles DMA into / load from a 128-
+    # aligned lane-prefix slice
+    WA = max(N, QW)
+
+    def _dstA(slot: int, width: int):
+        return bufA.at[slot] if width == WA else bufA.at[slot, :, pl.ds(0, width)]
+
+    def tileA(e: int, width: int):
+        buf = bufA[e % nbA]
+        return buf if width == WA else buf[:, :width]
+
     def entry_dma(e: int):
         slot = e % nbA  # layer-invariant: nbA divides n_lay
         lyr, r = (l + 1, e - n_lay) if e >= n_lay else (l, e)
         if r < nqkv:
-            src = wqkv_hbm.at[lyr, pl.ds(r * TA, TA), :]
+            src, w = wqkv_hbm.at[lyr, pl.ds(r * TA, TA), :], N
         elif r < nqkv + nwo:
-            src = wo_hbm.at[lyr, pl.ds((r - nqkv) * TA, TA), :]
+            src, w = wo_hbm.at[lyr, pl.ds((r - nqkv) * TA, TA), :], QW
         else:
-            src = w13_hbm.at[lyr, pl.ds((r - nqkv - nwo) * TA, TA), :]
-        return pltpu.make_async_copy(src, bufA.at[slot], sA.at[slot])
+            src, w = w13_hbm.at[lyr, pl.ds((r - nqkv - nwo) * TA, TA), :], N
+        return pltpu.make_async_copy(src, _dstA(slot, w), sA.at[slot])
 
     # wcls tiles ride the SAME pool as entries [n_lay, n_lay + NW) of the
     # LAST layer (there is no next layer to prefetch): slot i % nbA, same
@@ -207,7 +221,7 @@ def _kernel(
 
     def wcls_dma(i: int):
         return pltpu.make_async_copy(
-            wcls_hbm.at[pl.ds(i * TA, TA), :], bufA.at[i % nbA], sA.at[i % nbA]
+            wcls_hbm.at[pl.ds(i * TA, TA), :], _dstA(i % nbA, N), sA.at[i % nbA]
         )
 
     def issue(e: int):
@@ -250,9 +264,10 @@ def _kernel(
 
     def issueB(e: int):
         if e >= nt2:
-            @pl.when(l + 1 < L)
-            def _():
-                entryB_dma(e).start()
+            if _B_PIPE:
+                @pl.when(l + 1 < L)
+                def _():
+                    entryB_dma(e).start()
         else:
             entryB_dma(e).start()
 
@@ -262,8 +277,9 @@ def _kernel(
             emb_cp().start()
         for e in range(min(nbA, n_lay)):
             entry_dma(e).start()
-        for e in range(min(nbB, nt2)):
-            entryB_dma(e).start()
+        if _B_PIPE:
+            for e in range(min(nbB, nt2)):
+                entryB_dma(e).start()
         if fold_embed:
             emb_cp().wait()
             tok = meta_ref[3 * B]
@@ -275,6 +291,71 @@ def _kernel(
             ) * ES
         else:
             x_ref[...] = x0_ref[...]
+
+    # ---- attention-phase DMA helpers (defined early: row 0's reads are
+    # prefetched at kernel top so their latency rides under phases 1-2
+    # instead of serializing the attention phase) ----------------------
+    def dma_kb(bi, t, slot):
+        return pltpu.make_async_copy(
+            ck_in.at[l, bi, :, pl.ds(t * sb, sb), :], kblk.at[slot], s_kb.at[slot]
+        )
+
+    def dma_vb(bi, t, slot):
+        return pltpu.make_async_copy(
+            cv_in.at[l, bi, :, pl.ds(t * sb, sb), :], vblk.at[slot], s_vb.at[slot]
+        )
+
+    # scale-plane flash blocks slice the lane (S) dim — the same blocking
+    # the per-layer _attn_q grid pipeline generates (sb % 128 == 0 or whole)
+    def dma_ks(bi, t, slot):
+        return pltpu.make_async_copy(
+            ks_in.at[l, bi, :, pl.ds(t * sb, sb)], ksb.at[slot], s_ks.at[slot]
+        )
+
+    def dma_vs(bi, t, slot):
+        return pltpu.make_async_copy(
+            vs_in.at[l, bi, :, pl.ds(t * sb, sb)], vsb.at[slot], s_vs.at[slot]
+        )
+
+    def _attn_reads(bi):
+        """Start row ``bi``'s attention-phase reads: sink window, insert
+        windows, flash block 0 (+ scale planes). Safe to issue at kernel
+        top — every overlapping in-flight write is to a different layer's
+        cache region, and this row's own RMW writes are patched
+        in-register by the flash loop."""
+        kvp = meta_ref[bi]
+        sw_rows = sinkw.shape[1]
+        blk = jnp.minimum(kvp, S - 1) // sw_rows * sw_rows
+        pltpu.make_async_copy(
+            ck_in.at[l, bi, :, pl.ds(0, sw_rows), :], sinkw, s_sink
+        ).start()
+        pltpu.make_async_copy(
+            cv_in.at[l, bi, :, pl.ds(blk, sw_rows), :], vwin, s_vw
+        ).start()
+        pltpu.make_async_copy(
+            ck_in.at[l, bi, :, pl.ds(blk, sw_rows), :], kwin, s_kw
+        ).start()
+        if quant:
+            wsc = scsink.shape[1]
+            bs = jnp.minimum(kvp, S - 1) // wsc * wsc
+            pltpu.make_async_copy(
+                ks_in.at[l, bi, :, pl.ds(0, wsc)], scsink, s_ssk
+            ).start()
+            pltpu.make_async_copy(
+                ks_in.at[l, bi, :, pl.ds(bs, wsc)], scins, s_sik
+            ).start()
+            pltpu.make_async_copy(
+                vs_in.at[l, bi, :, pl.ds(bs, wsc)], scv, s_scv
+            ).start()
+        dma_kb(bi, 0, 0).start()
+        dma_vb(bi, 0, 0).start()
+        if quant:
+            dma_ks(bi, 0, 0).start()
+            dma_vs(bi, 0, 0).start()
+
+    skip_attn = "noattn" in PR  # probe: weight streams only
+    if not skip_attn:
+        _attn_reads(0)  # prefetch row 0 under the phase-1/2 tile stream
 
     # ---- phase 1: fused qkv projection (norm prologue + scale epilogue) -
     x = x_ref[...]
@@ -289,7 +370,7 @@ def _kernel(
             yt = jnp.zeros((xn.shape[0], TA), jnp.float32)
         else:
             yt = jax.lax.dot_general(
-                xn, bufA[e % nbA], (((1,), (1,)), ((), ())),
+                xn, tileA(e, N), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * sqkv[:, e * TA : (e + 1) * TA]
         if has_bias:  # Qwen2 fused qkv bias (rows match wqkv's order)
@@ -354,7 +435,6 @@ def _kernel(
             vw_ref[j] = vh.astype(cdtype)
             kw_f.append(khc.astype(jnp.float32))
 
-    skip_attn = "noattn" in PR  # probe: weight streams only
     hq = KH * G
 
     # ---- in-place ring insert + sink re-rotation (one batch row) --------
@@ -367,7 +447,7 @@ def _kernel(
     # blk=(kvp//8)*8 is RMW'd when kvp lands outside window 0. Sentinel
     # kvp == S (a padding/inactive serving slot) drops writes. Rows run
     # sequentially, reusing the same window/block/accumulator scratch.
-    def _attn_row(bi: int):
+    def _attn_row(bi: int, prefetched: bool = False):
         kvp = meta_ref[bi]
         kvl = meta_ref[B + bi]
         rot = meta_ref[2 * B + bi]
@@ -379,25 +459,8 @@ def _kernel(
             wsc = scsink.shape[1]
             bs = jnp.minimum(kvp, S - 1) // wsc * wsc
 
-        pltpu.make_async_copy(
-            ck_in.at[l, bi, :, pl.ds(0, sw_rows), :], sinkw, s_sink
-        ).start()
-        pltpu.make_async_copy(
-            cv_in.at[l, bi, :, pl.ds(blk, sw_rows), :], vwin, s_vw
-        ).start()
-        pltpu.make_async_copy(
-            ck_in.at[l, bi, :, pl.ds(blk, sw_rows), :], kwin, s_kw
-        ).start()
-        if quant:
-            pltpu.make_async_copy(
-                ks_in.at[l, bi, :, pl.ds(0, wsc)], scsink, s_ssk
-            ).start()
-            pltpu.make_async_copy(
-                ks_in.at[l, bi, :, pl.ds(bs, wsc)], scins, s_sik
-            ).start()
-            pltpu.make_async_copy(
-                vs_in.at[l, bi, :, pl.ds(bs, wsc)], scv, s_scv
-            ).start()
+        if not prefetched:  # row 0's reads were started at kernel top
+            _attn_reads(bi)
         pltpu.make_async_copy(
             ck_in.at[l, bi, :, pl.ds(0, sw_rows), :], sinkw, s_sink
         ).wait()
@@ -455,9 +518,6 @@ def _kernel(
             pltpu.make_async_copy(
                 sinkw, ck_out.at[l, bi, :, pl.ds(0, sw_rows), :], s_sink
             ).start()
-            pltpu.make_async_copy(
-                sinkw, ck_out.at[l, bi, :, pl.ds(0, sw_rows), :], s_sink
-            ).wait()
 
         if quant:
             # scale window 0 write-back: the new-row lane lands here iff
@@ -468,9 +528,6 @@ def _kernel(
                 pltpu.make_async_copy(
                     scsink, ks_out.at[l, bi, :, pl.ds(0, wsc)], s_ssk
                 ).start()
-                pltpu.make_async_copy(
-                    scsink, ks_out.at[l, bi, :, pl.ds(0, wsc)], s_ssk
-                ).wait()
 
         pltpu.make_async_copy(
             ck_in.at[l, bi, :, pl.ds(blk, sw_rows), :], kwin, s_kw
@@ -510,18 +567,12 @@ def _kernel(
             pltpu.make_async_copy(
                 kwin, ck_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_kw
             ).start()
-            pltpu.make_async_copy(
-                kwin, ck_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_kw
-            ).wait()
 
         @pl.when(kvp < S)
         def _ins_v():
             pltpu.make_async_copy(
                 vwin, cv_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_vw
             ).start()
-            pltpu.make_async_copy(
-                vwin, cv_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_vw
-            ).wait()
 
         if quant:
             @pl.when((kvp >= wsc) & (kvp < S))
@@ -529,18 +580,12 @@ def _kernel(
                 pltpu.make_async_copy(
                     scins, ks_out.at[l, bi, :, pl.ds(bs, wsc)], s_sik
                 ).start()
-                pltpu.make_async_copy(
-                    scins, ks_out.at[l, bi, :, pl.ds(bs, wsc)], s_sik
-                ).wait()
 
             @pl.when(kvp < S)
             def _ins_vs():
                 pltpu.make_async_copy(
                     scv, vs_out.at[l, bi, :, pl.ds(bs, wsc)], s_scv
                 ).start()
-                pltpu.make_async_copy(
-                    scv, vs_out.at[l, bi, :, pl.ds(bs, wsc)], s_scv
-                ).wait()
 
         # ---- flash attention over the ring (in-register patched reads) --
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -553,11 +598,12 @@ def _kernel(
         for h in range(hq):
             q_ref[h : h + 1, :] = qs[h][bi : bi + 1]
         nblk = (kvl + sb - 1) // sb
-        dma_kb(bi, 0, 0).start()
-        dma_vb(bi, 0, 0).start()
-        if quant:
-            dma_ks(bi, 0, 0).start()
-            dma_vs(bi, 0, 0).start()
+        if not prefetched:  # row 0's block 0 was started at kernel top
+            dma_kb(bi, 0, 0).start()
+            dma_vb(bi, 0, 0).start()
+            if quant:
+                dma_ks(bi, 0, 0).start()
+                dma_vs(bi, 0, 0).start()
 
         def blk_body(t, _):
             slot = t % 2
@@ -644,6 +690,48 @@ def _kernel(
 
         jax.lax.fori_loop(0, nblk, blk_body, 0)
 
+        # deferred RMW write-back waits: the flash loop read patched
+        # in-register values, so the writes above only had to complete
+        # before the NEXT row reuses the window scratch — waiting here
+        # hides their latency under the flash compute instead of
+        # serializing ~5 copy round-trips per layer
+        @pl.when((kvp < sw_rows) | (rot != 0))
+        def _sink_wb_w():
+            pltpu.make_async_copy(
+                sinkw, ck_out.at[l, bi, :, pl.ds(0, sw_rows), :], s_sink
+            ).wait()
+
+        @pl.when((kvp >= sw_rows) & (kvp < S))
+        def _ins_k_w():
+            pltpu.make_async_copy(
+                kwin, ck_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_kw
+            ).wait()
+
+        @pl.when(kvp < S)
+        def _ins_v_w():
+            pltpu.make_async_copy(
+                vwin, cv_out.at[l, bi, :, pl.ds(blk, sw_rows), :], s_vw
+            ).wait()
+
+        if quant:
+            @pl.when((kvp < wsc) | (rot != 0))
+            def _ssk_wb_w():
+                pltpu.make_async_copy(
+                    scsink, ks_out.at[l, bi, :, pl.ds(0, wsc)], s_ssk
+                ).wait()
+
+            @pl.when((kvp >= wsc) & (kvp < S))
+            def _ins_ks_w():
+                pltpu.make_async_copy(
+                    scins, ks_out.at[l, bi, :, pl.ds(bs, wsc)], s_sik
+                ).wait()
+
+            @pl.when(kvp < S)
+            def _ins_vs_w():
+                pltpu.make_async_copy(
+                    scv, vs_out.at[l, bi, :, pl.ds(bs, wsc)], s_scv
+                ).wait()
+
         # normalize and park this row's attention output as a lane vector
         # (hq sublane row picks; every wo tile is then ONE (B, TA) dot)
         lsafe = jnp.where(l_ref[:hq, :1] > 0, l_ref[:hq, :1], 1.0)
@@ -653,61 +741,38 @@ def _kernel(
         for h in range(hq):
             attn_ref[bi : bi + 1, h * hd : (h + 1) * hd] = attn[h : h + 1, :]
 
-    def dma_kb(bi, t, slot):
-        return pltpu.make_async_copy(
-            ck_in.at[l, bi, :, pl.ds(t * sb, sb), :], kblk.at[slot], s_kb.at[slot]
-        )
-
-    def dma_vb(bi, t, slot):
-        return pltpu.make_async_copy(
-            cv_in.at[l, bi, :, pl.ds(t * sb, sb), :], vblk.at[slot], s_vb.at[slot]
-        )
-
-    # scale-plane flash blocks slice the lane (S) dim — the same blocking
-    # the per-layer _attn_q grid pipeline generates (sb % 128 == 0 or whole)
-    def dma_ks(bi, t, slot):
-        return pltpu.make_async_copy(
-            ks_in.at[l, bi, :, pl.ds(t * sb, sb)], ksb.at[slot], s_ks.at[slot]
-        )
-
-    def dma_vs(bi, t, slot):
-        return pltpu.make_async_copy(
-            vs_in.at[l, bi, :, pl.ds(t * sb, sb)], vsb.at[slot], s_vs.at[slot]
-        )
-
     if skip_attn:  # probe: weight streams only
         attn_ref[...] = jnp.zeros_like(attn_ref)
     else:
         for bi in range(B):
-            _attn_row(bi)
+            _attn_row(bi, prefetched=bi == 0)
 
     # ---- phase 2: wo tiles (row-parallel over output rows) + residual ---
     attn_flat = attn_ref[...].astype(jnp.bfloat16)  # (B, QD)
     so = so_ref[0]
     x = x_ref[...]
+    parts = []
     for e in range(nqkv, nqkv + nwo):
         consume_wait(e)
         eo = e - nqkv
-        if skip_dot:
-            issue(e + nbA)
-            continue
-        part = jax.lax.dot_general(
-            attn_flat, bufA[e % nbA], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * so[:, eo * TA : (eo + 1) * TA]
+        if not skip_dot:
+            parts.append(jax.lax.dot_general(
+                attn_flat, tileA(e, QW), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * so[:, eo * TA : (eo + 1) * TA])
+        issue(e + nbA)
+    if not skip_dot:
+        # single whole-row store: per-tile (B, TA) sub-stores measurably
+        # serialize against the tile waits (r4 sweep 6), a lane concat of
+        # register tiles doesn't
+        proj = jnp.concatenate(parts, axis=1)  # (B, N)
         if has_pn:
             # Gemma-2 post-attention norm needs the FULL projection before
-            # the residual add: park tiles in attn_ref (dead after the
-            # attn_flat read above; QD == N by the support gate), normalize
-            # below
-            attn_ref[:, eo * TA : (eo + 1) * TA] = part
+            # the residual add
+            msp = jnp.mean(proj * proj, axis=-1, keepdims=True)
+            x_ref[...] = x + proj * jax.lax.rsqrt(msp + eps) * pan_ref[0]
         else:
-            x_ref[:, eo * TA : (eo + 1) * TA] = x[:, eo * TA : (eo + 1) * TA] + part
-        issue(e + nbA)
-    if has_pn:
-        proj = attn_ref[...]
-        msp = jnp.mean(proj * proj, axis=-1, keepdims=True)
-        x_ref[...] = x + proj * jax.lax.rsqrt(msp + eps) * pan_ref[0]
+            x_ref[...] = x + proj
 
     # ---- phase 3: w13 tiles -> silu GLU ---------------------------------
     x = x_ref[...]
@@ -715,14 +780,21 @@ def _kernel(
     xn2 = (x * jax.lax.rsqrt(ms2 + eps) * mnorm_ref[0]).astype(jnp.bfloat16)
     s13 = s13_ref[0]
     skip_ffn = "noffn" in PR
+    skip_glu = "noglu" in PR  # probe: phase-3 dots, no GLU/act stores
+    skip_w2 = "now2" in PR  # probe: skip phase-4 compute only
+    acts = []
     for e in range(nqkv + nwo, n_lay):
         consume_wait(e)
         i = e - nqkv - nwo
         if not skip_ffn:
             yt = jax.lax.dot_general(
-                xn2, bufA[e % nbA], (((1,), (1,)), ((), ())),
+                xn2, tileA(e, N), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * s13[:, i * TA : (i + 1) * TA]  # (1, TA)
+            if skip_glu:
+                act_ref[:, i * (TA // 2) : i * (TA // 2) + 1] = yt[:, :1]
+                issue(e + nbA)
+                continue
             for p_ in range(TA // (2 * c13)):
                 off = p_ * 2 * c13
                 gate = yt[:, off : off + c13]
@@ -731,29 +803,32 @@ def _kernel(
                     a = jax.nn.silu(gate) * up
                 else:
                     a = jax.nn.gelu(gate, approximate=True) * up
-                o = i * (TA // 2) + p_ * c13
-                act_ref[:, o : o + c13] = a
+                acts.append(a)  # chunk order == lane order: one store below
         issue(e + nbA)
+    if acts:
+        act_ref[...] = jnp.concatenate(acts, axis=1)  # (B, H)
 
     # ---- phase 4: w2 tiles (cross-layer pipelined pool B) ----------------
+    if not _B_PIPE:  # A/B toggle: prime at phase-4 entry (the pre-r4 ramp)
+        for i in range(min(nbB, nt2)):
+            entryB_dma(i).start()
     actb = act_ref[...].astype(jnp.bfloat16)
     s2 = s2_ref[0]
+    y2s = []
     for i in range(nt2):
         entryB_dma(i).wait()
-        if not skip_ffn:
-            y2 = jax.lax.dot_general(
+        if not (skip_ffn or skip_w2):
+            y2s.append(jax.lax.dot_general(
                 actb, bufB[i % nbB], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * s2[:, i * TB : (i + 1) * TB]  # (1, TB)
-            if has_pn:  # Gemma-2: park for the post-ffn norm below
-                pn_ref[:, i * TB : (i + 1) * TB] = y2
-            else:
-                x_ref[:, i * TB : (i + 1) * TB] = x_ref[:, i * TB : (i + 1) * TB] + y2
+            ) * s2[:, i * TB : (i + 1) * TB])
         issueB(i + nbB)
-    if has_pn and not skip_ffn:
-        down = pn_ref[...]
-        msd = jnp.mean(down * down, axis=-1, keepdims=True)
-        x_ref[...] = x_ref[...] + down * jax.lax.rsqrt(msd + eps) * pmn_ref[0]
+    if y2s:
+        down = jnp.concatenate(y2s, axis=1)  # (B, N)
+        if has_pn:  # Gemma-2 post-ffn norm before the residual add
+            msd = jnp.mean(down * down, axis=-1, keepdims=True)
+            down = down * jax.lax.rsqrt(msd + eps) * pmn_ref[0]
+        x_ref[...] = x_ref[...] + down
 
     @pl.when(l == L - 1)
     def _emit():
@@ -781,7 +856,7 @@ def _kernel(
                 wcls_dma(i).wait()
                 if not skip_log:
                     lt = jax.lax.dot_general(
-                        xn3, bufA[i % nbA], (((1,), (1,)), ((), ())),
+                        xn3, tileA(i, N), (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) * sw[:, i * TA : (i + 1) * TA]  # (B, TA)
                     if lsc:  # Gemma-2 final-logit softcap (monotone:
@@ -827,8 +902,6 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None)
 
     L, DQ, N = lp.wqkv.values.shape
     QD = lp.wo.values.shape[2]
-    if QD != N:
-        return False  # pool-A tiles share one (TA, N) shape
     c13 = ffn_chunk(cfg.hidden_dim)
     h2 = 2 * cfg.hidden_dim
     ta = min(_TILE_A, DQ, N, h2)
@@ -856,7 +929,7 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None)
     # mode (CPU tests) has no such limit, so only gate on the TPU backend
     if jax.default_backend() == "tpu" and (
         cfg.head_dim % 128 or N % 128 or DQ % 128 or h2 % 128
-        or cfg.hidden_dim % 128
+        or cfg.hidden_dim % 128 or QD % 128
     ):
         return False
     if quant:
@@ -952,7 +1025,7 @@ def fused_decode_step(
     ``sexp_p`` are then unused."""
     lp = params.layers
     L, DQ, N = lp.wqkv.values.shape
-    QD = lp.wo.values.shape[2]  # wo: (L, N, QD); gate requires QD == N
+    QD = lp.wo.values.shape[2]  # wo: (L, N, QD); QD may differ from N
     H2 = lp.w13.values.shape[1]
     H = lp.w2.values.shape[2]
     _, B, KH, S, hd = cache_k.shape
@@ -1010,7 +1083,7 @@ def fused_decode_step(
         assert lp.post_mlp_norm is not None and QD == N
     kernel = functools.partial(
         _kernel,
-        L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, H2=H2, S=S, sb=sb,
+        L=L, N=N, DQ=DQ, KH=KH, G=G, hd=hd, QW=QD, H2=H2, S=S, sb=sb,
         TA=TA, TB=TB, c13=c13, eps=cfg.norm_eps, clip=clip, act=cfg.act,
         cdtype=cdtype, B=B, quant=quant, V=V, fold_wcls=fold_wcls,
         fold_embed=fold_embed, ES=float(cfg.embed_scale),
@@ -1067,7 +1140,7 @@ def fused_decode_step(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((B, N), jnp.float32),  # x residual
-            pltpu.VMEM((nbA, TA, N), jnp.int8),  # pool A (wqkv/wo/w13)
+            pltpu.VMEM((nbA, TA, max(N, QD)), jnp.int8),  # pool A (wqkv/wo/w13[/wcls])
             pltpu.VMEM((nbB, TB, H), jnp.int8),  # pool B (w2)
             pltpu.VMEM((2, KH, sb, hd), cdtype),  # K blocks (row-serial)
             pltpu.VMEM((2, KH, sb, hd), cdtype),  # V blocks (row-serial)
