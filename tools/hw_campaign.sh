@@ -35,7 +35,10 @@ run_step() { # num name timeout_s cmd...
 }
 
 run_step 1 tunnel_smoke 120 python -c "import jax; print(jax.devices())"
-grep -q TPU "$LOGDIR/tunnel_smoke.log" 2>/dev/null || { echo "TUNNEL DOWN — aborting"; exit 1; }
+# gate on the tunnel only when step 1 actually ran (resumes skip it)
+if [ "$START" -le 1 ]; then
+  grep -q TPU "$LOGDIR/tunnel_smoke.log" 2>/dev/null || { echo "TUNNEL DOWN — aborting"; exit 1; }
+fi
 
 run_step 2 mk_probe_l4 1800 python bench.py --layers 4 --steps 32 --warmup 4
 run_step 3 bench_headline 3600 python bench.py
