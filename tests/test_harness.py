@@ -41,6 +41,21 @@ def test_completion_spec_mode(tiny_xalm, capsys):
         == ref.split("Generation stats")[0].split("Encoding stats")[-1].splitlines()[1:]
 
 
+def test_completion_spec_draft_model(tiny_xalm, capsys):
+    """--spec K --draft model: two-model speculation from the CLI (here the
+    model drafts for itself — near-oracle acceptance, greedy-equal text)."""
+    rc = harness.main([tiny_xalm, "-m", "c", "-i", "hello world", "-n", "8"])
+    assert rc == 0
+    ref = capsys.readouterr().out
+    rc = harness.main([tiny_xalm, "-m", "c", "-i", "hello world", "-n", "8",
+                       "--spec", "4", "--draft", tiny_xalm])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "speculation:" in out and "drafts accepted" in out
+    assert out.split("Generation stats")[0].split("Encoding stats")[-1].splitlines()[1:] \
+        == ref.split("Generation stats")[0].split("Encoding stats")[-1].splitlines()[1:]
+
+
 def test_perplexity_mode(tiny_xalm, capsys):
     rc = harness.main([tiny_xalm, "-m", "perplexity", "-i", "the quick brown fox is here"])
     assert rc == 0

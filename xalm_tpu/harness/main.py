@@ -65,8 +65,13 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=0, help="top-k filter (0 = off)")
     p.add_argument("--top-p", type=float, default=1.0, help="nucleus filter (1 = off)")
     p.add_argument("--spec", type=int, default=0, metavar="K",
-                   help="n-gram speculative decoding with K drafts per verify"
-                        " chunk (try 7; greedy-exact, see runtime/spec.py)")
+                   help="speculative decoding with K drafts per verify"
+                        " chunk (try 7; greedy-exact, wrap-safe; see"
+                        " runtime/spec.py)")
+    p.add_argument("--draft", metavar="DRAFT.xalm", default=None,
+                   help="with --spec: draft with this (smaller) model"
+                        " instead of n-gram lookup (must share the"
+                        " tokenizer/vocab)")
     p.add_argument("--profile", action="store_true", help="print profiler report at exit")
     p.add_argument("--seed", type=int, default=None, help="seed for passkey randomness")
     p.add_argument(
@@ -213,7 +218,15 @@ def run_completion(args) -> int:
     elif args.spec:
         from xalm_tpu.runtime.spec import generate_spec
 
-        out, stats = generate_spec(eng, ids, num_steps, k=args.spec, on_token=on_token)
+        draft_eng = None
+        if args.draft:
+            from xalm_tpu.runtime.engine import Engine as _E
+
+            draft_eng = _E.from_xalm(args.draft, progress=False)
+        out, stats = generate_spec(
+            eng, ids, num_steps, k=args.spec, on_token=on_token,
+            draft_engine=draft_eng,
+        )
     elif args.temperature > 0:
         out, stats = eng.generate(
             ids, num_steps, on_token=on_token, temperature=args.temperature,
