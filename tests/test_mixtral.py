@@ -148,3 +148,36 @@ def test_mixtral_expert_parallel_matches_single(mx_xalm):
     a, _ = ref.generate(TOKENS[:5], 10, stop_on_eos=False, segment=1)
     b, _ = eng.generate(TOKENS[:5], 10, stop_on_eos=False, segment=5)
     assert a == b
+
+
+def test_mixtral_sparse_decode_matches_dense(tiny_mx, tmp_path):
+    """Gathered sparse expert decode (pallas, b=1 t=1: stream only the
+    top-k experts via the (L*E, ...) scalar-prefetch index) must match the
+    dense-masked XLA path token for token and in logits."""
+    import jax.numpy as jnp
+
+    # f32 container: the pallas kernels then compute in f32 too, so the
+    # sparse gather must match the dense-masked einsums tightly (an i8
+    # container compares bf16-MXU vs f32-XLA compute — tolerance, not
+    # equivalence)
+    out = str(tmp_path / "mx_f32.xalm")
+    assert cvt.main(["--input", tiny_mx, "--output", out, "--type", "f32"]) == 0
+    sparse = Engine.from_xalm(
+        out, matmul_impl="pallas", kv_dtype=jnp.float32, progress=False
+    )
+    dense = Engine.from_xalm(
+        out, matmul_impl="xla", kv_dtype=jnp.float32, progress=False
+    )
+    rng = np.random.default_rng(31)
+    toks = rng.integers(3, 350, size=10)
+    cs, cd = sparse.new_cache(1), dense.new_cache(1)
+    for i, t in enumerate(toks):
+        ls, cs = sparse.decode(np.array([t]), np.array([i]), cs)
+        ld, cd = dense.decode(np.array([t]), np.array([i]), cd)
+        np.testing.assert_allclose(
+            np.asarray(ls), np.asarray(ld), rtol=2e-4, atol=2e-4,
+        )
+    prompt = rng.integers(3, 350, size=6).tolist()
+    want, _ = dense.generate(prompt, 8, stop_on_eos=False)
+    got, _ = sparse.generate(prompt, 8, stop_on_eos=False)
+    assert got == want

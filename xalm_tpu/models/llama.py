@@ -801,6 +801,43 @@ def forward(
                 wts = jax.lax.dynamic_slice_in_dim(
                     wts, jax.lax.axis_index(tp_axis) * e_loc, e_loc, axis=-1
                 )
+            if (
+                t == 1 and b == 1 and tp_axis is None and use_pallas
+                and _pallas_ok(lp.w13e)
+            ):
+                # --- gathered sparse expert decode: stream ONLY the top-k
+                # experts' weights. The stacked Pallas kernel indexes the
+                # (L*E, ...) flattened expert stacks by layer*E + expert via
+                # scalar prefetch — a zero-copy gather, so decode reads k/E
+                # of the expert bytes (the dense-masked path below reads all
+                # E; at Mixtral's 8-choose-2 that is 4x the FFN traffic).
+                from xalm_tpu.ops.pallas_matmul import pallas_qmatmul_stacked_full
+
+                ne = lp.w13e.values.shape[1]
+                w13v_f = lp.w13e.values.reshape(
+                    -1, *lp.w13e.values.shape[2:]
+                )  # (L*E, 2h, d) — contiguous: a bitcast, not a copy
+                w13s_f = (
+                    None if lp.w13e.scale is None
+                    else lp.w13e.scale.reshape(-1, lp.w13e.scale.shape[-1])
+                )
+                w2v_f = lp.w2e.values.reshape(-1, *lp.w2e.values.shape[2:])
+                w2s_f = (
+                    None if lp.w2e.scale is None
+                    else lp.w2e.scale.reshape(-1, lp.w2e.scale.shape[-1])
+                )
+                xm = xn2.reshape(1, -1)
+                dn = jnp.zeros((1, x.shape[-1]), jnp.float32)
+                for j in range(cfg.n_experts_active):
+                    idx = layer * ne + topi[0, 0, j]
+                    a13 = pallas_qmatmul_stacked_full(xm, w13v_f, w13s_f, idx)
+                    g_, u_ = split_w13_rows(a13, ffn_chunk(cfg.hidden_dim))
+                    dj = pallas_qmatmul_stacked_full(
+                        (_act_fn(g_) * u_), w2v_f, w2s_f, idx
+                    )
+                    dn = dn + topv[0, 0, j] * dj
+                x = x + dn.reshape(1, 1, -1)
+                return (x, ck, cv, ks, vs), rows
             w13v = _index(lp.w13e.values, layer)  # (E, 2h, d)
             a13 = jnp.einsum(
                 "btd,ehd->bteh",

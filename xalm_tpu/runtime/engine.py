@@ -713,9 +713,21 @@ class Engine:
             return b
 
         lw = p.layers
-        mats = [w for w in (lw.wqkv, lw.wo, lw.w13, lw.w2, lw.w13e, lw.w2e)
-                if w is not None]
+        mats = [w for w in (lw.wqkv, lw.wo, lw.w13, lw.w2) if w is not None]
         weight_bytes = sum(qbytes(w) for w in mats)
+        if lw.w13e is not None:
+            expert_bytes = qbytes(lw.w13e) + qbytes(lw.w2e)
+            from xalm_tpu.ops.pallas_matmul import supported_weight_dtype
+
+            if self.matmul_impl == "pallas" and supported_weight_dtype(
+                lw.w13e.values.dtype
+            ):
+                # gathered sparse decode (models/llama.py): only the top-k
+                # experts' weights stream per token
+                expert_bytes = (
+                    expert_bytes * cfg.n_experts_active // max(cfg.n_experts, 1)
+                )
+            weight_bytes += expert_bytes
         if lw.wgate is not None:
             weight_bytes += lw.wgate.nbytes
         weight_bytes += lw.attn_norm.nbytes + lw.mlp_norm.nbytes
