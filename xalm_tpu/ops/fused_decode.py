@@ -361,7 +361,13 @@ def _kernel(
     x = x_ref[...]
     ms = jnp.mean(x * x, axis=-1, keepdims=True)
     xn = (x * jax.lax.rsqrt(ms + eps) * anorm_ref[0]).astype(jnp.bfloat16)
+    # per-tile-sliced scale/bias rows arrive PRE-BROADCAST to (B, X)
+    # (fused_decode_step materializes them in HBM): Mosaic lowers full-
+    # width offset-0 broadcasts fine, but a lane-OFFSET slice of a
+    # sublane-replicated (1, X) row cannot broadcast to (B, TA) — the b>1
+    # "Invalid input layout" compile failure
     sqkv = sqkv_ref[0]
+    bq = bqkv_ref[0] if has_bias else None
     skip_dot = "nodot" in PR  # probe: stream tiles with ZERO matmul work
     ys = []
     for e in range(nqkv):
@@ -374,7 +380,7 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             ) * sqkv[:, e * TA : (e + 1) * TA]
         if has_bias:  # Qwen2 fused qkv bias (rows match wqkv's order)
-            yt = yt + bqkv_ref[0][:, e * TA : (e + 1) * TA]
+            yt = yt + bq[:, e * TA : (e + 1) * TA]
         ys.append(yt)
         issue(e + nbA)
     y = jnp.concatenate(ys, axis=1)  # (1, DQ) — lane concat, layout-free
@@ -598,12 +604,10 @@ def _kernel(
         for h in range(hq):
             q_ref[h : h + 1, :] = qs[h][bi : bi + 1]
         nblk = (kvl + sb - 1) // sb
-        if not prefetched:  # row 0's block 0 was started at kernel top
-            dma_kb(bi, 0, 0).start()
-            dma_vb(bi, 0, 0).start()
-            if quant:
-                dma_ks(bi, 0, 0).start()
-                dma_vs(bi, 0, 0).start()
+        # flash block 0 was already started by _attn_reads (at kernel top
+        # for row 0, at this row's entry otherwise) — starting it again
+        # here would double-bump the DMA semaphore and corrupt every
+        # subsequent wait
 
         def blk_body(t, _):
             slot = t % 2
@@ -846,7 +850,7 @@ def _kernel(
             xn3 = (x * jax.lax.rsqrt(ms3 + eps) * onorm_ref[...]).astype(
                 jnp.bfloat16
             )
-            sw = swcls_ref[...]  # (1, V)
+            sw = swcls_ref[...]  # (B, V), pre-broadcast
             skip_log = "nologit" in PR  # probe: stream w/o compute
             lane = jax.lax.broadcasted_iota(jnp.int32, (B, TA), 1)
             # per-row running greedy argmax across tiles
@@ -1102,15 +1106,17 @@ def fused_decode_step(
     if fold_embed:
         vm_specs.append(hd_spec)  # pair-repeated freqs
     vm_specs += [
-        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, DQ), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, H2), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),  # attn_norm
+        pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),  # mlp_norm
+        # per-tile-sliced scale rows ride pre-broadcast (B, X) blocks (see
+        # the kernel comment at phase 1)
+        pl.BlockSpec((1, B, DQ), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, N), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, H2), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, N), row, memory_space=pltpu.VMEM),
     ]
     if has_bias:
-        vm_specs.append(pl.BlockSpec((1, 1, DQ), row, memory_space=pltpu.VMEM))
+        vm_specs.append(pl.BlockSpec((1, B, DQ), row, memory_space=pltpu.VMEM))
     if has_qk:
         vm_specs += [
             pl.BlockSpec((1, 1, hd), row, memory_space=pltpu.VMEM),
@@ -1124,7 +1130,7 @@ def fused_decode_step(
     if fold_wcls:
         vm_specs += [
             pl.BlockSpec((1, N), const, memory_space=pltpu.VMEM),  # out_norm
-            pl.BlockSpec((1, V), const, memory_space=pltpu.VMEM),  # wcls scale
+            pl.BlockSpec((B, V), const, memory_space=pltpu.VMEM),  # wcls scale
         ]
     n_alias = 4 if quant else 2  # caches (+ scale planes) alias in-place
     n_any = 4 + n_alias + (1 if fold_wcls else 0) + (1 if fold_embed else 0)
@@ -1216,16 +1222,22 @@ def fused_decode_step(
         call_args.append(
             jnp.repeat(jnp.asarray(freqs, jnp.float32).reshape(1, -1), 2, axis=-1)
         )
+    def _rows_b(a, w):  # (L, w) -> (L, B, w) materialized (scales are
+        # ~0.6% of step bytes even at B=8; B=1 is a plain reshape)
+        return jnp.broadcast_to(
+            a.reshape(L, 1, w).astype(jnp.float32), (L, B, w)
+        )
+
     call_args += [
         lp.attn_norm.reshape(L, 1, N).astype(jnp.float32),
         lp.mlp_norm.reshape(L, 1, N).astype(jnp.float32),
-        lp.wqkv.scale.reshape(L, 1, DQ).astype(jnp.float32),
-        lp.wo.scale.reshape(L, 1, N).astype(jnp.float32),
-        lp.w13.scale.reshape(L, 1, H2).astype(jnp.float32),
-        lp.w2.scale.reshape(L, 1, N).astype(jnp.float32),
+        _rows_b(lp.wqkv.scale, DQ),
+        _rows_b(lp.wo.scale, N),
+        _rows_b(lp.w13.scale, H2),
+        _rows_b(lp.w2.scale, N),
     ]
     if has_bias:
-        call_args.append(lp.bqkv.reshape(L, 1, DQ).astype(jnp.float32))
+        call_args.append(_rows_b(lp.bqkv, DQ))
     if has_qk:
         call_args += [
             lp.q_norm.reshape(L, 1, hd).astype(jnp.float32),
@@ -1239,7 +1251,9 @@ def fused_decode_step(
     if fold_wcls:
         call_args += [
             jnp.asarray(out_norm, jnp.float32).reshape(1, N),
-            jnp.asarray(wcls.scale, jnp.float32).reshape(1, V),
+            jnp.broadcast_to(
+                jnp.asarray(wcls.scale, jnp.float32).reshape(1, V), (B, V)
+            ),
         ]
     call_args += [
         lp.wqkv.values,
