@@ -107,6 +107,10 @@ def main() -> int:
     ap.add_argument("--a8", action="store_true",
                     help="W8A8 prefill: per-token int8 activations (s8xs8 "
                     "MXU at 2x bf16 rate; quality-gated, see RESULTS.md)")
+    ap.add_argument("--a8-decode", action="store_true",
+                    help="W8A8 decode: per-row int8 activations through "
+                    "every megakernel dot (s8xs8 MXU, no per-tile weight "
+                    "convert; quality-gated like --a8)")
     ap.add_argument("--wcls", default="i8", choices=["keep", "i8"],
                     help="i8 (default): recode the bf16 classifier head to "
                     "i8 per-row at load — halves its 262 MB decode stream, "
@@ -169,6 +173,7 @@ def main() -> int:
             cfg, params, None, kv_dtype=kv_dt,
             compute_dtype={"auto": "auto", "f32": jnp.float32, "bf16": jnp.bfloat16}[args.compute],
             a8_prefill=args.a8,
+            a8_decode=args.a8_decode,
             wcls_i8=wcls_i8,
             fused_step=fused,
         )

@@ -480,3 +480,24 @@ def test_fused_mixed_lane_width(tmp_path):
     np.testing.assert_allclose(
         np.asarray(cf.k), np.asarray(cr.k), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fused_a8_decode_close(tiny_i8):
+    """W8A8 decode (per-row int8 activations through every megakernel dot):
+    logits stay within activation-quantization noise of the bf16-activation
+    kernel and greedy decisions hold on the first steps."""
+    base = Engine.from_xalm(
+        tiny_i8, matmul_impl="pallas", kv_dtype=jnp.float32, progress=False,
+        wcls_i8=True,
+    )
+    a8 = Engine(base.cfg, base.params, base.tokenizer, matmul_impl="pallas",
+                kv_dtype=jnp.float32, wcls_i8=True, a8_decode=True)
+    lb, _ = base.decode(np.array([7]), np.array([0]), base.new_cache(1))
+    la, _ = a8.decode(np.array([7]), np.array([0]), a8.new_cache(1))
+    lb, la = np.asarray(lb, np.float32), np.asarray(la, np.float32)
+    assert np.abs(lb - la).max() < 0.08 * max(1.0, np.abs(lb).max())
+    assert lb.argmax() == la.argmax()
+    prompt = np.random.default_rng(41).integers(3, 350, size=6).tolist()
+    want, _ = base.generate(prompt, 6, stop_on_eos=False)
+    got, _ = a8.generate(prompt, 6, stop_on_eos=False)
+    assert got[:3] == want[:3]

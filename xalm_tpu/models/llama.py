@@ -406,6 +406,7 @@ def forward(
     compute_dtype=jnp.float32,
     matmul_impl: str = "auto",
     a8_prefill: bool = False,
+    a8_decode: bool = False,
     tp_axis: str | None = None,
     pp_axis: str | None = None,
     fused_step: bool = True,
@@ -492,6 +493,8 @@ def forward(
                 pos=positions[:, 0],
                 freqs=jnp.asarray(freqs),
             ) if fold_e else {}
+            if a8_decode:
+                mk_kw["a8"] = True
             mk_quant = cache.k_scale is not None
             if mk_quant:
                 mk_kw.update(k_scale=cache.k_scale, v_scale=cache.v_scale)

@@ -109,6 +109,7 @@ def _kernel(
     has_pn: bool = False,  # Gemma-2 post-attention/post-ffn block norms
     asc: float = 0.0,  # Gemma-2 attention-score softcap (0 = off)
     lsc: float = 0.0,  # Gemma-2 final-logit softcap (0 = off)
+    a8: bool = False,  # W8A8 decode: per-row int8 activations, s8xs8 MXU
 ):
     it = iter(refs)
     x0_ref = None if fold_embed else next(it)
@@ -357,10 +358,27 @@ def _kernel(
     if not skip_attn:
         _attn_reads(0)  # prefetch row 0 under the phase-1/2 tile stream
 
+    def _a8dot(xf32, tile, sl):
+        # W8A8: per-row int8 activations feed the MXU as s8 x s8 -> i32
+        # (no per-tile int8->bf16 weight convert on the critical path; the
+        # activation row quantizes ONCE per phase). ``sl`` is the (B, TA)
+        # pre-broadcast weight-scale slice; the activation scale is a
+        # (B, 1) lane broadcast.
+        xq, xs = _quant_rows_f32(xf32)
+        def dot(e_tile, e_sl):
+            return jax.lax.dot_general(
+                xq, e_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * e_sl * xs
+        return dot
+
     # ---- phase 1: fused qkv projection (norm prologue + scale epilogue) -
     x = x_ref[...]
     ms = jnp.mean(x * x, axis=-1, keepdims=True)
-    xn = (x * jax.lax.rsqrt(ms + eps) * anorm_ref[0]).astype(jnp.bfloat16)
+    xn_f = x * jax.lax.rsqrt(ms + eps) * anorm_ref[0]
+    xn = xn_f.astype(jnp.bfloat16)
+    if a8:
+        dot1 = _a8dot(xn_f, None, None)
     # per-tile-sliced scale/bias rows arrive PRE-BROADCAST to (B, X)
     # (fused_decode_step materializes them in HBM): Mosaic lowers full-
     # width offset-0 broadcasts fine, but a lane-OFFSET slice of a
@@ -374,6 +392,8 @@ def _kernel(
         consume_wait(e)
         if skip_dot:
             yt = jnp.zeros((xn.shape[0], TA), jnp.float32)
+        elif a8:
+            yt = dot1(tileA(e, N), sqkv[:, e * TA : (e + 1) * TA])
         else:
             yt = jax.lax.dot_general(
                 xn, tileA(e, N), (((1,), (1,)), ((), ())),
@@ -755,15 +775,20 @@ def _kernel(
     attn_flat = attn_ref[...].astype(jnp.bfloat16)  # (B, QD)
     so = so_ref[0]
     x = x_ref[...]
+    if a8:
+        dot2 = _a8dot(attn_ref[...], None, None)
     parts = []
     for e in range(nqkv, nqkv + nwo):
         consume_wait(e)
         eo = e - nqkv
         if not skip_dot:
-            parts.append(jax.lax.dot_general(
-                attn_flat, tileA(e, QW), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * so[:, eo * TA : (eo + 1) * TA])
+            if a8:
+                parts.append(dot2(tileA(e, QW), so[:, eo * TA : (eo + 1) * TA]))
+            else:
+                parts.append(jax.lax.dot_general(
+                    attn_flat, tileA(e, QW), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * so[:, eo * TA : (eo + 1) * TA])
         issue(e + nbA)
     if not skip_dot:
         # single whole-row store: per-tile (B, TA) sub-stores measurably
@@ -781,7 +806,10 @@ def _kernel(
     # ---- phase 3: w13 tiles -> silu GLU ---------------------------------
     x = x_ref[...]
     ms2 = jnp.mean(x * x, axis=-1, keepdims=True)
-    xn2 = (x * jax.lax.rsqrt(ms2 + eps) * mnorm_ref[0]).astype(jnp.bfloat16)
+    xn2_f = x * jax.lax.rsqrt(ms2 + eps) * mnorm_ref[0]
+    xn2 = xn2_f.astype(jnp.bfloat16)
+    if a8:
+        dot3 = _a8dot(xn2_f, None, None)
     s13 = s13_ref[0]
     skip_ffn = "noffn" in PR
     skip_glu = "noglu" in PR  # probe: phase-3 dots, no GLU/act stores
@@ -791,10 +819,13 @@ def _kernel(
         consume_wait(e)
         i = e - nqkv - nwo
         if not skip_ffn:
-            yt = jax.lax.dot_general(
-                xn2, tileA(e, N), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * s13[:, i * TA : (i + 1) * TA]  # (1, TA)
+            if a8:
+                yt = dot3(tileA(e, N), s13[:, i * TA : (i + 1) * TA])
+            else:
+                yt = jax.lax.dot_general(
+                    xn2, tileA(e, N), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * s13[:, i * TA : (i + 1) * TA]  # (1, TA)
             if skip_glu:
                 act_ref[:, i * (TA // 2) : i * (TA // 2) + 1] = yt[:, :1]
                 issue(e + nbA)
@@ -818,14 +849,19 @@ def _kernel(
             entryB_dma(i).start()
     actb = act_ref[...].astype(jnp.bfloat16)
     s2 = s2_ref[0]
+    if a8:
+        dot4 = _a8dot(act_ref[...], None, None)
     y2s = []
     for i in range(nt2):
         entryB_dma(i).wait()
         if not (skip_ffn or skip_w2):
-            y2s.append(jax.lax.dot_general(
-                actb, bufB[i % nbB], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * s2[:, i * TB : (i + 1) * TB])
+            if a8:
+                y2s.append(dot4(bufB[i % nbB], s2[:, i * TB : (i + 1) * TB]))
+            else:
+                y2s.append(jax.lax.dot_general(
+                    actb, bufB[i % nbB], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * s2[:, i * TB : (i + 1) * TB])
         issueB(i + nbB)
     if y2s:
         down = jnp.concatenate(y2s, axis=1)  # (B, N)
@@ -847,9 +883,10 @@ def _kernel(
         def _logits():
             x = x_ref[...]
             ms3 = jnp.mean(x * x, axis=-1, keepdims=True)
-            xn3 = (x * jax.lax.rsqrt(ms3 + eps) * onorm_ref[...]).astype(
-                jnp.bfloat16
-            )
+            xn3_f = x * jax.lax.rsqrt(ms3 + eps) * onorm_ref[...]
+            xn3 = xn3_f.astype(jnp.bfloat16)
+            if a8:
+                dot5 = _a8dot(xn3_f, None, None)
             sw = swcls_ref[...]  # (B, V), pre-broadcast
             skip_log = "nologit" in PR  # probe: stream w/o compute
             lane = jax.lax.broadcasted_iota(jnp.int32, (B, TA), 1)
@@ -859,10 +896,13 @@ def _kernel(
             for i in range(NW):
                 wcls_dma(i).wait()
                 if not skip_log:
-                    lt = jax.lax.dot_general(
-                        xn3, tileA(i, N), (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) * sw[:, i * TA : (i + 1) * TA]  # (B, TA)
+                    if a8:
+                        lt = dot5(tileA(i, N), sw[:, i * TA : (i + 1) * TA])
+                    else:
+                        lt = jax.lax.dot_general(
+                            xn3, tileA(i, N), (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) * sw[:, i * TA : (i + 1) * TA]  # (B, TA)
                     if lsc:  # Gemma-2 final-logit softcap (monotone:
                         # the running argmax below is unaffected)
                         lt = jnp.tanh(lt * (1.0 / lsc)) * lsc
@@ -1015,6 +1055,7 @@ def fused_decode_step(
     freqs=None,  # (hd//2,) rope inverse frequencies — required with embed
     k_scale=None,  # (L, B, KH, S) f32 — int8 caches only; updated in place
     v_scale=None,
+    a8: bool = False,  # W8A8 decode: int8 activations, s8xs8 MXU dots
 ):
     """One full decode-layer-stack step over B <= _MAX_B rows.
 
@@ -1093,6 +1134,7 @@ def fused_decode_step(
         fold_embed=fold_embed, ES=float(cfg.embed_scale),
         has_bias=has_bias, has_qk=has_qk, has_pn=has_pn,
         asc=float(cfg.attn_softcap), lsc=float(cfg.logit_softcap),
+        a8=a8,
     )
     const = lambda l, m: (0, 0)
     row = lambda l, m: (l, 0, 0)

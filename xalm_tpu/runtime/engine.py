@@ -87,6 +87,7 @@ class Engine:
         compute_dtype="auto",
         matmul_impl: str = "auto",
         a8_prefill: bool = False,
+        a8_decode: bool = False,
         fused_step: bool = True,
         wcls_i8: bool = False,
     ):
@@ -117,6 +118,8 @@ class Engine:
 
         self.fused_step = fused_step
 
+        self.a8_decode = a8_decode
+
         def _fwd(params, tokens, pos, cache, valid, *, logits_mode):
             return forward(
                 params,
@@ -129,6 +132,7 @@ class Engine:
                 compute_dtype=compute_dtype,
                 matmul_impl=matmul_impl,
                 a8_prefill=a8_prefill,
+                a8_decode=a8_decode,
                 fused_step=fused_step,
             )
 
@@ -165,6 +169,7 @@ class Engine:
                     logits_mode="token",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
+                    a8_decode=a8_decode,
                     fused_step=fused_step,
                 )
                 return (nxt, p + 1, c), nxt
