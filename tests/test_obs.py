@@ -126,3 +126,47 @@ def test_histogram_matches_batch_binning():
     want, _ = np.histogram(data, bins=10, range=(data.min(), data.max()))
     # the top edge is inclusive in both
     np.testing.assert_array_equal(h.counts, want)
+
+
+def test_table_alignment_and_formats():
+    """Deduced alignment (numbers right, text left), per-column format
+    specs incl. the human-size "h" spec (reference table.h:24-105,
+    159-199)."""
+    from xalm_tpu.obs.table import Table
+
+    t = Table(["name", "n", "bytes"], formats={"n": ".1f", "bytes": "h"})
+    t.add("alpha", 1.25, 2048)
+    t.add("b", 10.0, 1023)
+    out = t.format()
+    lines = out.splitlines()
+    # numeric columns right-aligned, text left-aligned
+    assert "| alpha | " in lines[3]
+    assert "|  1.2 |" in lines[3].replace("1.2", "1.2")  # formatted .1f
+    assert " 1.2 |" in lines[3] and " 2.00 KiB |" in lines[3]
+    assert " 10.0 |" in lines[4] and " 1023 B |" in lines[4]
+    # right alignment: the shorter number is padded on the LEFT
+    n_col = [ln.split("|")[2] for ln in lines[3:5]]
+    assert n_col[0].rstrip().startswith(" ") and n_col[0].endswith("1.2 ")
+
+
+def test_table_histogram_cell():
+    """A Histogram value renders as its sparkline in-cell (reference
+    table.h histogram cells used by the container listing xalm.h:49-62)."""
+    from xalm_tpu.obs.stats import Histogram
+    from xalm_tpu.obs.table import Table
+
+    h = Histogram(np.linspace(-1, 1, 257))
+    t = Table(["row", "dist"])
+    t.add(0, h)
+    out = t.format()
+    assert h.sparkline() in out
+
+
+def test_table_explicit_align_override():
+    from xalm_tpu.obs.table import Table
+
+    t = Table(["x"], align={"x": "r"})
+    t.add("ab")
+    t.add("wider")
+    body = t.format().splitlines()[3]
+    assert "|    ab |" in body

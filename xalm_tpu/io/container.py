@@ -225,15 +225,17 @@ class XalmFile:
         distribution sparkline + min/max cell (the reference table.h's
         histogram-in-cell rendering, table.h:1-618 / stats.h:38-53) —
         this dequantizes every tensor, so it reads the whole file."""
-        from xalm_tpu.obs.table import Table, human_size
+        from xalm_tpu.obs.table import Table
 
         cols = ["#", "name", "type", "shape", "size"]
         if histograms:
             cols += ["distribution", "min", "max"]
-        tbl = Table(cols)
+        # "h" = human-readable bytes; numeric columns right-align by
+        # deduction (reference table.h:28-49 deduced formats/alignment)
+        tbl = Table(cols, formats={"size": "h", "min": "+.4g", "max": "+.4g"})
         for i, (name, t) in enumerate(self.tensors.items()):
             row = [i, name, t.dtype.name, "x".join(map(str, t.shape)),
-                   human_size(t.size)]
+                   t.size]
             if histograms:
                 from xalm_tpu import quant
                 from xalm_tpu.obs.stats import Histogram
@@ -248,7 +250,7 @@ class XalmFile:
                 ).ravel()
                 sample = vals[:: max(vals.size // 65536, 1)]
                 h = Histogram(sample, bins=10)
-                row += [h.sparkline(), f"{h.min:+.3g}", f"{h.max:+.3g}"]
+                row += [h, float(h.min), float(h.max)]  # histogram cell
             tbl.add(*row)
         return tbl.format(title=self.path)
 

@@ -41,15 +41,15 @@ def format_tensor(arr: np.ndarray, name: str = "", max_rows: int = 16) -> str:
     arr = np.asarray(arr)
     f = arr.astype(np.float32) if arr.dtype != np.float32 else arr
     title = f"{name} {arr.dtype} {'x'.join(map(str, arr.shape))}"
-    tbl = Table(["row", "histogram", "min", "max", "mean", "sum"])
+    tbl = Table(
+        ["row", "histogram", "min", "max", "mean", "sum"],
+        formats={c: "+.4g" for c in ("min", "max", "mean", "sum")},
+    )
     rows = f.reshape(f.shape[0], -1) if f.ndim > 1 else f.reshape(1, -1)
     n = min(len(rows), max_rows)
     for i in range(n):
         h = Histogram(rows[i])
-        tbl.add(
-            i, h.sparkline(), f"{h.min:+.4g}", f"{h.max:+.4g}",
-            f"{h.mean:+.4g}", f"{h.sum:+.4g}",
-        )
+        tbl.add(i, h, float(h.min), float(h.max), float(h.mean), float(h.sum))
     if len(rows) > n:
         tbl.add("…", f"({len(rows) - n} more rows)", "", "", "", "")
     return tbl.format(title=title)
