@@ -87,7 +87,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=96, help="decode steps to time")
     ap.add_argument("--warmup", type=int, default=16)
-    ap.add_argument("--dtype", default="i8", choices=["f8_e4m3", "f8_e5m2", "i8", "bf16", "f16"])
+    ap.add_argument("--dtype", default="i8",
+                    choices=["f8_e4m3", "f8_e5m2", "i8", "bf16", "f16", "q4"])
+    ap.add_argument("--q4-group", type=int, default=512,
+                    help="q4: weights per scale group along the contraction "
+                    "(128-multiple; smaller = better quality, more scale "
+                    "bytes). Body-only — the head stays i8 (quality-gated)")
     ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
     ap.add_argument("--mini", action="store_true",
                     help="tiny synthetic config (debug: smoke the bench flow "
@@ -134,7 +139,11 @@ def main() -> int:
         "i8": jnp.int8,
         "bf16": jnp.bfloat16,
         "f16": jnp.float16,
+        "q4": jnp.int8,  # synthesized i8, recoded to packed 4-bit below
     }[args.dtype]
+    if args.dtype == "q4" and not args.a8_decode:
+        args.a8_decode = True  # the q4 megakernel runs s8xs8 dots only
+        log("q4 implies --a8-decode (the packed body feeds s8xs8 MXU dots)")
 
     cfg = MISTRAL_7B
     if args.mini:
@@ -160,12 +169,18 @@ def main() -> int:
 
         params = recode_params_fp8(params)
         log("fp8 weights recoded to i8 + per-row scales at load (--fp8 keep to disable)")
+    if args.dtype == "q4":
+        from xalm_tpu.models.params import recode_params_q4
+
+        params = recode_params_q4(params, group=args.q4_group)
+        log(f"body weights packed to 4-bit (group {args.q4_group}; head stays i8)")
     jax.block_until_ready(jax.tree.leaves(params))
     kv_dt = {"auto": "auto", "f16": jnp.float16, "bf16": jnp.bfloat16, "i8": jnp.int8}[args.kv]
     # head recode only joins the 8-bit regimes: a bf16/f16 run must stream
     # the container's own boosted head to stay a clean dtype comparison
     wcls_i8 = args.wcls == "i8" and (
-        args.dtype == "i8" or (args.dtype.startswith("f8") and args.fp8 == "recode")
+        args.dtype in ("i8", "q4")
+        or (args.dtype.startswith("f8") and args.fp8 == "recode")
     )
 
     def build_engine(fused: bool) -> Engine:

@@ -1,0 +1,127 @@
+"""Packed-4-bit body (q4): packing, dequant, gates, and the megakernel path.
+
+The reference ships home-grown 4-bit interchange formats (qi3/qi4,
+reference convert.py:368-651) that its runtime can't execute; here q4 is a
+first-class runtime format: packed nibbles stream through the decode
+megakernel (in-VMEM unpack + s8xs8 group dots, ops/fused_decode.py) and
+dequantize through XLA everywhere else."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xalm_tpu.models.params import (
+    QWeight,
+    _pack_q4_codes,
+    recode_params_q4,
+    recode_qweight_q4,
+    unpack_q4,
+)
+from xalm_tpu.runtime.engine import Engine
+from xalm_tpu.utils.synthetic import synthetic_params
+
+
+def test_pack_unpack_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(-8, 8, size=(6, 512)).astype(np.int32)
+    packed = _pack_q4_codes(jnp.asarray(codes))
+    assert packed.shape == (6, 256) and packed.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(unpack_q4(packed)), codes)
+
+
+def test_recode_error_bound_and_dequant():
+    """Each dequantized value sits within scale/2 of the source (symmetric
+    absmax/7 per (row, group) grid)."""
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((2, 128, 512)).astype(np.float32)
+    qw = recode_qweight_q4(QWeight(jnp.asarray(w)), group=128)
+    assert qw.q4group == 128
+    assert qw.values.shape == (2, 128, 256)
+    assert qw.scale.shape == (2, 128, 4)
+    deq = np.asarray(qw.astype_dequant(jnp.float32))
+    bound = np.repeat(np.asarray(qw.scale), 128, axis=-1) * 0.5 + 1e-7
+    assert (np.abs(deq - w) <= bound).all()
+
+
+def test_recode_group_validation():
+    w = QWeight(jnp.zeros((4, 512), jnp.float32))
+    with pytest.raises(ValueError):
+        recode_qweight_q4(w, group=512)  # does not divide K/2
+    with pytest.raises(ValueError):
+        recode_qweight_q4(w, group=64)  # not a 128-multiple
+
+
+def _tiny_cfg():
+    import dataclasses
+
+    from xalm_tpu.utils.synthetic import MISTRAL_7B
+
+    # smallest dims whose halves stay 128-aligned for group=128
+    return dataclasses.replace(
+        MISTRAL_7B, dim=256, hidden_dim=512, head_dim=64, rotary_dim=64,
+        n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=2048, max_seq_len=256,
+    )
+
+
+@pytest.fixture(scope="module")
+def q4_engines():
+    cfg = _tiny_cfg()
+    params = synthetic_params(cfg, weight_dtype=jnp.int8)
+    pq4 = recode_params_q4(params, group=128)
+    mk = Engine(cfg, pq4, None, matmul_impl="pallas", kv_dtype=jnp.float32,
+                wcls_i8=True, a8_decode=True)
+    xla = Engine(cfg, pq4, None, matmul_impl="pallas", kv_dtype=jnp.float32,
+                 wcls_i8=True, a8_decode=True, fused_step=False)
+    return mk, xla
+
+
+def test_q4_gate_requires_a8(q4_engines):
+    from xalm_tpu.ops.fused_decode import fused_step_supported
+
+    mk, _ = q4_engines
+    cache = mk.new_cache(1)
+    assert fused_step_supported(mk.cfg, mk.params, cache.k, 1, 1, a8=True)
+    assert not fused_step_supported(mk.cfg, mk.params, cache.k, 1, 1, a8=False)
+    assert mk.decode_path(1) == "megakernel"
+    no_a8 = Engine(mk.cfg, mk.params, None, matmul_impl="pallas",
+                   kv_dtype=jnp.float32, wcls_i8=True)
+    assert no_a8.decode_path(1) == "xla"
+
+
+def test_q4_megakernel_matches_xla(q4_engines):
+    """q4 megakernel (s8 activations) vs the XLA dequant path (f32
+    activations) on IDENTICAL q4 params: the weight grid cancels, leaving
+    only activation-quantization noise — logits close, greedy decisions
+    identical from cache-empty through several steps."""
+    mk, xla = q4_engines
+    cm, cx = mk.new_cache(1), xla.new_cache(1)
+    rng = np.random.default_rng(2)
+    for i, t in enumerate(rng.integers(3, 2000, size=6)):
+        lm, cm = mk.decode(np.array([t]), np.array([i]), cm)
+        lx, cx = xla.decode(np.array([t]), np.array([i]), cx)
+        lm, lx = np.asarray(lm, np.float32), np.asarray(lx, np.float32)
+        assert np.isfinite(lm).all()
+        assert np.abs(lm - lx).max() < 0.08 * max(1.0, np.abs(lx).max())
+        assert lm.argmax() == lx.argmax()
+
+
+def test_q4_generate_matches_xla(q4_engines):
+    mk, xla = q4_engines
+    prompt = np.random.default_rng(5).integers(3, 2000, size=8).tolist()
+    gm, _ = mk.generate(prompt, 8, stop_on_eos=False)
+    gx, _ = xla.generate(prompt, 8, stop_on_eos=False)
+    assert gm[:4] == gx[:4]
+
+
+def test_q4_batch_rows(q4_engines):
+    """b>1 q4 decode: each row matches its own b=1 run (megakernel rows
+    carry independent kv state)."""
+    mk, _ = q4_engines
+    toks = np.array([7, 11, 13, 17])
+    cb = mk.new_cache(4)
+    lb, cb = mk.decode(toks, np.zeros(4, np.int32), cb)
+    lb = np.asarray(lb, np.float32)
+    for bi in range(4):
+        l1, _ = mk.decode(toks[bi : bi + 1], np.array([0]), mk.new_cache(1))
+        np.testing.assert_allclose(lb[bi], np.asarray(l1)[0], rtol=2e-4, atol=2e-4)

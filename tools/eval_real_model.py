@@ -206,6 +206,42 @@ def main() -> int:
     ]
     print(f"a8-decode ppl {ppl_a8:.3f} (delta {ppl_a8 - ppl_mk:+.4f})", flush=True)
 
+    # ---- q4 body quality gate (bench --dtype q4) -------------------------
+    # packed-4-bit body weights (per-(row, group) scales, head stays i8):
+    # the headline-doubling decode format must hold decode-path ppl within
+    # noise at the quality-default group of 128
+    from xalm_tpu.models.params import recode_params_q4
+
+    q4_lines = []
+    for grp in (128, 256):
+        pq4 = recode_params_q4(eng_mk.params, group=grp)
+        eng_q4 = Engine(
+            eng_mk.cfg, pq4, eng_mk.tokenizer, matmul_impl="pallas",
+            kv_dtype=_jnp.float32, wcls_i8=True, a8_decode=True,
+        )
+        assert eng_q4.decode_path(1) == "megakernel"
+        ppl_q4, err_q4, _ = eng_q4.perplexity(long_ids)
+        q4_lines.append(
+            f"- q4 group {grp}: ppl {ppl_q4:.3f} +- {err_q4:.3f}"
+            f" (delta {ppl_q4 - ppl_mk:+.4f})"
+        )
+        print(f"q4 g{grp} ppl {ppl_q4:.3f} (delta {ppl_q4 - ppl_mk:+.4f})", flush=True)
+    lines += [
+        "## q4 body quality (bench `--dtype q4`)",
+        "",
+        "Wrapped decode-path ppl with the body weights packed to 4 bits",
+        "(symmetric absmax/7 per (row, group) grid; int8 activations; the",
+        "classifier head stays i8), vs the i8-body megakernel baseline",
+        f"({ppl_mk:.3f}):",
+        "",
+        *q4_lines,
+        "",
+        "(This 40M model's contraction dims cap the coarsest measurable",
+        "group at 256 — K/2 = 256 for its attention weights. At 7B the",
+        "defaults are group 128 for quality, 512 for peak stream rate.)",
+        "",
+    ]
+
     # ---- passkey + copy probe -------------------------------------------
     from xalm_tpu.harness.main import build_passkey_prompt
 

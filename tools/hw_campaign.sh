@@ -55,6 +55,8 @@ run_step 8 serve_mixed 3600 python tools/serve_bench.py --sampled-frac 0.5 --log
 run_step 8 serve_prefix 3600 python tools/serve_bench.py --shared-prefix 256
 
 run_step 9 bench_a8_decode 3600 python bench.py --a8-decode
+run_step 9 bench_q4 3600 python bench.py --dtype q4
+run_step 9 bench_q4_g128 3600 python bench.py --dtype q4 --q4-group 128
 run_step 9 bench_kv_i8 3600 python bench.py --kv i8
 run_step 10 bench_b8 3600 python bench.py --batch 8 --kv i8
 run_step 11 bench_prefill 3600 python bench.py --prefill 2048

@@ -41,11 +41,15 @@ sys.path.insert(0, str(REPO))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=256, help="PACKED stream MiB")
+    ap.add_argument("--mb", type=int, default=128, help="PACKED stream MiB")
     ap.add_argument("--tile", type=int, default=256, help="tile rows")
     ap.add_argument("--nbuf", type=int, default=8)
     ap.add_argument("--b", type=int, default=8, help="activation rows")
     ap.add_argument("--reps", type=int, default=3)
+    # in-dispatch sweep counts: the marginal time (r_hi - r_lo sweeps) must
+    # dominate the ~30 ms tunnel RTT or the rates are noise
+    ap.add_argument("--r-lo", type=int, default=20)
+    ap.add_argument("--r-hi", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -157,6 +161,27 @@ def main() -> int:
         )  # (B, TR)
         return y[:, :128].astype(jnp.float32) * 1e-6
 
+    def c_q4_dot_grouped(gs):
+        """The quality-grade consumer: per-(row, group) scales mean one dot
+        + one f32 scale-multiply per gs-wide contraction slice (same total
+        MXU passes as one big dot; the overhead is instruction count)."""
+
+        def c(x, tile):
+            lo, hi = unpack(tile)
+            acc = jnp.zeros((x.shape[0], TR), jnp.float32)
+            for off, wh in ((0, lo), (N, hi)):
+                for g in range(N // gs):
+                    d = jax.lax.dot_general(
+                        x[:, off + g * gs : off + (g + 1) * gs],
+                        wh[:, g * gs : (g + 1) * gs],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = acc + d.astype(jnp.float32) * (1.0 + 1e-6 * g)
+            return acc[:, :128] * 1e-6
+
+        return c
+
     def c_i8_dot(x, tile):
         # today's a8 consumer on the same physical bytes: tile rows are
         # output rows, contraction over the N packed lanes
@@ -166,7 +191,7 @@ def main() -> int:
         )
         return y[:, :128].astype(jnp.float32) * 1e-6
 
-    R_LO, R_HI = 4, 20
+    R_LO, R_HI = args.r_lo, args.r_hi
     results = {}
 
     def bench(name, consumer):
@@ -192,6 +217,8 @@ def main() -> int:
     bench("q4 stream only", c_stream)
     bench("q4 unpack", c_unpack)
     bench("q4 unpack+dot", c_q4_dot)
+    for gs in (512, 128):
+        bench(f"q4 unpack+dot gs={gs}", c_q4_dot_grouped(gs))
 
     i8, q4 = results["i8 stream+dot"], results["q4 unpack+dot"]
     factor = 2 * q4 / i8

@@ -466,7 +466,9 @@ def forward(
             fused_step_supported,
         )
 
-        if fused_step_supported(cfg, params, cache.k, b, t, cache.k_scale):
+        if fused_step_supported(
+            cfg, params, cache.k, b, t, cache.k_scale, a8=a8_decode
+        ):
             from xalm_tpu.ops.fused_decode import (
                 embed_fold_supported,
                 wcls_fold_supported,
@@ -621,12 +623,18 @@ def forward(
                 None
                 if qw.scale is None
                 else jax.lax.dynamic_index_in_dim(qw.scale, layer, 0, keepdims=False),
+                q4group=qw.q4group,
             )
         return qmatmul(xx, qw, compute_dtype=compute_dtype, impl="xla")
 
     def _pallas_ok(qw: QWeight) -> bool:
         from xalm_tpu.ops.pallas_matmul import supported_weight_dtype
 
+        if qw.q4group:
+            # packed 4-bit runs EITHER the megakernel (in-VMEM unpack) or
+            # the XLA dequant path; the per-layer pallas kernels don't
+            # stream packed tiles
+            return False
         return supported_weight_dtype(qw.values.dtype)
 
     def _fused_cache_ok(ck) -> bool:

@@ -15,6 +15,15 @@ per-output-row ``scale``:
 - int8 with ``scale``: xalm_tpu `i8`, y = (x @ W^T) * scale (row-wise).
 - int8 without ``scale``: reference `q8`, fixed scale 1/100
   (reference types.h:423-424).
+- int8 with ``q4group > 0``: packed 4-bit (`q4`) — each byte holds two
+  signed nibbles along the contraction dim in split-half order (low
+  nibble = k, high nibble = k + K/2, so in-kernel unpack is two
+  arithmetic shifts and the halves feed two dots over disjoint
+  activation halves — no lane interleave). ``scale`` is per-(row, group)
+  f32 of shape (..., D, K // q4group); dequantize w[k] = nibble *
+  scale[row, k // q4group]. The reference's home-grown 4-bit formats
+  (qi3/qi4, convert.py:368-651) are interchange-only; this is the
+  runtime-streamable layout the decode megakernel consumes.
 """
 
 from __future__ import annotations
@@ -38,6 +47,9 @@ __all__ = [
     "recode_fp8_rows",
     "recode_fp8_qweight",
     "recode_params_fp8",
+    "recode_params_q4",
+    "recode_qweight_q4",
+    "unpack_q4",
     "Q8_FIXED_SCALE",
     "ffn_chunk",
     "fuse_qkv",
@@ -62,18 +74,23 @@ def ffn_chunk(hidden_dim: int) -> int:
 
 
 @functools.partial(
-    jax.tree_util.register_dataclass, data_fields=["values", "scale"], meta_fields=[]
+    jax.tree_util.register_dataclass,
+    data_fields=["values", "scale"],
+    meta_fields=["q4group"],
 )
 @dataclasses.dataclass
 class QWeight:
     """A (possibly quantized) weight matrix of logical shape (..., D, N).
 
     ``scale`` is a per-output-row f32 array of shape (..., D) for `i8`
-    weights, else None.
+    weights, else None. ``q4group > 0`` marks packed 4-bit values of
+    physical shape (..., D, N // 2) with per-(row, group) scales of shape
+    (..., D, N // q4group) — see the module docstring for the layout.
     """
 
     values: Any
     scale: Any = None
+    q4group: int = 0
 
     @property
     def shape(self):
@@ -82,6 +99,12 @@ class QWeight:
     def astype_dequant(self, dtype) -> jax.Array:
         """Materialize the dequantized matrix (test/debug path — the runtime
         kernels dequantize in VMEM instead)."""
+        if self.q4group:
+            codes = unpack_q4(self.values)  # (..., D, K) int8
+            k = codes.shape[-1]
+            g = k // self.q4group
+            c = codes.reshape(*codes.shape[:-1], g, self.q4group).astype(dtype)
+            return (c * self.scale[..., None].astype(dtype)).reshape(codes.shape)
         v = self.values.astype(dtype)
         if self.values.dtype == jnp.int8:
             s = self.scale if self.scale is not None else Q8_FIXED_SCALE
@@ -400,6 +423,101 @@ def recode_params_fp8(params: ModelParams) -> ModelParams:
     )
     wcls = embed if tied else recode_fp8_qweight(params.wcls)
     return ModelParams(embed=embed, layers=layers, out_norm=params.out_norm, wcls=wcls)
+
+
+def unpack_q4(packed) -> jax.Array:
+    """Packed (..., K/2) int8 -> (..., K) int8 codes in [-8, 7].
+
+    Split-half layout: byte j holds k=j in the low nibble and k=j+K/2 in
+    the high nibble (both signed). The high nibble sign-extends for free
+    through the int8->int32 convert + arithmetic >> 4; the low nibble
+    re-signs via << 28 >> 28 — the only integer ops Mosaic legalizes on
+    vectors are i32-width (CLAUDE.md), and this is exactly the in-kernel
+    unpack the decode megakernel runs per streamed tile."""
+    w = jnp.asarray(packed).astype(jnp.int32)
+    hi = (w >> 4).astype(jnp.int8)
+    lo = ((w << 28) >> 28).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _pack_q4_codes(q: jax.Array) -> jax.Array:
+    """int codes in [-8, 7] of shape (..., K) -> packed (..., K/2) int8."""
+    k = q.shape[-1]
+    assert k % 2 == 0
+    lo, hi = q[..., : k // 2], q[..., k // 2 :]
+    u = ((hi & 0xF) << 4) | (lo & 0xF)  # 0..255 in int32
+    return jnp.where(u > 127, u - 256, u).astype(jnp.int8)
+
+
+def _q4_slab(f: jax.Array, group: int) -> tuple[jax.Array, jax.Array]:
+    """f32 (..., D, K) -> (packed (..., D, K/2) int8, scale (..., D, K/g))."""
+    *lead, d, k = f.shape
+    g = k // group
+    fg = f.reshape(*lead, d, g, group)
+    amax = jnp.max(jnp.abs(fg), axis=-1)
+    sc = jnp.where(amax > 0, amax / 7.0, 1.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(fg / sc[..., None]), -8, 7).astype(jnp.int32)
+    return _pack_q4_codes(q.reshape(*lead, d, k)), sc
+
+
+def recode_qweight_q4(qw: QWeight, group: int) -> QWeight:
+    """Re-code one i8/float QWeight to packed 4-bit + per-(row, group)
+    scales (symmetric absmax/7 per group — the reference's qi4 grid,
+    convert.py:368-651, at runtime-streamable granularity)."""
+    if qw.q4group:
+        return qw
+    k = qw.values.shape[-1]
+    if k % (2 * group) or group % 128:
+        raise ValueError(f"q4 group {group} must be a 128-multiple dividing K/2={k // 2}")
+
+    @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))
+    def _one(v, scale, grp):
+        f = v.astype(jnp.float32)
+        if scale is not None:
+            f = f * scale[..., None]
+        elif jnp.dtype(v.dtype) == jnp.dtype(jnp.int8):
+            f = f * Q8_FIXED_SCALE
+        return _q4_slab(f, grp)
+
+    if qw.values.ndim == 3:  # stacked layers: map keeps the f32 temp per-layer
+        @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))
+        def _stacked(v, scale, grp):
+            if scale is None:
+                fixed = Q8_FIXED_SCALE if jnp.dtype(v.dtype) == jnp.dtype(jnp.int8) else 1.0
+                return jax.lax.map(
+                    lambda a: _q4_slab(a.astype(jnp.float32) * fixed, grp), v
+                )
+            return jax.lax.map(
+                lambda args: _q4_slab(
+                    args[0].astype(jnp.float32) * args[1][..., None], grp
+                ),
+                (v, scale),
+            )
+
+        packed, sc = _stacked(qw.values, qw.scale, group)
+    else:
+        packed, sc = _one(qw.values, qw.scale, group)
+    return QWeight(packed, sc, q4group=group)
+
+
+def recode_params_q4(params: ModelParams, group: int = 512) -> ModelParams:
+    """Re-code the four dense body weights (wqkv/wo/w13/w2) to packed 4-bit.
+
+    Embed, classifier head, norms, and MoE experts are untouched: the head
+    is quality-critical (it keeps the i8 per-row recode, RESULTS.md) and
+    the embed lookup reads one row per token. Halves the decode body
+    stream — the dominant HBM term (docs/PERF.md byte model)."""
+    lp = params.layers
+    if lp.w13 is None:
+        raise ValueError("q4 recode: MoE layers are not supported")
+    layers = dataclasses.replace(
+        lp,
+        wqkv=recode_qweight_q4(lp.wqkv, group),
+        wo=recode_qweight_q4(lp.wo, group),
+        w13=recode_qweight_q4(lp.w13, group),
+        w2=recode_qweight_q4(lp.w2, group),
+    )
+    return dataclasses.replace(params, layers=layers)
 
 
 def recode_wcls_i8(params: ModelParams) -> ModelParams:

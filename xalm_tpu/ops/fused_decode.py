@@ -110,6 +110,7 @@ def _kernel(
     asc: float = 0.0,  # Gemma-2 attention-score softcap (0 = off)
     lsc: float = 0.0,  # Gemma-2 final-logit softcap (0 = off)
     a8: bool = False,  # W8A8 decode: per-row int8 activations, s8xs8 MXU
+    q4: int = 0,  # packed-4-bit body: group size (0 = i8 body); implies a8
 ):
     it = iter(refs)
     x0_ref = None if fold_embed else next(it)
@@ -192,9 +193,11 @@ def _kernel(
     # including through the attention phase and the layer boundary.
     # pool-A tiles may have TWO lane widths (wqkv/w13/wcls contract N, wo
     # contracts QW = q_dim; Gemma-2 has QW != N): the pool is allocated at
-    # max(N, QW) lanes and narrower tiles DMA into / load from a 128-
-    # aligned lane-prefix slice
-    WA = max(N, QW)
+    # the max used width and narrower tiles DMA into / load from a 128-
+    # aligned lane-prefix slice. q4 bodies stream K/2-lane packed tiles
+    # while the i8 head keeps its full N lanes.
+    WA = max([N // (2 if q4 else 1), QW // (2 if q4 else 1)]
+             + ([N] if fold_wcls else []))
 
     def _dstA(slot: int, width: int):
         return bufA.at[slot] if width == WA else bufA.at[slot, :, pl.ds(0, width)]
@@ -203,15 +206,17 @@ def _kernel(
         buf = bufA[e % nbA]
         return buf if width == WA else buf[:, :width]
 
+    hv = 2 if q4 else 1  # packed-4-bit body tiles carry K/hv lanes
+
     def entry_dma(e: int):
         slot = e % nbA  # layer-invariant: nbA divides n_lay
         lyr, r = (l + 1, e - n_lay) if e >= n_lay else (l, e)
         if r < nqkv:
-            src, w = wqkv_hbm.at[lyr, pl.ds(r * TA, TA), :], N
+            src, w = wqkv_hbm.at[lyr, pl.ds(r * TA, TA), :], N // hv
         elif r < nqkv + nwo:
-            src, w = wo_hbm.at[lyr, pl.ds((r - nqkv) * TA, TA), :], QW
+            src, w = wo_hbm.at[lyr, pl.ds((r - nqkv) * TA, TA), :], QW // hv
         else:
-            src, w = w13_hbm.at[lyr, pl.ds((r - nqkv - nwo) * TA, TA), :], N
+            src, w = w13_hbm.at[lyr, pl.ds((r - nqkv - nwo) * TA, TA), :], N // hv
         return pltpu.make_async_copy(src, _dstA(slot, w), sA.at[slot])
 
     # wcls tiles ride the SAME pool as entries [n_lay, n_lay + NW) of the
@@ -372,19 +377,55 @@ def _kernel(
             ).astype(jnp.float32) * e_sl * xs
         return dot
 
+    def _q4dot(xf32, s4, K):
+        # Packed-4-bit tile consumer (q4 body). The streamed tile carries
+        # two signed nibbles per byte in split-half k-order, so unpack is
+        # two arithmetic shifts at the i32 width Mosaic legalizes (hi
+        # sign-extends through >>4; lo re-signs via <<28>>28) and the
+        # halves feed dots over DISJOINT halves of the int8 activation row
+        # — no lane interleave ever exists. Per-(row, group) scales ``s4``
+        # (Gk, B, D) multiply each group's i32 partial in f32: group dots
+        # split the contraction, so total MXU passes equal the single big
+        # dot (tools/q4_probe.py measured grouping free on silicon).
+        xq, xs = _quant_rows_f32(xf32)
+        Kh = K // 2
+        npg = Kh // q4
+
+        def dot(tile_packed, out_sl):
+            w = tile_packed.astype(jnp.int32)
+            hi = (w >> 4).astype(jnp.int8)
+            lo = ((w << 28) >> 28).astype(jnp.int8)
+            acc = None
+            for h, wh in ((0, lo), (1, hi)):
+                for gi in range(npg):
+                    d = jax.lax.dot_general(
+                        xq[:, h * Kh + gi * q4 : h * Kh + (gi + 1) * q4],
+                        wh[:, gi * q4 : (gi + 1) * q4],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * s4[h * npg + gi][:, out_sl]
+                    acc = d if acc is None else acc + d
+            return acc * xs
+
+        return dot
+
     # ---- phase 1: fused qkv projection (norm prologue + scale epilogue) -
     x = x_ref[...]
     ms = jnp.mean(x * x, axis=-1, keepdims=True)
     xn_f = x * jax.lax.rsqrt(ms + eps) * anorm_ref[0]
     xn = xn_f.astype(jnp.bfloat16)
-    if a8:
-        dot1 = _a8dot(xn_f, None, None)
     # per-tile-sliced scale/bias rows arrive PRE-BROADCAST to (B, X)
     # (fused_decode_step materializes them in HBM): Mosaic lowers full-
     # width offset-0 broadcasts fine, but a lane-OFFSET slice of a
     # sublane-replicated (1, X) row cannot broadcast to (B, TA) — the b>1
-    # "Invalid input layout" compile failure
+    # "Invalid input layout" compile failure. q4 bodies instead carry
+    # (Gk, B, X) group-scale blocks (same materialization, one plane per
+    # contraction group).
     sqkv = sqkv_ref[0]
+    if q4:
+        dot1 = _q4dot(xn_f, sqkv, N)
+    elif a8:
+        dot1 = _a8dot(xn_f, None, None)
     bq = bqkv_ref[0] if has_bias else None
     skip_dot = "nodot" in PR  # probe: stream tiles with ZERO matmul work
     ys = []
@@ -392,6 +433,8 @@ def _kernel(
         consume_wait(e)
         if skip_dot:
             yt = jnp.zeros((xn.shape[0], TA), jnp.float32)
+        elif q4:
+            yt = dot1(tileA(e, N // 2), slice(e * TA, (e + 1) * TA))
         elif a8:
             yt = dot1(tileA(e, N), sqkv[:, e * TA : (e + 1) * TA])
         else:
@@ -775,14 +818,18 @@ def _kernel(
     attn_flat = attn_ref[...].astype(jnp.bfloat16)  # (B, QD)
     so = so_ref[0]
     x = x_ref[...]
-    if a8:
+    if q4:
+        dot2 = _q4dot(attn_ref[...], so, QW)
+    elif a8:
         dot2 = _a8dot(attn_ref[...], None, None)
     parts = []
     for e in range(nqkv, nqkv + nwo):
         consume_wait(e)
         eo = e - nqkv
         if not skip_dot:
-            if a8:
+            if q4:
+                parts.append(dot2(tileA(e, QW // 2), slice(eo * TA, (eo + 1) * TA)))
+            elif a8:
                 parts.append(dot2(tileA(e, QW), so[:, eo * TA : (eo + 1) * TA]))
             else:
                 parts.append(jax.lax.dot_general(
@@ -808,9 +855,11 @@ def _kernel(
     ms2 = jnp.mean(x * x, axis=-1, keepdims=True)
     xn2_f = x * jax.lax.rsqrt(ms2 + eps) * mnorm_ref[0]
     xn2 = xn2_f.astype(jnp.bfloat16)
-    if a8:
-        dot3 = _a8dot(xn2_f, None, None)
     s13 = s13_ref[0]
+    if q4:
+        dot3 = _q4dot(xn2_f, s13, N)
+    elif a8:
+        dot3 = _a8dot(xn2_f, None, None)
     skip_ffn = "noffn" in PR
     skip_glu = "noglu" in PR  # probe: phase-3 dots, no GLU/act stores
     skip_w2 = "now2" in PR  # probe: skip phase-4 compute only
@@ -819,7 +868,9 @@ def _kernel(
         consume_wait(e)
         i = e - nqkv - nwo
         if not skip_ffn:
-            if a8:
+            if q4:
+                yt = dot3(tileA(e, N // 2), slice(i * TA, (i + 1) * TA))
+            elif a8:
                 yt = dot3(tileA(e, N), s13[:, i * TA : (i + 1) * TA])
             else:
                 yt = jax.lax.dot_general(
@@ -849,13 +900,18 @@ def _kernel(
             entryB_dma(i).start()
     actb = act_ref[...].astype(jnp.bfloat16)
     s2 = s2_ref[0]
-    if a8:
+    if q4:
+        # pool B is allocated at the packed width (H/2 lanes) for q4
+        dot4 = _q4dot(act_ref[...], s2, act_ref.shape[1])
+    elif a8:
         dot4 = _a8dot(act_ref[...], None, None)
     y2s = []
     for i in range(nt2):
         entryB_dma(i).wait()
         if not (skip_ffn or skip_w2):
-            if a8:
+            if q4:
+                y2s.append(dot4(bufB[i % nbB], slice(i * TB, (i + 1) * TB)))
+            elif a8:
                 y2s.append(dot4(bufB[i % nbB], s2[:, i * TB : (i + 1) * TB]))
             else:
                 y2s.append(jax.lax.dot_general(
@@ -922,7 +978,9 @@ def _kernel(
             token_ref[...] = jnp.broadcast_to(ri, (B, 128))
 
 
-def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None) -> bool:
+def fused_step_supported(
+    cfg, params, cache_k, batch: int, t: int, k_scale=None, a8: bool = False
+) -> bool:
     """Shape/dtype gate for the megakernel decode path."""
     if not (1 <= batch <= _MAX_B) or t != 1:
         return False
@@ -942,10 +1000,27 @@ def fused_step_supported(cfg, params, cache_k, batch: int, t: int, k_scale=None)
     for qw in (lp.wqkv, lp.wo, lp.w13, lp.w2):
         if qw.values.dtype != jnp.int8 or qw.scale is None:
             return False
+    q4 = lp.wqkv.q4group
+    if q4 or any(qw.q4group for qw in (lp.wo, lp.w13, lp.w2)):
+        # packed 4-bit body: all four dense weights must share the group
+        # size, and the in-kernel unpack only exists on the s8xs8 (a8)
+        # dot path — int8 activations are what make the two half-dots and
+        # per-group scale products exact-MXU work
+        if not a8:
+            return False
+        if any(qw.q4group != q4 for qw in (lp.wo, lp.w13, lp.w2)):
+            return False
+        if q4 % 128:
+            return False
+        for qw in (lp.wqkv, lp.wo, lp.w13, lp.w2):
+            kp = qw.values.shape[-1]  # packed K/2
+            if kp % q4 or kp % 128:
+                return False
     from xalm_tpu.models.params import ffn_chunk
 
-    L, DQ, N = lp.wqkv.values.shape
-    QD = lp.wo.values.shape[2]
+    L, DQ, Np = lp.wqkv.values.shape
+    N = Np * 2 if q4 else Np
+    QD = lp.wo.values.shape[2] * (2 if q4 else 1)
     c13 = ffn_chunk(cfg.hidden_dim)
     h2 = 2 * cfg.hidden_dim
     ta = min(_TILE_A, DQ, N, h2)
@@ -1024,6 +1099,8 @@ def wcls_fold_supported(cfg, params) -> bool:
     if lp.w13 is None:
         return False  # MoE FFN (Mixtral): the megakernel is dense-only
     _, DQ, N = lp.wqkv.values.shape
+    if lp.wqkv.q4group:
+        N *= 2  # packed body: wqkv lanes are K/2, the head stays i8 at N
     H2 = lp.w13.values.shape[1]
     ta = min(_TILE_A, DQ, N, H2)
     V, n = w.values.shape
@@ -1069,10 +1146,14 @@ def fused_decode_step(
     gathers the embed row and computes rope trig itself; ``x0``/``cexp_p``/
     ``sexp_p`` are then unused."""
     lp = params.layers
-    L, DQ, N = lp.wqkv.values.shape
-    QD = lp.wo.values.shape[2]  # wo: (L, N, QD); QD may differ from N
+    q4 = lp.wqkv.q4group  # packed-4-bit body: trailing (contraction) dims
+    # carry K/2 bytes; logical dims double back here
+    hv = 2 if q4 else 1
+    L, DQ, Np = lp.wqkv.values.shape
+    N = Np * hv
+    QD = lp.wo.values.shape[2] * hv  # wo: (L, N, QD); QD may differ from N
     H2 = lp.w13.values.shape[1]
-    H = lp.w2.values.shape[2]
+    H = lp.w2.values.shape[2] * hv
     _, B, KH, S, hd = cache_k.shape
     G = cfg.n_heads // cfg.n_kv_heads
     from xalm_tpu.models.params import ffn_chunk
@@ -1134,8 +1215,10 @@ def fused_decode_step(
         fold_embed=fold_embed, ES=float(cfg.embed_scale),
         has_bias=has_bias, has_qk=has_qk, has_pn=has_pn,
         asc=float(cfg.attn_softcap), lsc=float(cfg.logit_softcap),
-        a8=a8,
+        a8=a8, q4=q4,
     )
+    if q4:
+        assert a8, "the q4 body requires int8 activations (a8 decode)"
     const = lambda l, m: (0, 0)
     row = lambda l, m: (l, 0, 0)
     hd_spec = pl.BlockSpec((1, hd), const, memory_space=pltpu.VMEM)
@@ -1147,16 +1230,32 @@ def fused_decode_step(
     vm_specs += [hd_spec, hd_spec]  # c1, s1
     if fold_embed:
         vm_specs.append(hd_spec)  # pair-repeated freqs
+    if q4:
+        # per-(row, group) scale planes: (Gk, B, X) per layer, one plane
+        # per contraction group (Gk = K // q4group per weight)
+        row4 = lambda l, m: (l, 0, 0, 0)
+
+        def _gspec(x_dim, k_dim):
+            return pl.BlockSpec(
+                (1, k_dim // q4, B, x_dim), row4, memory_space=pltpu.VMEM
+            )
+
+        scale_specs = [
+            _gspec(DQ, N), _gspec(N, QD), _gspec(H2, N), _gspec(N, H),
+        ]
+    else:
+        # per-tile-sliced scale rows ride pre-broadcast (B, X) blocks (see
+        # the kernel comment at phase 1)
+        scale_specs = [
+            pl.BlockSpec((1, B, DQ), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, N), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H2), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, N), row, memory_space=pltpu.VMEM),
+        ]
     vm_specs += [
         pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),  # attn_norm
         pl.BlockSpec((1, 1, N), row, memory_space=pltpu.VMEM),  # mlp_norm
-        # per-tile-sliced scale rows ride pre-broadcast (B, X) blocks (see
-        # the kernel comment at phase 1)
-        pl.BlockSpec((1, B, DQ), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, N), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, H2), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, N), row, memory_space=pltpu.VMEM),
-    ]
+    ] + scale_specs
     if has_bias:
         vm_specs.append(pl.BlockSpec((1, B, DQ), row, memory_space=pltpu.VMEM))
     if has_qk:
@@ -1188,8 +1287,14 @@ def fused_decode_step(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((B, N), jnp.float32),  # x residual
-            pltpu.VMEM((nbA, TA, max(N, QD)), jnp.int8),  # pool A (wqkv/wo/w13[/wcls])
-            pltpu.VMEM((nbB, TB, H), jnp.int8),  # pool B (w2)
+            # pool A (wqkv/wo/w13[/wcls]): q4 bodies stream K/2-lane packed
+            # tiles, the i8 head needs full N lanes
+            pltpu.VMEM(
+                (nbA, TA,
+                 max([N // hv, QD // hv] + ([N] if fold_wcls else []))),
+                jnp.int8,
+            ),
+            pltpu.VMEM((nbB, TB, H // hv), jnp.int8),  # pool B (w2)
             pltpu.VMEM((2, KH, sb, hd), cdtype),  # K blocks (row-serial)
             pltpu.VMEM((2, KH, sb, hd), cdtype),  # V blocks (row-serial)
             pltpu.VMEM((KH, sw_rows, hd), cdtype),  # sink window
@@ -1270,14 +1375,29 @@ def fused_decode_step(
             a.reshape(L, 1, w).astype(jnp.float32), (L, B, w)
         )
 
+    def _rows_g(a, w, k):  # q4: (L, w, Gk) -> (L, Gk, B, w) group planes
+        gk = k // q4
+        t = jnp.transpose(a.astype(jnp.float32), (0, 2, 1))  # (L, Gk, w)
+        return jnp.broadcast_to(t.reshape(L, gk, 1, w), (L, gk, B, w))
+
     call_args += [
         lp.attn_norm.reshape(L, 1, N).astype(jnp.float32),
         lp.mlp_norm.reshape(L, 1, N).astype(jnp.float32),
-        _rows_b(lp.wqkv.scale, DQ),
-        _rows_b(lp.wo.scale, N),
-        _rows_b(lp.w13.scale, H2),
-        _rows_b(lp.w2.scale, N),
     ]
+    if q4:
+        call_args += [
+            _rows_g(lp.wqkv.scale, DQ, N),
+            _rows_g(lp.wo.scale, N, QD),
+            _rows_g(lp.w13.scale, H2, N),
+            _rows_g(lp.w2.scale, N, H),
+        ]
+    else:
+        call_args += [
+            _rows_b(lp.wqkv.scale, DQ),
+            _rows_b(lp.wo.scale, N),
+            _rows_b(lp.w13.scale, H2),
+            _rows_b(lp.w2.scale, N),
+        ]
     if has_bias:
         call_args.append(_rows_b(lp.bqkv, DQ))
     if has_qk:

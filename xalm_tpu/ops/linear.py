@@ -29,6 +29,19 @@ __all__ = ["qmatmul"]
 def _xla_qmatmul(x: jax.Array, w: QWeight, compute_dtype, out_dtype) -> jax.Array:
     v = w.values
     nd = x.ndim
+    if w.q4group:
+        # packed 4-bit: materialize the dequantized slab in the compute
+        # dtype (one layer at a time under the scan — prefill amortizes the
+        # unpack over the whole chunk; the decode fast path is the
+        # megakernel's in-VMEM unpack, ops/fused_decode.py)
+        wd = w.astype_dequant(compute_dtype)
+        y = jax.lax.dot_general(
+            x.astype(compute_dtype),
+            wd,
+            (((nd - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(out_dtype)
     if v.dtype == jnp.int8:
         # int8 x int8-as-compute would change numerics; cast both sides to the
         # compute dtype and accumulate in f32 on the MXU.
@@ -63,7 +76,8 @@ def qmatmul(
     Matches the reference matmul contract ``W(d,n) @ x(n) -> out(d)``
     (infer.cpp:104-111) batched over leading dims.
     """
-    if x.shape[-1] != w.values.shape[-1]:
+    kw = w.values.shape[-1] * (2 if w.q4group else 1)
+    if x.shape[-1] != kw:
         raise ValueError(f"qmatmul: x {x.shape} incompatible with w {w.values.shape}")
     if impl == "auto":
         impl = "xla"  # pallas path is selected explicitly by the engine once

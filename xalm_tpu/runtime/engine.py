@@ -403,9 +403,12 @@ class Engine:
         k = jax.ShapeDtypeStruct(shape, self.kv_dtype)
         ks = jax.ShapeDtypeStruct(shape[:-1], jnp.float32) if quant else None
         if self.fused_step and fused_step_supported(
-            self.cfg, self.params, k, batch, 1, ks
+            self.cfg, self.params, k, batch, 1, ks, a8=self.a8_decode
         ):
             return "megakernel"
+        if self.params.layers.wqkv.q4group:
+            # packed 4-bit off the megakernel dequantizes through XLA
+            return "xla"
         return "perlayer"
 
     def step(self, tokens, pos, cache: KVCache, valid=None, logits_mode="last"):
