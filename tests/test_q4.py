@@ -125,3 +125,43 @@ def test_q4_batch_rows(q4_engines):
     for bi in range(4):
         l1, _ = mk.decode(toks[bi : bi + 1], np.array([0]), mk.new_cache(1))
         np.testing.assert_allclose(lb[bi], np.asarray(l1)[0], rtol=2e-4, atol=2e-4)
+
+
+def test_q4_from_xalm_load_time_recode(tmp_path):
+    """`Engine.from_xalm(..., q4_group=...)` — the user-pipeline entry
+    (harness --q4): HF dir -> converter -> container -> load-time recode;
+    implies a8 and greedy-matches the i8 load of the SAME container."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from make_tiny_model import make_tiny_model
+
+    from xalm_tpu.convert import convert as cvt
+
+    # default fixture dims (64) can't hold a 128-group: widen to 256
+    hf = make_tiny_model(
+        str(tmp_path / "hf"),
+        config_overrides={
+            "hidden_size": 256, "intermediate_size": 512,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "head_dim": 64,
+        },
+    )
+    out = str(tmp_path / "m.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "i8"]) == 0
+    q4 = Engine.from_xalm(out, matmul_impl="pallas", kv_dtype=jnp.float32,
+                          wcls_i8=True, q4_group=128, progress=False)
+    assert q4.params.layers.wqkv.q4group == 128
+    assert q4.a8_decode  # implied
+    assert q4.decode_path(1) == "megakernel"
+    # identical to an explicit in-memory recode of the same container
+    i8 = Engine.from_xalm(out, matmul_impl="pallas", kv_dtype=jnp.float32,
+                          wcls_i8=True, progress=False)
+    manual = Engine(i8.cfg, recode_params_q4(i8.params, 128), i8.tokenizer,
+                    matmul_impl="pallas", kv_dtype=jnp.float32, wcls_i8=True,
+                    a8_decode=True)
+    prompt = np.random.default_rng(9).integers(3, 300, size=6).tolist()
+    gq, _ = q4.generate(prompt, 6, stop_on_eos=False)
+    gm, _ = manual.generate(prompt, 6, stop_on_eos=False)
+    assert gq == gm

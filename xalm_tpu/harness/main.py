@@ -60,6 +60,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wcls-i8", action="store_true",
                    help="recode the boosted classifier head to i8 per-row at "
                    "load (extension; quality-gated in RESULTS.md)")
+    p.add_argument("--q4", type=int, default=0, metavar="GROUP",
+                   help="pack the body weights to 4-bit at load with GROUP "
+                   "weights per scale (128-multiple, e.g. 128): halves the "
+                   "decode weight stream through the megakernel's in-VMEM "
+                   "unpack (extension; quality-gated in RESULTS.md)")
     p.add_argument("--temperature", type=float, default=0.0,
                    help="sampling temperature (0 = greedy, the reference's only mode)")
     p.add_argument("--top-k", type=int, default=0, help="top-k filter (0 = off)")
@@ -124,6 +129,9 @@ def _load_engine(args):
 
     dt = {"f16": jnp.float16, "bf16": jnp.bfloat16, "f32": jnp.float32, "i8": jnp.int8, "auto": "auto"}
     print(f"loading model {args.checkpoint}")
+    if args.q4 and (args.tp > 1 or args.dp > 1 or args.pp > 1):
+        raise SystemExit("error: --q4 is single-device (the sharded engines "
+                         "stream i8; shard-aware 4-bit packing is future work)")
     with profile("model load"):
         if args.pp > 1:
             if args.dp > 1:
@@ -161,6 +169,7 @@ def _load_engine(args):
                 compute_dtype=dt[args.compute],
                 matmul_impl=args.matmul,
                 wcls_i8=args.wcls_i8,
+                q4_group=args.q4,
             )
     cfg = eng.cfg
     print(

@@ -349,6 +349,8 @@ class Engine:
         matmul_impl: str = "auto",
         fp8_mode: str = "auto",
         a8_prefill: bool = False,
+        a8_decode: bool = False,
+        q4_group: int = 0,
         fused_step: bool = True,
         wcls_i8: bool = False,
         progress: bool = True,
@@ -369,6 +371,14 @@ class Engine:
         tokenizer = Tokenizer.from_xalm(xf) if "tokenizer.tokens" in xf else None
         chat_template = xf.config.get("chat_template")
         xf.close()
+        if q4_group:
+            # load-time body recode to packed 4-bit (same opt-in shape as
+            # wcls_i8): halves the decode weight stream; requires int8
+            # activations in the megakernel, so a8_decode is implied
+            from xalm_tpu.models.params import recode_params_q4
+
+            params = recode_params_q4(params, group=q4_group)
+            a8_decode = True
         eng = cls(
             cfg,
             params,
@@ -377,6 +387,7 @@ class Engine:
             compute_dtype=compute_dtype,
             matmul_impl=matmul_impl,
             a8_prefill=a8_prefill,
+            a8_decode=a8_decode,
             fused_step=fused_step,
             wcls_i8=wcls_i8,
         )
