@@ -471,7 +471,13 @@ def main(argv=None) -> int:
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel ways")
     ap.add_argument("--dp", type=int, default=1,
                     help="data-parallel ways (slots shard over dp)")
+    ap.add_argument("--q4", type=int, default=0, metavar="GROUP",
+                    help="pack body weights to 4-bit at load (halves the "
+                    "decode stream; implies int8 activations; single-device "
+                    "only; quality-gated in RESULTS.md)")
     args = ap.parse_args(argv)
+    if args.q4 and args.tp * args.dp > 1:
+        ap.error("--q4 is single-device (sharded engines stream i8)")
 
     import jax.numpy as jnp
 
@@ -489,7 +495,7 @@ def main(argv=None) -> int:
             args.checkpoint, make_mesh(dp=args.dp, tp=args.tp), kv_dtype=kv
         )
     else:
-        eng = Engine.from_xalm(args.checkpoint, kv_dtype=kv)
+        eng = Engine.from_xalm(args.checkpoint, kv_dtype=kv, q4_group=args.q4)
     srv, httpd = serve(eng, args.host, args.port, args.max_batch,
                        model_name=args.checkpoint.rsplit("/", 1)[-1])
     print(f"serving {args.checkpoint} on http://{args.host}:{args.port}/v1 "
