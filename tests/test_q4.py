@@ -165,3 +165,49 @@ def test_q4_from_xalm_load_time_recode(tmp_path):
     gq, _ = q4.generate(prompt, 6, stop_on_eos=False)
     gm, _ = manual.generate(prompt, 6, stop_on_eos=False)
     assert gq == gm
+
+
+def test_q4_native_container_roundtrip(tmp_path):
+    """--type q4 container: converter packs, loader reconstructs the
+    grouped QWeight, the megakernel consumes it, and the quantized values
+    round-trip exactly through the container."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from make_tiny_model import make_tiny_model
+
+    from xalm_tpu import quant
+    from xalm_tpu.convert import convert as cvt
+    from xalm_tpu.io.container import XalmFile
+
+    hf = make_tiny_model(
+        str(tmp_path / "hf"),
+        config_overrides={
+            "hidden_size": 256, "intermediate_size": 512,
+            "num_attention_heads": 4, "num_key_value_heads": 2,
+            "head_dim": 64,
+        },
+    )
+    out = str(tmp_path / "m.xalm")
+    assert cvt.main(["--input", hf, "--output", out, "--type", "q4",
+                     "--q4-group", "128"]) == 0
+    xf = XalmFile(out)
+    # body tensor packed at K/2 with a .scale4 partner; head boosted
+    assert tuple(xf.tensors["l.0.attn.q.weight"].shape) == (256, 128)
+    assert "l.0.attn.q.weight.scale4" in xf.tensors
+    assert xf.tensors["output.weight"].dtype.name in ("f16", "bf16")
+    # exact roundtrip of one packed tensor through quantize/dequantize
+    packed = xf.load("l.0.attn.q.weight")
+    sc = xf.load("l.0.attn.q.weight.scale4")
+    deq = quant.dequantize_q4_rows(packed, sc)
+    repacked, sc2 = quant.quantize_q4_rows(deq, 128)
+    np.testing.assert_array_equal(repacked, packed)
+    xf.close()
+
+    eng = Engine.from_xalm(out, matmul_impl="pallas", kv_dtype=jnp.float32,
+                           wcls_i8=True, a8_decode=True, progress=False)
+    assert eng.params.layers.wqkv.q4group == 128
+    assert eng.decode_path(1) == "megakernel"
+    logits, _ = eng.decode(np.array([7]), np.array([0]), eng.new_cache(1))
+    assert np.isfinite(np.asarray(logits)).all()

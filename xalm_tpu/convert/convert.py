@@ -65,7 +65,7 @@ SUPPORTED_ARCHITECTURES = (
 # reference convert.py:43-62 XType members) round-trip through the packed
 # representation and store the dequantized f16 result — unlike the reference,
 # everything the converter emits is loadable by the engine (SURVEY.md §2.3).
-RUNTIME_TYPES = ("f32", "f16", "bf16", "f8_e4m3", "f8_e5m2", "q8", "i8")
+RUNTIME_TYPES = ("f32", "f16", "bf16", "f8_e4m3", "f8_e5m2", "q8", "i8", "q4")
 TARGET_TYPES = RUNTIME_TYPES + quant.SIMULATED_TYPES
 
 
@@ -208,7 +208,10 @@ def boost_type(org_dtype: np.dtype, target: str) -> str:
         if org_dtype == np.dtype(ml_dtypes.bfloat16):
             return "f8_e5m2"
         return "f8_e4m3"
-    if target in ("f8_e4m3", "f8_e5m2", "q8", "i8", "qi8", "q8_0"):
+    if target in ("f8_e4m3", "f8_e5m2", "q8", "i8", "qi8", "q8_0", "q4"):
+        # q4 keeps the 16-bit boost (not the reference's fp8): the decode
+        # megakernel's embed fold wants a bf16 table, and the head recodes
+        # to i8 per-row at load (wcls_i8) — both quality-gated paths
         if org_dtype == np.dtype(ml_dtypes.bfloat16):
             return "bf16"
         return "f16"
@@ -340,6 +343,7 @@ def convert_weights(
     arch_config: dict[str, str],
     target_type: str,
     analyze: bool = False,
+    q4_group: int = 128,
 ) -> dict[str, np.ndarray]:
     """Translate names, fix RoPE layout, quantize; returns container tensors."""
     n_heads = int(arch_config["n_heads"])
@@ -387,10 +391,25 @@ def convert_weights(
             actual = boost_type(t.dtype, target_type)
         else:
             actual = target_type
+            if target_type == "q4" and (
+                t.ndim != 2 or ".moe." in name
+                or t.shape[-1] % (2 * q4_group)
+            ):
+                # q4 is the dense-body runtime format; experts and
+                # group-unaligned tensors keep per-row i8
+                actual = "i8"
+
+        if actual == "q4":
+            packed, sc = quant.quantize_q4_rows(t, q4_group)
+            out[name] = packed
+            out[name + ".scale4"] = sc
+            continue
 
         if analyze and t.ndim > 1:
             tf = t.astype(np.float32)
-            for cand in TARGET_TYPES[1:]:
+            # q4's per-(row, group) scales don't fit the scalar scale sweep
+            # (its error is gated end-to-end in RESULTS.md instead)
+            for cand in [c for c in TARGET_TYPES[1:] if c != "q4"]:
                 # per-type scale sweep (reference convert.py:776-798)
                 for sc in quant.analyze_scales(tf, cand):
                     m = quant.analyze(tf, cand, sc)
@@ -481,6 +500,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", help="output .xalm path (default: <input>.xalm)")
     p.add_argument("--type", default="f16", choices=TARGET_TYPES, help="target weight dtype")
     p.add_argument("--analyze", action="store_true", help="report quantization error per tensor")
+    p.add_argument("--q4-group", type=int, default=128,
+                   help="q4: weights per scale group along the contraction "
+                   "(128-multiple; runtime-streamable packed 4-bit)")
     p.add_argument("--cache-dir", default=os.path.expanduser("~/.cache/xalm"), help="download cache")
     args = p.parse_args(argv)
 
@@ -500,7 +522,7 @@ def main(argv: list[str] | None = None) -> int:
             f"arch={arch} (from gguf) layers={arch_config['n_layers']} "
             f"dim={arch_config['dim']} target={args.type}"
         )
-        tensors = convert_weights(weights, arch_config, args.type, analyze=args.analyze)
+        tensors = convert_weights(weights, arch_config, args.type, analyze=args.analyze, q4_group=args.q4_group)
         if toks is not None:
             tensors["tokenizer.tokens"] = tokens_tensor(toks)
         out_path = args.output or (input_dir[: -len(".gguf")] + ".xalm")
@@ -571,7 +593,7 @@ def main(argv: list[str] | None = None) -> int:
         for k in list(weights):
             if k.endswith("norm.weight"):
                 weights[k] = weights[k].astype(np.float32) + 1.0
-    tensors = convert_weights(weights, arch_config, args.type, analyze=args.analyze)
+    tensors = convert_weights(weights, arch_config, args.type, analyze=args.analyze, q4_group=args.q4_group)
     toks = load_tokens(tokenizer_path, int(arch_config["vocab_size"]))
     tensors["tokenizer.tokens"] = tokens_tensor(toks)
 

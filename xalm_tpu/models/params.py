@@ -584,9 +584,16 @@ def load_params(
             if info is None:
                 raise ValueError(f"FATAL: missing tensor {name}")
             if tuple(info.shape) != tuple(expect_shape):
-                raise ValueError(
-                    f"FATAL: tensor {name} has unexpected shape {info.shape}, expected {expect_shape}"
-                )
+                # q4 container tensors carry K/2 packed bytes + a .scale4
+                # partner (see quant.quantize_q4_rows)
+                packed = tuple(expect_shape[:-1]) + (expect_shape[-1] // 2,)
+                if not (
+                    name + ".scale4" in xf.tensors
+                    and tuple(info.shape) == packed
+                ):
+                    raise ValueError(
+                        f"FATAL: tensor {name} has unexpected shape {info.shape}, expected {expect_shape}"
+                    )
         return names
 
     def _stack(names: list[str]) -> np.ndarray:
@@ -605,6 +612,11 @@ def load_params(
         names = _validate(name_fmt, expect_shape)
         first = xf.tensors[names[0]]
         scale = None
+        if names[0] + ".scale4" in xf.tensors:
+            # q4: packed nibbles + per-(row, group) scale planes; scales
+            # are (D, G) so they fuse/stack like the values (same row order)
+            scale = _stack_noprogress([n + ".scale4" for n in names])
+            return _stack(names), scale
         if first.dtype.name == "i8":
             snames = [xdt.scale_name(n) for n in names]
             if any(s not in xf.tensors for s in snames):
@@ -613,9 +625,20 @@ def load_params(
         vals = _stack(names)
         return maybe_recode(vals, scale)
 
+    def _q4g(vals, scale) -> int:
+        """Group size of a stacked q4 weight (0 for i8/float): the scale
+        carries one lane per group, the values K/2 packed bytes."""
+        if scale is not None and scale.ndim == vals.ndim:
+            return 2 * vals.shape[-1] // scale.shape[-1]
+        return 0
+
     def stack_qw(name_fmt: str, expect_shape) -> QWeight:
         vals, scale = stack_host(name_fmt, expect_shape)
-        return QWeight(put(vals), put(scale) if scale is not None else None)
+        return QWeight(
+            put(vals),
+            put(scale) if scale is not None else None,
+            q4group=_q4g(vals, scale),
+        )
 
     def stack_norm(name_fmt: str) -> jax.Array:
         names = _validate(name_fmt, (cfg.dim,))
@@ -627,7 +650,11 @@ def load_params(
         if any((p[1] is not None) != has_scale for p in parts):
             raise ValueError("FATAL: mixed quantization across fused weights")
         scale = fuse(*[p[1] for p in parts], *fargs) if has_scale else None
-        return QWeight(put(vals), put(scale) if scale is not None else None)
+        return QWeight(
+            put(vals),
+            put(scale) if scale is not None else None,
+            q4group=_q4g(vals, scale) if has_scale else 0,
+        )
 
     d, q, kv, h = cfg.dim, cfg.q_dim, cfg.kv_dim, cfg.hidden_dim
 

@@ -38,7 +38,7 @@ from xalm_tpu import gguf, packing
 
 __all__ = [
     "quantize", "dequantize", "QuantResult", "analyze", "analyze_scales",
-    "ANALYZE_COLUMNS", "SIMULATED_TYPES",
+    "ANALYZE_COLUMNS", "SIMULATED_TYPES", "quantize_q4_rows", "dequantize_q4_rows",
 ]
 
 _F8_MAX = {
@@ -61,6 +61,42 @@ class QuantResult:
         if self.scale is not None:
             n += self.scale.nbytes
         return n
+
+
+def quantize_q4_rows(t: np.ndarray, group: int) -> tuple[np.ndarray, np.ndarray]:
+    """Runtime-streamable packed 4-bit: (..., D, K) float -> (packed
+    (..., D, K/2) int8, scale (..., D, K/group) f32).
+
+    Symmetric absmax/7 per (row, group); split-half byte layout (low
+    nibble = k, high nibble = k + K/2) so the decode megakernel's in-VMEM
+    unpack is two arithmetic shifts feeding two s8xs8 dots
+    (ops/fused_decode.py). Unlike the reference's qi4 bitstream
+    (convert.py:447-520, interchange-only), this layout EXECUTES."""
+    f = t.astype(np.float32)
+    k = f.shape[-1]
+    if group % 128 or k % (2 * group):
+        raise ValueError(f"q4 group {group} must be a 128-multiple dividing K/2={k // 2}")
+    g = k // group
+    fg = f.reshape(*f.shape[:-1], g, group)
+    amax = np.abs(fg).max(axis=-1)
+    sc = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(fg / sc[..., None]), -8, 7).astype(np.int32)
+    q = q.reshape(f.shape)
+    lo, hi = q[..., : k // 2], q[..., k // 2 :]
+    packed = (((hi & 0xF) << 4) | (lo & 0xF)).astype(np.uint8).view(np.int8)
+    return packed, sc
+
+
+def dequantize_q4_rows(packed: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """Inverse of quantize_q4_rows (host-side; the runtime unpacks in VMEM)."""
+    w = packed.astype(np.int32)
+    hi = w >> 4  # arithmetic: top nibble sign-extends
+    lo = (w << 28) >> 28
+    codes = np.concatenate([lo, hi], axis=-1).astype(np.float32)
+    k = codes.shape[-1]
+    g = scale.shape[-1]
+    cg = codes.reshape(*codes.shape[:-1], g, k // g)
+    return (cg * scale[..., None]).reshape(codes.shape)
 
 
 # packed bits per element for the simulated sub-byte interchange formats
