@@ -1012,10 +1012,18 @@ def fused_step_supported(
             return False
         if q4 % 128:
             return False
+        scale_bytes = 0
         for qw in (lp.wqkv, lp.wo, lp.w13, lp.w2):
             kp = qw.values.shape[-1]  # packed K/2
             if kp % q4 or kp % 128:
                 return False
+            # (Gk, B, D) pre-broadcast group-scale plane per layer
+            scale_bytes += (2 * kp // q4) * batch * qw.values.shape[-2] * 4
+        # the pipelined scale planes are double-buffered in VMEM alongside
+        # the ~12 MB tile pools + attention scratch: keep them under half
+        # the 100 MB budget (b=8 x group-128 at 7B shapes would need ~108)
+        if 2 * scale_bytes > 48 * 1024 * 1024:
+            return False
     from xalm_tpu.models.params import ffn_chunk
 
     L, DQ, Np = lp.wqkv.values.shape

@@ -8,7 +8,12 @@ emitted tokens, so on accepting text (code, quoting, retrieval, templated
 output) throughput rises past the single-token bandwidth roofline while
 the emitted tokens stay *greedy-exact*: every accepted token equals the
 verify pass's own argmax given an all-greedy prefix, so the output is
-identical to greedy decoding under the verify forward's numerics.
+identical to greedy decoding under the verify forward's numerics. (On
+``a8_decode``/q4 engines the T=1 megakernel quantizes activations that
+the T>1 verify chunk does not, so "the verify forward's numerics" is the
+float-activation forward — spec output matches THAT greedy stream; the
+two streams' argmaxes agree within activation-quantization noise,
+RESULTS.md.)
 
 Drafts come from prompt-lookup (Saxena 2023; PAPERS.md) — match the last
 ``max_n..1`` tokens of the context against earlier occurrences, no extra
