@@ -94,6 +94,13 @@ def main() -> int:
                     "(128-multiple; smaller = better quality, more scale "
                     "bytes). Body-only — the head stays i8 (quality-gated)")
     ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
+    ap.add_argument("--moe", action="store_true",
+                    help="sparse-MoE decode: Mixtral-8x7B geometry (8 experts, "
+                    "top-2) truncated to fit one chip (default 8 layers, "
+                    "~12 GB i8). Measures the gathered sparse expert path — "
+                    "decode streams k/E of the expert bytes "
+                    "(models/llama.py gathered decode; XALM_NO_MOE_GATHER=1 "
+                    "for the dense-masked A/B)")
     ap.add_argument("--mini", action="store_true",
                     help="tiny synthetic config (debug: smoke the bench flow "
                     "end-to-end on CPU/interpret without 7B shapes)")
@@ -154,14 +161,27 @@ def main() -> int:
             n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=2048,
             max_seq_len=512,
         )
-    if args.layers:
+    if args.moe:
+        import dataclasses
+
+        # Mixtral-8x7B geometry (HF config: Mistral dims + 8 experts top-2),
+        # truncated in depth so the expert stacks fit one v5e's 16 GB HBM
+        # (full 32-layer Mixtral is ~47 GB at i8 — a 4-chip tp/ep target,
+        # see parallel/shardings expert parallelism). Per-layer byte model
+        # is unchanged by depth, so the gathered-stream rate generalizes.
+        cfg = dataclasses.replace(
+            cfg, n_experts=8, n_experts_active=2,
+            n_layers=args.layers or 8,
+        )
+    elif args.layers:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, n_layers=args.layers)
 
     dev = _probe_devices()[0]
     log(f"device: {dev} | backend: {jax.default_backend()}")
-    log(f"building synthetic Mistral-7B ({cfg.n_layers} layers) {args.dtype} params...")
+    name = "Mixtral-8x7B" if args.moe else "Mistral-7B"
+    log(f"building synthetic {name} ({cfg.n_layers} layers) {args.dtype} params...")
     t0 = time.time()
     params = synthetic_params(cfg, weight_dtype=dt)
     if args.dtype.startswith("f8") and args.fp8 == "recode":
@@ -289,13 +309,16 @@ def main() -> int:
             pos += 2  # a+1 with a=1: arbitrary pre-wrap advance
         t_ver = (time.perf_counter() - t0) / n_calls
         ratio = t_ver / t_dec
+        # measured real-text acceptance on the local checkpoint: 66.7 %
+        # in-window / 75.5 % wrapped at k=7 (tools/spec_probe.py, RESULTS.md)
+        acc = 0.667
         log(
             f"decode step {t_dec * 1e3:.2f} ms | verify({k + 1} tokens) "
             f"{t_ver * 1e3:.2f} ms | ratio {ratio:.2f} -> breakeven "
             f"acceptance {max(ratio - 1, 0):.2f} drafts/verify "
             f"({max(ratio - 1, 0) / k * 100:.0f}% of k={k}); measured real-"
-            f"text acceptance 24% (tools/spec_probe.py) -> projected "
-            f"speedup {((0.242 * k + 1) / ratio):.2f}x on that workload"
+            f"text acceptance {acc * 100:.0f}% (tools/spec_probe.py) -> "
+            f"projected speedup {((acc * k + 1) / ratio):.2f}x on that workload"
         )
         print(json.dumps({
             "metric": f"spec_verify_cost_ratio_k{k}",
@@ -318,7 +341,17 @@ def main() -> int:
     # through the same chunked path via eng.step
     prompt = np.tile(np.arange(1, 17, dtype=np.int32)[None], (b, 1))
     t0 = time.time()
-    logits, cache = eng.step(prompt, np.zeros((b,), np.int32), cache, logits_mode="last")
+    if args.moe and not args.mini:
+        # hydrate token-by-token: a t>1 MoE chunk runs the dense-masked
+        # expert einsum, whose (b, t, E, 2h) activation transient is ~15 GB
+        # at these shapes — t=1 steps ride the gathered sparse path instead
+        for i in range(prompt.shape[1]):
+            logits, cache = eng.step(
+                prompt[:, i : i + 1], np.full((b,), i, np.int32), cache,
+                logits_mode="last" if i == prompt.shape[1] - 1 else "none",
+            )
+    else:
+        logits, cache = eng.step(prompt, np.zeros((b,), np.int32), cache, logits_mode="last")
     tok0 = jnp.argmax(logits, -1).astype(jnp.int32)
     jax.block_until_ready(tok0)
     pos = prompt.shape[1]
@@ -394,12 +427,17 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": f"mistral7b_{args.dtype}_decode_tok_s_per_chip"
+                "metric": (
+                    f"mixtral8x7b_l{cfg.n_layers}_moe" if args.moe else "mistral7b"
+                )
+                + f"_{args.dtype}_decode_tok_s_per_chip"
                 + ("_wrapped" if args.wrap else "")
                 + (f"_b{args.batch}" if args.batch > 1 else ""),
                 "value": round(tok_s, 2),
                 "unit": "tok/s",
-                "vs_baseline": round(
+                # the reference never runs MoE (loads Llama/Mistral only,
+                # reference src/xalm.h:141) — no baseline row exists for it
+                "vs_baseline": None if args.moe else round(
                     tok_s / (BASELINE_LONG_TOK_S if args.wrap else BASELINE_TOK_S), 3
                 ),
             }

@@ -64,4 +64,6 @@ run_step 11 bench_prefill_a8 3600 python bench.py --prefill 2048 --a8
 run_step 12 bench_fp8 3600 python bench.py --dtype f8_e4m3
 run_step 13 bench_wrap 3600 python bench.py --wrap
 run_step 14 bench_spec_verify 3600 python bench.py --spec-verify 7
+run_step 15 bench_moe 3600 python bench.py --moe
+run_step 15 bench_moe_dense 3600 env XALM_NO_MOE_GATHER=1 python bench.py --moe
 echo "=== campaign done $(date -u) ==="

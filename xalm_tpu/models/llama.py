@@ -32,6 +32,7 @@ time (T=1), which is also the only shape where sink re-rotation applies.
 from __future__ import annotations
 
 import math
+import os
 from typing import Literal
 
 import jax
@@ -815,6 +816,8 @@ def forward(
             if (
                 t == 1 and b == 1 and tp_axis is None and use_pallas
                 and _pallas_ok(lp.w13e)
+                and not os.environ.get("XALM_NO_MOE_GATHER")
+                # env kills the gather for dense-vs-gathered A/B benches
             ):
                 # --- gathered sparse expert decode: stream ONLY the top-k
                 # experts' weights. The stacked Pallas kernel indexes the

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 import time
 
 import jax
@@ -741,8 +742,10 @@ class Engine:
             expert_bytes = qbytes(lw.w13e) + qbytes(lw.w2e)
             from xalm_tpu.ops.pallas_matmul import supported_weight_dtype
 
-            if self.matmul_impl == "pallas" and supported_weight_dtype(
-                lw.w13e.values.dtype
+            if (
+                self.matmul_impl == "pallas"
+                and supported_weight_dtype(lw.w13e.values.dtype)
+                and not os.environ.get("XALM_NO_MOE_GATHER")
             ):
                 # gathered sparse decode (models/llama.py): only the top-k
                 # experts' weights stream per token

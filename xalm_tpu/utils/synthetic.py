@@ -38,10 +38,14 @@ MISTRAL_7B = ModelConfig(
 
 def _synth_qweight(key, shape, weight_dtype, scale_mag=0.02) -> QWeight:
     if weight_dtype == jnp.int8:
-        # draw int8 codes directly — no multi-GB float transient exists at
-        # any point (large transients fragment the HBM pool at 7B scale)
+        # draw raw random bits and bitcast to int8 — randint would stage a
+        # 4x int32 transient, which OOMs at Mixtral expert-stack scale
+        # (an (L, E, 2h, d) draw is 7.5 GB of codes); code VALUES are
+        # irrelevant to a bandwidth bench
         q = jax.jit(
-            lambda k: jax.random.randint(k, shape, -127, 128, jnp.int32).astype(jnp.int8)
+            lambda k: jax.lax.bitcast_convert_type(
+                jax.random.bits(k, shape, jnp.uint8), jnp.int8
+            )
         )(key)
         scale = jnp.full(shape[:-1], scale_mag / 127.0, jnp.float32)
         return QWeight(q, scale)
