@@ -183,17 +183,20 @@ def main() -> int:
     name = "Mixtral-8x7B" if args.moe else "Mistral-7B"
     log(f"building synthetic {name} ({cfg.n_layers} layers) {args.dtype} params...")
     t0 = time.time()
-    params = synthetic_params(cfg, weight_dtype=dt)
+    params = synthetic_params(
+        cfg, weight_dtype=dt,
+        # q4 bodies draw packed directly (recoding a drawn i8 stack holds
+        # old+new copies — OOM at MoE expert scale); the real recode path
+        # is covered by from_xalm(q4_group=) tests and the --type q4 loader
+        q4_group=args.q4_group if args.dtype == "q4" else 0,
+    )
     if args.dtype.startswith("f8") and args.fp8 == "recode":
         from xalm_tpu.models.params import recode_params_fp8
 
         params = recode_params_fp8(params)
         log("fp8 weights recoded to i8 + per-row scales at load (--fp8 keep to disable)")
     if args.dtype == "q4":
-        from xalm_tpu.models.params import recode_params_q4
-
-        params = recode_params_q4(params, group=args.q4_group)
-        log(f"body weights packed to 4-bit (group {args.q4_group}; head stays i8)")
+        log(f"body weights packed 4-bit (group {args.q4_group}; head stays i8)")
     jax.block_until_ready(jax.tree.leaves(params))
     kv_dt = {"auto": "auto", "f16": jnp.float16, "bf16": jnp.bfloat16, "i8": jnp.int8}[args.kv]
     # head recode only joins the 8-bit regimes: a bf16/f16 run must stream

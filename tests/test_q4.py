@@ -211,3 +211,103 @@ def test_q4_native_container_roundtrip(tmp_path):
     assert eng.decode_path(1) == "megakernel"
     logits, _ = eng.decode(np.array([7]), np.array([0]), eng.new_cache(1))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_q4_stacked_kernel_matches_dequant():
+    """The per-layer stacked kernel's q4 path (interpret mode on CPU):
+    in-VMEM unpack + grouped s8 dots vs an explicit quantize-activations /
+    dequantize-weights reference — near-exact (same arithmetic, different
+    summation order)."""
+    from xalm_tpu.ops.pallas_matmul import pallas_qmatmul_stacked
+
+    rng = np.random.default_rng(3)
+    L, D, K, G = 3, 256, 512, 128
+    w = rng.standard_normal((L, D, K)).astype(np.float32) * 0.05
+    qw = recode_qweight_q4(QWeight(jnp.asarray(w)), group=G)
+    x = rng.standard_normal((1, K)).astype(np.float32)
+    for layer in (0, 2):
+        y = np.asarray(
+            pallas_qmatmul_stacked(
+                jnp.asarray(x), qw.values, jnp.int32(layer),
+                scale=qw.scale, q4_group=G,
+            )
+        )
+        # reference: quantize x exactly like the wrapper, dequantized dot
+        sx = np.abs(x).max(-1, keepdims=True) / 127.0
+        xq = np.clip(np.round(x / sx), -127, 127)
+        deq = np.asarray(qw.astype_dequant(jnp.float32))[layer]
+        want = (xq @ deq.T) * sx
+        np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-4)
+
+
+def test_q4_perlayer_decode_matches_megakernel(q4_engines):
+    """q4 off the megakernel now streams packed tiles through the
+    per-layer kernel (same s8 x s8 grouped dots) — logits match the
+    megakernel tightly and the path is surfaced."""
+    mk, _ = q4_engines
+    pl_eng = Engine(mk.cfg, mk.params, None, matmul_impl="pallas",
+                    kv_dtype=jnp.float32, wcls_i8=True, a8_decode=True,
+                    fused_step=False)
+    assert pl_eng.decode_path(1) == "perlayer"
+    # without the a8 opt-in the packed path stays off (XLA dequant keeps
+    # full activation precision)
+    no_a8 = Engine(mk.cfg, mk.params, None, matmul_impl="pallas",
+                   kv_dtype=jnp.float32, wcls_i8=True, fused_step=False)
+    assert no_a8.decode_path(1) == "xla"
+    cm, cp = mk.new_cache(1), pl_eng.new_cache(1)
+    rng = np.random.default_rng(11)
+    for i, t in enumerate(rng.integers(3, 2000, size=5)):
+        lm, cm = mk.decode(np.array([t]), np.array([i]), cm)
+        lp_, cp = pl_eng.decode(np.array([t]), np.array([i]), cp)
+        lm, lp_ = np.asarray(lm, np.float32), np.asarray(lp_, np.float32)
+        assert np.abs(lm - lp_).max() < 0.02 * max(1.0, np.abs(lm).max())
+        assert lm.argmax() == lp_.argmax()
+
+
+def _tiny_moe_cfg():
+    import dataclasses
+
+    return dataclasses.replace(_tiny_cfg(), n_experts=4, n_experts_active=2)
+
+
+def test_q4_expert_recode_shapes_and_bound():
+    cfg = _tiny_moe_cfg()
+    params = synthetic_params(cfg, weight_dtype=jnp.int8)
+    pq4 = recode_params_q4(params, group=128)
+    lp = pq4.layers
+    L, E, h2, d = params.layers.w13e.values.shape
+    assert lp.w13e.values.shape == (L, E, h2, d // 2)
+    assert lp.w13e.scale.shape == (L, E, h2, d // 128)
+    assert lp.w13e.q4group == 128 and lp.w2e.q4group == 128
+    # dequant error bound: scale/2 per element vs the i8-dequant source
+    src = np.asarray(params.layers.w2e.astype_dequant(jnp.float32))
+    deq = np.asarray(lp.w2e.astype_dequant(jnp.float32))
+    bound = np.repeat(np.asarray(lp.w2e.scale), 128, axis=-1) * 0.5 + 1e-7
+    assert (np.abs(deq - src) <= bound).all()
+
+
+def test_q4_moe_gathered_matches_dense():
+    """Gathered sparse q4 expert decode (packed tiles + s8 dots) vs the
+    dense-masked XLA dequant path on IDENTICAL q4 params: the weight grid
+    cancels, leaving activation-quantization noise."""
+    cfg = _tiny_moe_cfg()
+    params = synthetic_params(cfg, weight_dtype=jnp.int8)
+    pq4 = recode_params_q4(params, group=128)
+    sparse = Engine(cfg, pq4, None, matmul_impl="pallas",
+                    kv_dtype=jnp.float32, wcls_i8=True, a8_decode=True)
+    dense = Engine(cfg, pq4, None, matmul_impl="xla",
+                   kv_dtype=jnp.float32, wcls_i8=True)
+    assert sparse.decode_path(1) == "perlayer"
+    cs, cd = sparse.new_cache(1), dense.new_cache(1)
+    rng = np.random.default_rng(13)
+    for i, t in enumerate(rng.integers(3, 2000, size=6)):
+        ls, cs = sparse.decode(np.array([t]), np.array([i]), cs)
+        ld, cd = dense.decode(np.array([t]), np.array([i]), cd)
+        ls, ld = np.asarray(ls, np.float32), np.asarray(ld, np.float32)
+        assert np.isfinite(ls).all()
+        assert np.abs(ls - ld).max() < 0.08 * max(1.0, np.abs(ld).max())
+        assert ls.argmax() == ld.argmax()
+    prompt = rng.integers(3, 2000, size=6).tolist()
+    want, _ = dense.generate(prompt, 6, stop_on_eos=False)
+    got, _ = sparse.generate(prompt, 6, stop_on_eos=False)
+    assert got[:3] == want[:3]

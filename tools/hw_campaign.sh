@@ -66,4 +66,6 @@ run_step 13 bench_wrap 3600 python bench.py --wrap
 run_step 14 bench_spec_verify 3600 python bench.py --spec-verify 7
 run_step 15 bench_moe 3600 python bench.py --moe
 run_step 15 bench_moe_dense 3600 env XALM_NO_MOE_GATHER=1 python bench.py --moe
+run_step 15 bench_moe_q4 3600 python bench.py --moe --dtype q4
+run_step 15 bench_q4_perlayer 3600 env XALM_NO_MEGAKERNEL=1 python bench.py --dtype q4
 echo "=== campaign done $(date -u) ==="

@@ -577,6 +577,27 @@ def forward(
         # the kernel blocks M in 512-row tiles; odd m > 512 (never produced
         # by the bucketed engine/batcher) falls back to the XLA path
         pallas_ok = use_pallas and _pallas_ok(qw) and (m <= 512 or m % 512 == 0)
+        if (
+            use_pallas and qw.q4group and layer is not None and m < 256
+            and (a8_decode or a8_prefill)
+            # the packed-tile kernel's dots are s8 x s8 — running it IS the
+            # int8-activation tradeoff, so it stays behind the a8 opt-in
+            # (same gate as the q4 megakernel); without a8, q4 dequantizes
+            # through XLA at full activation precision below
+        ):
+            # packed 4-bit decode off the megakernel: the per-layer stacked
+            # kernel streams the packed tiles (in-VMEM unpack + grouped
+            # s8 x s8 dots) — MoE b>8 slots and gathered experts run here;
+            # prefill/odd shapes still dequantize through XLA below
+            from xalm_tpu.ops.pallas_matmul import pallas_qmatmul_stacked
+
+            if norm_sw is not None:
+                xx = rmsnorm(xx, _index(norm_sw, layer), cfg.norm_eps)
+            y = pallas_qmatmul_stacked(
+                xx.reshape(-1, xx.shape[-1]).astype(jnp.float32),
+                qw.values, layer, scale=qw.scale, q4_group=qw.q4group,
+            )
+            return y.reshape(*xx.shape[:-1], y.shape[-1])
         if pallas_ok and layer is not None and m < 256:
             from xalm_tpu.ops.pallas_matmul import pallas_qmatmul_stacked
 
@@ -815,7 +836,10 @@ def forward(
                 )
             if (
                 t == 1 and b == 1 and tp_axis is None and use_pallas
-                and _pallas_ok(lp.w13e)
+                and (
+                    _pallas_ok(lp.w13e)
+                    or (bool(lp.w13e.q4group) and (a8_decode or a8_prefill))
+                )
                 and not os.environ.get("XALM_NO_MOE_GATHER")
                 # env kills the gather for dense-vs-gathered A/B benches
             ):
@@ -833,45 +857,63 @@ def forward(
                 )  # (L*E, 2h, d) — contiguous: a bitcast, not a copy
                 w13s_f = (
                     None if lp.w13e.scale is None
-                    else lp.w13e.scale.reshape(-1, lp.w13e.scale.shape[-1])
+                    # shape-aware: per-row (L, E, D) -> (L*E, D); q4 group
+                    # scales (L, E, D, Gk) -> (L*E, D, Gk)
+                    else lp.w13e.scale.reshape(-1, *lp.w13e.scale.shape[2:])
                 )
                 w2v_f = lp.w2e.values.reshape(-1, *lp.w2e.values.shape[2:])
                 w2s_f = (
                     None if lp.w2e.scale is None
-                    else lp.w2e.scale.reshape(-1, lp.w2e.scale.shape[-1])
+                    else lp.w2e.scale.reshape(-1, *lp.w2e.scale.shape[2:])
                 )
                 xm = xn2.reshape(1, -1)
                 dn = jnp.zeros((1, x.shape[-1]), jnp.float32)
                 for j in range(cfg.n_experts_active):
                     idx = layer * ne + topi[0, 0, j]
-                    a13 = pallas_qmatmul_stacked_full(xm, w13v_f, w13s_f, idx)
+                    a13 = pallas_qmatmul_stacked_full(
+                        xm, w13v_f, w13s_f, idx, q4_group=lp.w13e.q4group
+                    )
                     g_, u_ = split_w13_rows(a13, ffn_chunk(cfg.hidden_dim))
                     dj = pallas_qmatmul_stacked_full(
-                        (_act_fn(g_) * u_), w2v_f, w2s_f, idx
+                        (_act_fn(g_) * u_), w2v_f, w2s_f, idx,
+                        q4_group=lp.w2e.q4group,
                     )
                     dn = dn + topv[0, 0, j] * dj
                 x = x + dn.reshape(1, 1, -1)
                 return (x, ck, cv, ks, vs), rows
-            w13v = _index(lp.w13e.values, layer)  # (E, 2h, d)
+            def _expert_mat(qw, layer):
+                # q4 expert stacks dequantize per layer here (the dense-
+                # masked correctness tier — prefill / A-B / CPU); the
+                # gathered decode path above streams them packed instead
+                v = _index(qw.values, layer)
+                if qw.q4group:
+                    s = _index(qw.scale, layer)
+                    return QWeight(v, s, q4group=qw.q4group).astype_dequant(
+                        compute_dtype
+                    ), None
+                return v.astype(compute_dtype), (
+                    None if qw.scale is None else _index(qw.scale, layer)
+                )
+            w13v, w13s = _expert_mat(lp.w13e, layer)  # (E, 2h, d)
             a13 = jnp.einsum(
                 "btd,ehd->bteh",
                 xn2.astype(compute_dtype),
-                w13v.astype(compute_dtype),
+                w13v,
                 preferred_element_type=jnp.float32,
             )
-            if lp.w13e.scale is not None:
-                a13 = a13 * _index(lp.w13e.scale, layer)[None, None]
+            if w13s is not None:
+                a13 = a13 * w13s[None, None]
             gate, up = split_w13_rows(a13, ffn_chunk(cfg.hidden_dim))
             acte = _act_fn(gate)
-            w2v = _index(lp.w2e.values, layer)  # (E, d, h)
+            w2v, w2s = _expert_mat(lp.w2e, layer)  # (E, d, h)
             down_e = jnp.einsum(
                 "bteh,edh->bted",
                 (acte * up).astype(compute_dtype),
-                w2v.astype(compute_dtype),
+                w2v,
                 preferred_element_type=jnp.float32,
             )
-            if lp.w2e.scale is not None:
-                down_e = down_e * _index(lp.w2e.scale, layer)[None, None]
+            if w2s is not None:
+                down_e = down_e * w2s[None, None]
             down = jnp.einsum("bted,bte->btd", down_e, wts)
         else:
             # fused gate/up stream, chunk-interleaved (LayerParams.w13);

@@ -479,6 +479,20 @@ def recode_qweight_q4(qw: QWeight, group: int) -> QWeight:
             f = f * Q8_FIXED_SCALE
         return _q4_slab(f, grp)
 
+    if qw.values.ndim == 4:  # stacked experts (L, E, D, K): flatten to
+        # (L*E, D, K) so the per-slice map below bounds the f32 temp to one
+        # expert matrix (a whole-stack f32 temp is ~4x the packed bytes)
+        le = qw.values.shape[0] * qw.values.shape[1]
+        flat = QWeight(
+            qw.values.reshape(le, *qw.values.shape[2:]),
+            None if qw.scale is None else qw.scale.reshape(le, *qw.scale.shape[2:]),
+        )
+        out = recode_qweight_q4(flat, group)
+        return QWeight(
+            out.values.reshape(*qw.values.shape[:3], -1),
+            out.scale.reshape(*qw.values.shape[:3], -1),
+            q4group=group,
+        )
     if qw.values.ndim == 3:  # stacked layers: map keeps the f32 temp per-layer
         @functools.partial(jax.jit, donate_argnums=0, static_argnums=(2,))
         def _stacked(v, scale, grp):
@@ -503,20 +517,29 @@ def recode_qweight_q4(qw: QWeight, group: int) -> QWeight:
 def recode_params_q4(params: ModelParams, group: int = 512) -> ModelParams:
     """Re-code the four dense body weights (wqkv/wo/w13/w2) to packed 4-bit.
 
-    Embed, classifier head, norms, and MoE experts are untouched: the head
-    is quality-critical (it keeps the i8 per-row recode, RESULTS.md) and
-    the embed lookup reads one row per token. Halves the decode body
-    stream — the dominant HBM term (docs/PERF.md byte model)."""
+    Embed, classifier head, and norms are untouched: the head is
+    quality-critical (it keeps the i8 per-row recode, RESULTS.md) and the
+    embed lookup reads one row per token. Halves the decode body stream —
+    the dominant HBM term (docs/PERF.md byte model). MoE models pack the
+    expert stacks the same way (the gathered decode path streams them
+    packed; the router stays f32)."""
     lp = params.layers
     if lp.w13 is None:
-        raise ValueError("q4 recode: MoE layers are not supported")
-    layers = dataclasses.replace(
-        lp,
-        wqkv=recode_qweight_q4(lp.wqkv, group),
-        wo=recode_qweight_q4(lp.wo, group),
-        w13=recode_qweight_q4(lp.w13, group),
-        w2=recode_qweight_q4(lp.w2, group),
-    )
+        layers = dataclasses.replace(
+            lp,
+            wqkv=recode_qweight_q4(lp.wqkv, group),
+            wo=recode_qweight_q4(lp.wo, group),
+            w13e=recode_qweight_q4(lp.w13e, group),
+            w2e=recode_qweight_q4(lp.w2e, group),
+        )
+    else:
+        layers = dataclasses.replace(
+            lp,
+            wqkv=recode_qweight_q4(lp.wqkv, group),
+            wo=recode_qweight_q4(lp.wo, group),
+            w13=recode_qweight_q4(lp.w13, group),
+            w2=recode_qweight_q4(lp.w2, group),
+        )
     return dataclasses.replace(params, layers=layers)
 
 

@@ -96,6 +96,7 @@ def _tile_d(d: int, n: int, itemsize: int, block_bytes: int = _WEIGHT_BLOCK_BYTE
 
 def _kernel(
     l_ref, *refs, compute_dtype, norm_eps=None, fixed_scale=None, a8=False,
+    q4_group=0,
 ):
     """Fused [rmsnorm] -> dequant matmul -> [row scale] tile kernel.
 
@@ -108,9 +109,39 @@ def _kernel(
     x_ref = refs.pop(0)
     nw_ref = refs.pop(0) if norm_eps is not None else None
     w_ref = refs.pop(0)
-    s_ref = refs.pop(0) if fixed_scale == "row" else None
+    s_ref = refs.pop(0) if (fixed_scale == "row" or q4_group) else None
     out_ref = refs.pop(0)
     del l_ref  # consumed by the index_map
+    if q4_group:
+        # packed 4-bit tile (same scheme as the megakernel's _q4dot,
+        # ops/fused_decode.py): two signed nibbles per byte in split-half
+        # k-order, unpacked in VMEM at the int32 width Mosaic legalizes
+        # (hi sign-extends through >>4; lo re-signs via <<28>>28). Each
+        # half's groups feed s8 x s8 dots over disjoint lane slices of the
+        # int8 activation row; the (Gk, td) group-scale block (transposed
+        # by the wrapper so scales land on LANES) multiplies each group's
+        # i32 partial in f32. Group dots split the contraction — total MXU
+        # passes equal the single big dot.
+        wp = w_ref[0].astype(jnp.int32)  # (td, Nh)
+        hi = (wp >> 4).astype(jnp.int8)
+        lo = ((wp << 28) >> 28).astype(jnp.int8)
+        s = s_ref[0]  # (Gk, td) f32
+        x = x_ref[:]  # (m, 2*Nh) int8 — wrapper quantized per row
+        nh = wp.shape[-1]
+        npg = nh // q4_group
+        acc = None
+        for h, wh in ((0, lo), (1, hi)):
+            for gi in range(npg):
+                sl = slice(h * nh + gi * q4_group, h * nh + (gi + 1) * q4_group)
+                g = h * npg + gi
+                d = jax.lax.dot_general(
+                    x[:, sl], wh[:, gi * q4_group : (gi + 1) * q4_group],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * s[g : g + 1]  # (1, td) lane row
+                acc = d if acc is None else acc + d
+        out_ref[:] = acc
+        return
     w = w_ref[0]
     if jnp.dtype(w.dtype) in _F8_LAYOUT:
         w = _f8_to_bf16(w)
@@ -159,6 +190,7 @@ def pallas_qmatmul_stacked(
     scale: jax.Array | None = None,  # (L, D) stacked per-row scales (epilogue)
     q8_scale: float | None = None,  # fixed scale epilogue (q8)
     a8: bool = False,  # quantize activations per row: int8 x int8 MXU path
+    q4_group: int = 0,  # packed 4-bit values (L, D, N/2) + (L, D, Gk) scales
 ) -> jax.Array:
     """y[M, D] = [scale *] dequant(values[layer]) @ rmsnorm?(x)^T, fused.
 
@@ -173,16 +205,23 @@ def pallas_qmatmul_stacked(
     there)."""
     m, n = x.shape
     l, d, n2 = values.shape
-    assert n == n2, (x.shape, values.shape)
+    assert n == (2 * n2 if q4_group else n2), (x.shape, values.shape, q4_group)
     compute_dtype = jnp.float32 if values.dtype == jnp.float32 else jnp.bfloat16
     small_m = m < 256
+    if q4_group:
+        # decode-shape path only (the megakernel owns the b<=8 hot loop;
+        # this covers per-layer decode — MoE gathered experts, b>8 slots).
+        # Packed tiles need int8 activations: the s8 x s8 dots are the only
+        # consumers that never materialize the unpacked matrix.
+        assert small_m and scale is not None and norm_w is None and not a8
+        assert values.dtype == jnp.int8 and scale.shape == (l, d, n // q4_group)
     # the rmsnorm prologue recomputes per weight tile: worthwhile only at
     # decode shapes; the scale epilogue is one output pass at any M
     assert small_m or norm_w is None, (
         "norm prologue fusion is a decode-shape optimization"
     )
     sx = None
-    if a8:
+    if a8 or q4_group:
         assert values.dtype == jnp.int8 and norm_w is None
         amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
         sx = jnp.where(amax > 0, amax / 127.0, 1.0)
@@ -197,7 +236,7 @@ def pallas_qmatmul_stacked(
     # decode (small M) is HBM-bound: 1 MiB tiles won the sweep. Prefill
     # (M >= 256) is MXU-bound: larger tiles amortize per-tile overhead.
     blk = _WEIGHT_BLOCK_BYTES if small_m else 4 * _WEIGHT_BLOCK_BYTES
-    td = _tile_d(d, n, values.dtype.itemsize, blk)
+    td = _tile_d(d, n2, values.dtype.itemsize, blk)
     if m <= _MAX_TM:
         tm, nm = m, 1
     else:
@@ -220,11 +259,25 @@ def pallas_qmatmul_stacked(
         )
         operands.append(norm_w.reshape(l, 1, n).astype(jnp.float32))
     in_specs.append(
-        pl.BlockSpec((1, td, n), lambda mi, i, lr: (lr[0], i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, td, n2), lambda mi, i, lr: (lr[0], i, 0), memory_space=pltpu.VMEM)
     )
     operands.append(values)
     fixed_scale = None
-    if scale is not None:
+    if q4_group:
+        # group scales transposed (L, D, Gk) -> (L, Gk, D) so the per-group
+        # vector lands on LANES in-kernel (a (td,) sublane slice of the
+        # container layout cannot broadcast across the output's lane dim).
+        # The transpose is step-invariant — XLA hoists it out of the decode
+        # scan, so it costs one resident copy, not per-step traffic.
+        gk = n // q4_group
+        in_specs.append(
+            pl.BlockSpec(
+                (1, gk, td), lambda mi, i, lr: (lr[0], 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(jnp.swapaxes(scale, -1, -2).astype(jnp.float32))
+    elif scale is not None:
         fixed_scale = "row"
         in_specs.append(
             pl.BlockSpec((1, 1, td), lambda mi, i, lr: (lr[0], 0, i), memory_space=pltpu.VMEM)
@@ -239,11 +292,13 @@ def pallas_qmatmul_stacked(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, td), lambda mi, i, lr: (mi, i), memory_space=pltpu.VMEM),
     )
-    bytes_accessed = nm * td * n * values.dtype.itemsize * pl.cdiv(d, td) + m * n * 4 + m * d * 4
+    bytes_accessed = nm * td * n2 * values.dtype.itemsize * pl.cdiv(d, td) + m * n * 4 + m * d * 4
+    if q4_group:
+        bytes_accessed += nm * d * (n // q4_group) * 4
     out = pl.pallas_call(
         functools.partial(
             _kernel, compute_dtype=compute_dtype, norm_eps=eps,
-            fixed_scale=fixed_scale, a8=a8,
+            fixed_scale=fixed_scale, a8=a8, q4_group=q4_group,
         ),
         out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
         grid_spec=grid_spec,
@@ -265,7 +320,13 @@ def pallas_qmatmul_stacked_full(
     values: jax.Array,
     scale: jax.Array | None,
     layer: jax.Array,
+    *,
+    q4_group: int = 0,
 ) -> jax.Array:
+    if q4_group:
+        return pallas_qmatmul_stacked(
+            x, values, layer, scale=scale, q4_group=q4_group
+        )
     y = pallas_qmatmul_stacked(x, values, layer)
     if values.dtype == jnp.int8:
         if scale is not None:

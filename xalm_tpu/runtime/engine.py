@@ -418,8 +418,12 @@ class Engine:
             self.cfg, self.params, k, batch, 1, ks, a8=self.a8_decode
         ):
             return "megakernel"
-        if self.params.layers.wqkv.q4group:
-            # packed 4-bit off the megakernel dequantizes through XLA
+        if self.params.layers.wqkv.q4group and (
+            batch >= 256 or not self.a8_decode
+        ):
+            # packed 4-bit streams through the per-layer kernel only under
+            # the a8 opt-in (its dots are s8 x s8) and below the decode M
+            # cap; otherwise it dequantizes through XLA
             return "xla"
         return "perlayer"
 

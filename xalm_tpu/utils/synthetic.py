@@ -36,7 +36,25 @@ MISTRAL_7B = ModelConfig(
 )
 
 
-def _synth_qweight(key, shape, weight_dtype, scale_mag=0.02) -> QWeight:
+def _synth_qweight(key, shape, weight_dtype, scale_mag=0.02, q4_group=0) -> QWeight:
+    if q4_group:
+        # draw the PACKED body directly (two random nibbles per byte) with
+        # constant group scales: recoding a drawn i8 stack instead would
+        # transiently hold old+new copies — ~17 GB at Mixtral expert-stack
+        # scale. Unpacked codes are uniform in [-8, 7], the same value
+        # class the real recode emits; throughput is value-independent.
+        k = shape[-1]
+        if k % (2 * q4_group) or q4_group % 128:
+            raise ValueError(
+                f"q4 group {q4_group} must be a 128-multiple dividing K/2={k // 2}"
+            )
+        q = jax.jit(
+            lambda kk: jax.lax.bitcast_convert_type(
+                jax.random.bits(kk, (*shape[:-1], k // 2), jnp.uint8), jnp.int8
+            )
+        )(key)
+        scale = jnp.full((*shape[:-1], k // q4_group), scale_mag / 7.0, jnp.float32)
+        return QWeight(q, scale, q4group=q4_group)
     if weight_dtype == jnp.int8:
         # draw raw random bits and bitcast to int8 — randint would stage a
         # 4x int32 transient, which OOMs at Mixtral expert-stack scale
@@ -60,6 +78,7 @@ def synthetic_params(
     embed_dtype=jnp.bfloat16,  # the converter boosts embeds to 16-bit;
     # bf16 rather than f16 because Mosaic has no f16 (see ops/pallas_matmul)
     seed: int = 42,
+    q4_group: int = 0,  # draw the body packed 4-bit (bench: no recode peak)
 ) -> ModelParams:
     """Random ModelParams at cfg's shapes, weight-only quantized like the
     converter would (body in ``weight_dtype``, embeds boosted, f32 norms)."""
@@ -73,25 +92,26 @@ def synthetic_params(
         cfg.vocab_size,
     )
     moe = cfg.n_experts > 0
+    g4 = q4_group
     layers = LayerParams(
         attn_norm=jnp.ones((L, d), jnp.float32),
         # random weights need no interleave pass — draw the fused layouts
         # (see models/params.LayerParams) at their fused shapes directly
-        wqkv=_synth_qweight(keys[0], (L, q + 2 * kv, d), weight_dtype),
-        wo=_synth_qweight(keys[3], (L, d, q), weight_dtype),
+        wqkv=_synth_qweight(keys[0], (L, q + 2 * kv, d), weight_dtype, q4_group=g4),
+        wo=_synth_qweight(keys[3], (L, d, q), weight_dtype, q4_group=g4),
         mlp_norm=jnp.ones((L, d), jnp.float32),
-        w13=None if moe else _synth_qweight(keys[4], (L, 2 * h, d), weight_dtype),
-        w2=None if moe else _synth_qweight(keys[5], (L, d, h), weight_dtype),
+        w13=None if moe else _synth_qweight(keys[4], (L, 2 * h, d), weight_dtype, q4_group=g4),
+        w2=None if moe else _synth_qweight(keys[5], (L, d, h), weight_dtype, q4_group=g4),
         wgate=(
             jax.random.normal(keys[9], (L, cfg.n_experts, d), jnp.float32) * 0.3
             if moe else None
         ),
         w13e=(
-            _synth_qweight(keys[10], (L, cfg.n_experts, 2 * h, d), weight_dtype)
+            _synth_qweight(keys[10], (L, cfg.n_experts, 2 * h, d), weight_dtype, q4_group=g4)
             if moe else None
         ),
         w2e=(
-            _synth_qweight(keys[11], (L, cfg.n_experts, d, h), weight_dtype)
+            _synth_qweight(keys[11], (L, cfg.n_experts, d, h), weight_dtype, q4_group=g4)
             if moe else None
         ),
     )
