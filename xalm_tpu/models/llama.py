@@ -849,7 +849,7 @@ def forward(
                 # scalar prefetch — a zero-copy gather, so decode reads k/E
                 # of the expert bytes (the dense-masked path below reads all
                 # E; at Mixtral's 8-choose-2 that is 4x the FFN traffic).
-                from xalm_tpu.ops.pallas_matmul import pallas_qmatmul_stacked_full
+                from xalm_tpu.ops.pallas_matmul import pallas_qmatmul_stacked_multi
 
                 ne = lp.w13e.values.shape[1]
                 w13v_f = lp.w13e.values.reshape(
@@ -867,18 +867,20 @@ def forward(
                     else lp.w2e.scale.reshape(-1, *lp.w2e.scale.shape[2:])
                 )
                 xm = xn2.reshape(1, -1)
-                dn = jnp.zeros((1, x.shape[-1]), jnp.float32)
-                for j in range(cfg.n_experts_active):
-                    idx = layer * ne + topi[0, 0, j]
-                    a13 = pallas_qmatmul_stacked_full(
-                        xm, w13v_f, w13s_f, idx, q4_group=lp.w13e.q4group
-                    )
-                    g_, u_ = split_w13_rows(a13, ffn_chunk(cfg.hidden_dim))
-                    dj = pallas_qmatmul_stacked_full(
-                        (_act_fn(g_) * u_), w2v_f, w2s_f, idx,
-                        q4_group=lp.w2e.q4group,
-                    )
-                    dn = dn + topv[0, 0, j] * dj
+                # ONE kernel launch per matmul across all top-k experts:
+                # the expert index rides a leading grid dim (scalar
+                # prefetch), so expert e+1's tiles prefetch under expert
+                # e's dots and the per-expert launch bubbles collapse
+                idxs = layer * ne + topi[0, 0, :]
+                a13 = pallas_qmatmul_stacked_multi(
+                    xm, w13v_f, w13s_f, idxs, q4_group=lp.w13e.q4group
+                )  # (k, 2h)
+                g_, u_ = split_w13_rows(a13, ffn_chunk(cfg.hidden_dim))
+                dn_e = pallas_qmatmul_stacked_multi(
+                    _act_fn(g_) * u_, w2v_f, w2s_f, idxs,
+                    q4_group=lp.w2e.q4group, shared_x=False,
+                )  # (k, d)
+                dn = jnp.sum(topv[0, 0, :, None] * dn_e, axis=0, keepdims=True)
                 x = x + dn.reshape(1, 1, -1)
                 return (x, ck, cv, ks, vs), rows
             def _expert_mat(qw, layer):

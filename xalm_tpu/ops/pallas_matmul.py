@@ -126,7 +126,9 @@ def _kernel(
         hi = (wp >> 4).astype(jnp.int8)
         lo = ((wp << 28) >> 28).astype(jnp.int8)
         s = s_ref[0]  # (Gk, td) f32
-        x = x_ref[:]  # (m, 2*Nh) int8 — wrapper quantized per row
+        x = x_ref[...]  # (m, 2*Nh) int8 — wrapper quantized per row
+        if x.ndim == 3:  # multi-expert: (1, m, n) block -> (m, n)
+            x = x.reshape(x.shape[1], x.shape[2])
         nh = wp.shape[-1]
         npg = nh // q4_group
         acc = None
@@ -140,7 +142,7 @@ def _kernel(
                     preferred_element_type=jnp.int32,
                 ).astype(jnp.float32) * s[g : g + 1]  # (1, td) lane row
                 acc = d if acc is None else acc + d
-        out_ref[:] = acc
+        out_ref[...] = acc.reshape(out_ref.shape)
         return
     w = w_ref[0]
     if jnp.dtype(w.dtype) in _F8_LAYOUT:
@@ -152,7 +154,9 @@ def _kernel(
     # path); routing them through a VPU int8->bf16 cast first costs more
     # cycles than the DMA of the tile and caps the stream well below HBM
     # speed-of-light (measured).
-    x = x_ref[:]
+    x = x_ref[...]
+    if x.ndim == 3:  # multi-expert: (1, m, n) block -> (m, n)
+        x = x.reshape(x.shape[1], x.shape[2])
     if a8:
         # W8A8: int8 x int8 feeds the MXU at 2x the bf16 rate (v5e: 394
         # TOPS s8 vs 197 TFLOPs bf16); int32 accumulation. The caller
@@ -172,7 +176,7 @@ def _kernel(
         y = y * s_ref[0]
     elif isinstance(fixed_scale, float):
         y = y * fixed_scale
-    out_ref[:] = y
+    out_ref[...] = y.reshape(out_ref.shape)
 
 
 # Max M rows per block: prefill chunks stream the whole activation tile
@@ -312,6 +316,107 @@ def pallas_qmatmul_stacked(
     )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     if sx is not None:
         out = out * sx  # per-row activation scale (fused into the next op)
+    return out
+
+
+def pallas_qmatmul_stacked_multi(
+    x: jax.Array,  # (m, n) shared across experts, or (ke*m, n) per-expert rows
+    values: jax.Array,  # (LE, D, N[/2]) stacked (layer*expert) weights
+    scale: jax.Array | None,  # (LE, D) per-row | (LE, D, Gk) q4 groups | None
+    idxs: jax.Array,  # (ke,) int32 flattened layer*E + expert indices
+    *,
+    q4_group: int = 0,
+    shared_x: bool = True,
+) -> jax.Array:
+    """Batched gathered matmul: y[ke*m, D] = dequant(values[idxs[e]]) @ x.
+
+    One pallas_call runs ALL top-k experts as a leading grid dimension —
+    the tile pipeline prefetches expert e+1's weights while expert e
+    computes, and the per-expert kernel-launch overhead (the dominant
+    bubble in the 32-launch/step gathered MoE decode) collapses to one.
+    Decode shapes only (m < 256). ``shared_x``: every expert consumes the
+    same activation rows (the up projection); otherwise x carries ke
+    row-groups of m (the down projection, whose inputs differ per expert).
+    """
+    ke = int(idxs.shape[0])
+    m = x.shape[0] // (1 if shared_x else ke)
+    n = x.shape[1]
+    l, d, n2 = values.shape
+    assert n == (2 * n2 if q4_group else n2), (x.shape, values.shape, q4_group)
+    assert m < 256 and ke * m <= 512
+    compute_dtype = jnp.float32 if values.dtype == jnp.float32 else jnp.bfloat16
+    sx = None
+    if q4_group:
+        assert values.dtype == jnp.int8 and scale is not None
+        assert scale.shape == (l, d, n // q4_group)
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+        xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    else:
+        xq = x  # dequant+dot casts in-kernel at decode m
+    td = _tile_d(d, n2, values.dtype.itemsize)
+
+    # shared x keeps a 2-D whole-array block; per-expert rows go 3-D
+    # (ke, m, n) with a (1, m, n) block — Mosaic requires the last two
+    # block dims be sublane/lane aligned OR the whole dim, and an m-row
+    # block of a (ke*m)-row array is neither
+    if shared_x:
+        in_specs = [
+            pl.BlockSpec((m, n), lambda ei, i, lr: (0, 0), memory_space=pltpu.VMEM)
+        ]
+        operands = [xq]
+    else:
+        in_specs = [
+            pl.BlockSpec(
+                (1, m, n), lambda ei, i, lr: (ei, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        operands = [xq.reshape(ke, m, n)]
+    in_specs.append(
+        pl.BlockSpec((1, td, n2), lambda ei, i, lr: (lr[ei], i, 0), memory_space=pltpu.VMEM)
+    )
+    operands.append(values)
+    fixed_scale = None
+    if q4_group:
+        gk = n // q4_group
+        in_specs.append(
+            pl.BlockSpec((1, gk, td), lambda ei, i, lr: (lr[ei], 0, i), memory_space=pltpu.VMEM)
+        )
+        operands.append(jnp.swapaxes(scale, -1, -2).astype(jnp.float32))
+    elif scale is not None:
+        fixed_scale = "row"
+        in_specs.append(
+            pl.BlockSpec((1, 1, td), lambda ei, i, lr: (lr[ei], 0, i), memory_space=pltpu.VMEM)
+        )
+        operands.append(scale.reshape(l, 1, d).astype(jnp.float32))
+    elif values.dtype == jnp.int8:
+        fixed_scale = float(Q8_FIXED_SCALE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ke, pl.cdiv(d, td)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, m, td), lambda ei, i, lr: (ei, 0, i), memory_space=pltpu.VMEM
+        ),
+    )
+    bytes_accessed = ke * (td * n2 * values.dtype.itemsize * pl.cdiv(d, td) + m * d * 4)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, compute_dtype=compute_dtype, norm_eps=None,
+            fixed_scale=fixed_scale, a8=False, q4_group=q4_group,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ke, m, d), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ke * m * n * d, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(idxs, jnp.int32), *operands)
+    out = out.reshape(ke * m, d)
+    if sx is not None:
+        out = out * (jnp.tile(sx, (ke, 1)) if shared_x else sx)
     return out
 
 
