@@ -25,6 +25,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 import jax
 
@@ -312,15 +313,25 @@ def main() -> int:
             pos += 2  # a+1 with a=1: arbitrary pre-wrap advance
         t_ver = (time.perf_counter() - t0) / n_calls
         ratio = t_ver / t_dec
-        # measured real-text acceptance on the local checkpoint: 66.7 %
-        # in-window / 75.5 % wrapped at k=7 (tools/spec_probe.py, RESULTS.md)
-        acc = 0.667
+        # acceptance: read the most recent spec_probe artifact when present
+        # (tools/hw_campaign.sh writes /tmp/hw_campaign/spec_probe.json);
+        # otherwise fall back to the last recorded run (66.7 % in-window at
+        # k=7, tools/spec_probe.py, RESULTS.md) and label it as such
+        acc, acc_src = 0.667, "fallback: RESULTS.md run"
+        probe_json = Path("/tmp/hw_campaign/spec_probe.json")
+        if probe_json.exists():
+            try:
+                probe = json.loads(probe_json.read_text())
+                acc = float(probe["accept_rate"])
+                acc_src = f"measured, {probe_json} (k={probe.get('k')})"
+            except (ValueError, KeyError) as e:
+                log(f"spec_probe.json unreadable ({e}); using fallback acceptance")
         log(
             f"decode step {t_dec * 1e3:.2f} ms | verify({k + 1} tokens) "
             f"{t_ver * 1e3:.2f} ms | ratio {ratio:.2f} -> breakeven "
             f"acceptance {max(ratio - 1, 0):.2f} drafts/verify "
-            f"({max(ratio - 1, 0) / k * 100:.0f}% of k={k}); measured real-"
-            f"text acceptance {acc * 100:.0f}% (tools/spec_probe.py) -> "
+            f"({max(ratio - 1, 0) / k * 100:.0f}% of k={k}); real-text "
+            f"acceptance {acc * 100:.0f}% ({acc_src}) -> "
             f"projected speedup {((acc * k + 1) / ratio):.2f}x on that workload"
         )
         print(json.dumps({

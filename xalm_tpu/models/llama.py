@@ -579,11 +579,14 @@ def forward(
         pallas_ok = use_pallas and _pallas_ok(qw) and (m <= 512 or m % 512 == 0)
         if (
             use_pallas and qw.q4group and layer is not None and m < 256
-            and (a8_decode or a8_prefill)
             # the packed-tile kernel's dots are s8 x s8 — running it IS the
             # int8-activation tradeoff, so it stays behind the a8 opt-in
-            # (same gate as the q4 megakernel); without a8, q4 dequantizes
+            # (same gate as the q4 megakernel), split by call shape the same
+            # way the W8A8 paths are: t==1 decode rows need a8_decode, t>1
+            # prefill chunks need a8_prefill (Engine.decode_path reports the
+            # same predicate); without the matching opt-in, q4 dequantizes
             # through XLA at full activation precision below
+            and (a8_decode if (xx.ndim != 3 or xx.shape[1] == 1) else a8_prefill)
         ):
             # packed 4-bit decode off the megakernel: the per-layer stacked
             # kernel streams the packed tiles (in-VMEM unpack + grouped
@@ -838,7 +841,10 @@ def forward(
                 t == 1 and b == 1 and tp_axis is None and use_pallas
                 and (
                     _pallas_ok(lp.w13e)
-                    or (bool(lp.w13e.q4group) and (a8_decode or a8_prefill))
+                    # this branch is t==1-only, so q4 packed experts need
+                    # the decode-side a8 opt-in specifically (their dots
+                    # are s8 x s8) — same predicate as Engine accounting
+                    or (bool(lp.w13e.q4group) and a8_decode)
                 )
                 and not os.environ.get("XALM_NO_MOE_GATHER")
                 # env kills the gather for dense-vs-gathered A/B benches

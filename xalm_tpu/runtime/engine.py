@@ -746,9 +746,18 @@ class Engine:
             expert_bytes = qbytes(lw.w13e) + qbytes(lw.w2e)
             from xalm_tpu.ops.pallas_matmul import supported_weight_dtype
 
+            # mirror the forward's gathered-decode gate (models/llama.py):
+            # plain dtypes need a pallas-supported dtype; q4 packed experts
+            # additionally need the a8_decode opt-in (their dots are s8xs8)
+            # — otherwise decode runs dense-masked and streams all E experts
+            gathered_ok = (
+                self.a8_decode
+                if lw.w13e.q4group
+                else supported_weight_dtype(lw.w13e.values.dtype)
+            )
             if (
                 self.matmul_impl == "pallas"
-                and supported_weight_dtype(lw.w13e.values.dtype)
+                and gathered_ok
                 and not os.environ.get("XALM_NO_MOE_GATHER")
             ):
                 # gathered sparse decode (models/llama.py): only the top-k

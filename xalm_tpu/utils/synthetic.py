@@ -48,12 +48,21 @@ def _synth_qweight(key, shape, weight_dtype, scale_mag=0.02, q4_group=0) -> QWei
             raise ValueError(
                 f"q4 group {q4_group} must be a 128-multiple dividing K/2={k // 2}"
             )
+        kq, ks = jax.random.split(key)
         q = jax.jit(
             lambda kk: jax.lax.bitcast_convert_type(
                 jax.random.bits(kk, (*shape[:-1], k // 2), jnp.uint8), jnp.int8
             )
-        )(key)
-        scale = jnp.full((*shape[:-1], k // q4_group), scale_mag / 7.0, jnp.float32)
+        )(kq)
+        # per-group scales vary (+/-25% around scale_mag/7) so a kernel bug
+        # that reads the wrong group's scale perturbs bench logits instead
+        # of being invisible behind a constant plane; same memory footprint
+        scale = jax.jit(
+            lambda kk: (scale_mag / 7.0)
+            * jax.random.uniform(
+                kk, (*shape[:-1], k // q4_group), jnp.float32, 0.75, 1.25
+            )
+        )(ks)
         return QWeight(q, scale, q4group=q4_group)
     if weight_dtype == jnp.int8:
         # draw raw random bits and bitcast to int8 — randint would stage a
