@@ -175,6 +175,103 @@ def test_download_model_mocked(tmp_path, monkeypatch):
     download_model("fake/repo", dest)
 
 
+class _FakeHub:
+    """Fake requests module face: a dict of filename -> bytes, 404 otherwise.
+
+    Used to exercise download_model's three layout resolutions offline
+    (reference convert.py:996-1055 downloads; 916-954 the enumerated-shard
+    fallbacks this generalizes)."""
+
+    def __init__(self, blobs):
+        self.blobs = blobs
+        self.head_calls = []
+
+    class _Resp:
+        def __init__(self, content, ok):
+            self._c, self.ok = content, ok
+
+        def json(self):
+            import json as _json
+
+            return _json.loads(self._c)
+
+        def raise_for_status(self):
+            if not self.ok:
+                raise RuntimeError("404")
+
+        def iter_content(self, n):
+            for i in range(0, len(self._c), n):
+                yield self._c[i : i + n]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def get(self, url, **kw):
+        name = url.rsplit("/", 1)[1]
+        return self._Resp(self.blobs.get(name, b""), name in self.blobs)
+
+    def head(self, url, **kw):
+        name = url.rsplit("/", 1)[1]
+        self.head_calls.append(name)
+        return self._Resp(b"", name in self.blobs)
+
+
+def _patch_hub(monkeypatch, blobs):
+    import requests
+
+    hub = _FakeHub(blobs)
+    monkeypatch.setattr(requests, "get", hub.get)
+    monkeypatch.setattr(requests, "head", hub.head)
+    return hub
+
+
+def test_download_single_file_layout(tmp_path, monkeypatch):
+    """No index.json -> falls back to model.safetensors (one HEAD probe)."""
+    from xalm_tpu.convert.convert import download_model
+
+    blobs = {
+        "config.json": b"{}",
+        "tokenizer.json": b"{}",
+        "model.safetensors": b"S" * 4096,
+    }
+    hub = _patch_hub(monkeypatch, blobs)
+    dest = str(tmp_path / "dl")
+    download_model("fake/repo", dest)
+    for name, want in blobs.items():
+        assert open(f"{dest}/{name}", "rb").read() == want
+    assert hub.head_calls == ["model.safetensors"]
+
+
+@pytest.mark.parametrize("n_shards", [3, 4, 10, 7])
+def test_download_enumerated_shards(tmp_path, monkeypatch, n_shards):
+    """Indexless enumerated layouts: the reference hardcodes 3/4/10-shard
+    fallbacks (reference convert.py:916-954); the probe covers any N."""
+    from xalm_tpu.convert.convert import download_model
+
+    shard_names = [
+        f"model-{i:05d}-of-{n_shards:05d}.safetensors"
+        for i in range(1, n_shards + 1)
+    ]
+    blobs = {"config.json": b"{}", "tokenizer.json": b"{}"}
+    blobs.update({s: s.encode() * 7 for s in shard_names})
+    _patch_hub(monkeypatch, blobs)
+    dest = str(tmp_path / "dl")
+    download_model("fake/repo", dest)
+    for name in shard_names:
+        assert open(f"{dest}/{name}", "rb").read() == name.encode() * 7
+
+
+def test_download_no_layout_found(tmp_path, monkeypatch):
+    from xalm_tpu.convert.convert import download_model
+
+    _patch_hub(monkeypatch, {"config.json": b"{}", "tokenizer.json": b"{}"})
+    with pytest.raises(FileNotFoundError, match="no model.safetensors"):
+        download_model("fake/repo", str(tmp_path / "dl"))
+
+
 def test_boost_type_bf16_subbyte_is_e5m2():
     # reference convert.py:729-744: bf16-origin sub-byte boosts to f8_e5m2,
     # f16/f32-origin to f8_e4m3

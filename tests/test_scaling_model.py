@@ -108,6 +108,60 @@ def test_comm_model_numbers_match_shapes(tiny_xalm):
         assert int(np.prod(s)) == d, (s, d)
 
 
+def _topology_or_skip(name="v5e:2x4", dp=1, tp=2):
+    from xalm_tpu.parallel.aot import topology_mesh
+
+    try:
+        return topology_mesh(name, dp=dp, tp=tp)
+    except Exception as e:  # no libtpu compiler on this host
+        pytest.skip(f"TPU topology compiler unavailable: {e}")
+
+
+def _aot_cfg():
+    from xalm_tpu.models.config import ModelConfig
+
+    return ModelConfig(
+        dim=2048, hidden_dim=5632, head_dim=128, n_layers=4, n_heads=16,
+        n_kv_heads=8, vocab_size=32000, max_seq_len=1024, rope_theta=1e4,
+        rotary_dim=128, norm_eps=1e-5, act="silu", tie_word_embeddings=False,
+    )
+
+
+def test_aot_tpu_collectives_decode():
+    """Compile the tp=2 decode step for a REAL v5e topology (XLA:TPU
+    compiler, zero chips) and pin the OPTIMIZED executable's collective
+    structure: exactly the 2 per-layer psums survive the production
+    pipeline, nothing else is inserted, and — measured, not assumed —
+    the compiler keeps them SYNCHRONOUS (no all-reduce-start/done split):
+    each psum's consumer is data-dependent, so there is no independent
+    work to overlap. docs/SCALING.md's serial comm model cites this."""
+    from xalm_tpu.parallel.aot import abstract_engine, collective_stats, compile_step
+
+    mesh = _topology_or_skip()
+    eng = abstract_engine(_aot_cfg(), mesh, matmul_impl="xla")
+    stats = collective_stats(compile_step(eng))
+    ar = stats["all-reduce"]
+    assert ar["sync"] + ar["async"] == 2, stats
+    for op in ("all-gather", "all-to-all", "collective-permute", "reduce-scatter"):
+        assert stats[op] == {"sync": 0, "async": 0}, stats
+    # the measured scheduling regime SCALING.md documents; if a future XLA
+    # starts splitting these async, update SCALING.md's overlap paragraph
+    assert ar == {"sync": 2, "async": 0}, stats
+
+
+def test_aot_tpu_pallas_kernels_compile_multichip():
+    """The production Pallas kernels (matmul_impl='pallas') lower to Mosaic
+    custom calls AND compile inside the tp-sharded step for a real v5e
+    topology — multi-chip Mosaic validation with no hardware attached
+    (the virtual-CPU-mesh tests can't exercise Mosaic lowering at all)."""
+    from xalm_tpu.parallel.aot import abstract_engine, compile_step
+
+    mesh = _topology_or_skip()
+    eng = abstract_engine(_aot_cfg(), mesh, matmul_impl="pallas")
+    txt = compile_step(eng).as_text()
+    assert txt.count("tpu_custom_call") > 0
+
+
 def test_pp_decode_step_collective_count(tiny_xalm):
     """One pp decode step (pp=2 of a 2-layer model): exactly PP
     collective-permutes (the residual ring, one per sequencing tick) plus

@@ -440,13 +440,42 @@ def convert_weights(
 # ---------------------------------------------------------------------------
 
 
+def _probe_shard_layout(base: str, requests) -> list[str]:
+    """Resolve the safetensors layout when no index.json exists.
+
+    The reference enumerates hardcoded 3/4/10-shard fallbacks (reference
+    convert.py:916-954 and the download mirror at 996-1055); this probes
+    ``model-00001-of-NNNNN`` for any N in 2..99 with cheap HEAD requests,
+    a strict superset of those layouts.
+    """
+    if requests.head(
+        f"{base}/model.safetensors", timeout=30, allow_redirects=True
+    ).ok:
+        return ["model.safetensors"]
+    for n in range(2, 100):
+        name = f"model-00001-of-{n:05d}.safetensors"
+        if requests.head(f"{base}/{name}", timeout=30, allow_redirects=True).ok:
+            return [f"model-{i:05d}-of-{n:05d}.safetensors" for i in range(1, n + 1)]
+    raise FileNotFoundError(
+        f"no model.safetensors, shard index, or model-00001-of-NNNNN shard "
+        f"under {base}"
+    )
+
+
 def download_model(repo: str, dest: str) -> str:
+    """Fetch an HF repo's config/tokenizer/weights (reference convert.py:959-1055).
+
+    Layout resolution order:
+      1. ``model.safetensors.index.json`` — authoritative shard list;
+      2. ``model.safetensors`` — single file;
+      3. enumerated ``model-%05d-of-%05d.safetensors`` shards via HEAD
+         probe (covers the reference's indexless 3/4/10-shard layouts).
+    """
     import requests
 
     base = f"https://huggingface.co/{repo}/resolve/main"
     os.makedirs(dest, exist_ok=True)
     files = ["config.json", "tokenizer.json"]
-    # single-file and sharded safetensors layouts
     idx_url = f"{base}/model.safetensors.index.json"
     r = requests.get(idx_url, timeout=30)
     if r.ok:
@@ -455,7 +484,7 @@ def download_model(repo: str, dest: str) -> str:
             json.dump(index, f)
         files += sorted(set(index["weight_map"].values()))
     else:
-        files.append("model.safetensors")
+        files += _probe_shard_layout(base, requests)
     for fname in files:
         path = os.path.join(dest, fname)
         if os.path.exists(path):

@@ -52,6 +52,7 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from xalm_tpu.ops.lowering import interpret_mode, lowering_for_tpu
 from jax.experimental.pallas import tpu as pltpu
 
 from xalm_tpu.models.config import KV_SINKS
@@ -1054,7 +1055,7 @@ def fused_step_supported(
     # real Mosaic cannot memref_slice sub-lane-tile trailing dims (the
     # manual DMAs slice (.., hd)/(.., N)-shaped HBM windows); interpret
     # mode (CPU tests) has no such limit, so only gate on the TPU backend
-    if jax.default_backend() == "tpu" and (
+    if lowering_for_tpu() and (
         cfg.head_dim % 128 or N % 128 or DQ % 128 or h2 % 128
         or cfg.hidden_dim % 128 or QD % 128
     ):
@@ -1070,7 +1071,7 @@ def fused_step_supported(
         # real Mosaic cannot memref_slice a sub-128-lane window out of the
         # (L, B, KH, S) scale planes (lane tile is 128): tiny quant windows
         # run the per-layer path on hardware, interpret mode still covers
-        if S % 128 and jax.default_backend() == "tpu":
+        if S % 128 and lowering_for_tpu():
             return False
     if os.environ.get("XALM_NO_MEGAKERNEL"):
         return False
@@ -1087,7 +1088,7 @@ def embed_fold_supported(cfg, params) -> bool:
     Ve, n = e.values.shape
     if Ve < 16 or Ve % 16:
         return False
-    if n % 128 and jax.default_backend() == "tpu":
+    if n % 128 and lowering_for_tpu():
         # Mosaic cannot memref_slice a dynamic sublane window out of a
         # sub-lane-tile (n < 128 or unaligned) HBM table; interpret mode can
         return False
@@ -1181,7 +1182,7 @@ def fused_decode_step(
     hq = KH * G
     hq_p = -(-hq // 8) * 8
     clip = cfg.qkv_clip if math.isfinite(cfg.qkv_clip) else None
-    interp = jax.default_backend() != "tpu"
+    interp = interpret_mode()
     nbA = _nbuf((DQ + N + H2) // TA)
     nbB = _nbuf(N // TB)
     fold_wcls = wcls is not None

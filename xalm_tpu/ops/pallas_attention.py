@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from xalm_tpu.ops.lowering import interpret_mode
 from jax.experimental.pallas import tpu as pltpu
 
 from xalm_tpu.models.config import KV_SINKS
@@ -363,7 +364,7 @@ def fused_decode_attention_q(
     h = q.shape[1]
     g = h // kh
     qg = q.reshape(b, kh, g, hd)
-    interp = jax.default_backend() != "tpu"
+    interp = interpret_mode()
     rowblk = _ROWBLK_I8
 
     layer1 = jnp.asarray(layer, jnp.int32).reshape(1)
@@ -625,7 +626,7 @@ def fused_prefill_attention(
     l, b, kh, s, hd = cache_k.shape
     _, t, h, _ = q.shape
     g = h // kh
-    interp = jax.default_backend() != "tpu"
+    interp = interpret_mode()
 
     tq = min(t, 128)
     assert t % tq == 0, (t, tq)
@@ -717,7 +718,7 @@ def fused_decode_attention(
     h = q.shape[1]
     g = h // kh
     qg = q.reshape(b, kh, g, hd)
-    interp = jax.default_backend() != "tpu"
+    interp = interpret_mode()
 
     layer1 = jnp.asarray(layer, jnp.int32).reshape(1)
     kv_pos = jnp.asarray(kv_pos, jnp.int32)

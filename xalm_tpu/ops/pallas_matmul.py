@@ -27,6 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from xalm_tpu.ops.lowering import interpret_mode
 from jax.experimental.pallas import tpu as pltpu
 
 from xalm_tpu.models.params import Q8_FIXED_SCALE, QWeight
@@ -312,7 +313,7 @@ def pallas_qmatmul_stacked(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         # interpreter on non-TPU backends so the kernel is testable on the
         # CPU mesh (SURVEY.md §4: jit-vs-interpret pallas kernel checks)
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret_mode(),
     )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     if sx is not None:
         out = out * sx  # per-row activation scale (fused into the next op)
@@ -412,7 +413,7 @@ def pallas_qmatmul_stacked_multi(
             flops=2 * ke * m * n * d, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=jax.default_backend() != "tpu",
+        interpret=interpret_mode(),
     )(jnp.asarray(idxs, jnp.int32), *operands)
     out = out.reshape(ke * m, d)
     if sx is not None:

@@ -110,8 +110,10 @@ class ShardedEngine(Engine):
         compute_dtype="auto",
         matmul_impl: str = "auto",
         a8_prefill: bool = False,
+        abstract: bool = False,
     ):
         self.mesh = mesh
+        self.abstract = abstract
         tp = mesh.shape[AXIS_TP]
         validate_tp(cfg, tp)
 
@@ -121,12 +123,29 @@ class ShardedEngine(Engine):
         pspecs = _pspecs_like(params, cfg)
         from xalm_tpu.parallel.multihost import make_global
 
-        params = jax.tree.map(
-            lambda x, s: None if x is None else make_global(mesh, s, x),
-            params,
-            pspecs,
-            is_leaf=lambda x: x is None,
-        )
+        if abstract:
+            # AOT mode (parallel/aot.py): params become ShapeDtypeStructs
+            # sharded over a (possibly topology-only) mesh — nothing is
+            # materialized, so _fwd can be lower()ed and compile()d against
+            # a TPU topology with zero real chips. step()/generate() will
+            # fail by construction; this engine is for compilation only.
+            params = jax.tree.map(
+                lambda x, s: None
+                if x is None
+                else jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=NamedSharding(mesh, s)
+                ),
+                params,
+                pspecs,
+                is_leaf=lambda x: x is None,
+            )
+        else:
+            params = jax.tree.map(
+                lambda x, s: None if x is None else make_global(mesh, s, x),
+                params,
+                pspecs,
+                is_leaf=lambda x: x is None,
+            )
 
         self.cfg = cfg
         self.params = params
@@ -426,6 +445,19 @@ class ShardedEngine(Engine):
         batch = -(-batch // dp) * dp
         quantized = jnp.dtype(self.kv_dtype) == jnp.dtype(jnp.int8)
         cspecs = cache_pspecs(self.cfg, quantized)
+        if self.abstract:
+            # AOT mode: an aval-only cache carrying the real shardings
+            host = jax.eval_shape(lambda: KVCache.init(self.cfg, batch, self.kv_dtype))
+            return jax.tree.map(
+                lambda a, s: None
+                if a is None
+                else jax.ShapeDtypeStruct(
+                    a.shape, a.dtype, sharding=NamedSharding(self.mesh, s)
+                ),
+                host,
+                cspecs,
+                is_leaf=lambda x: x is None,
+            )
         shardings = jax.tree.map(
             lambda s: None if s is None else NamedSharding(self.mesh, s),
             cspecs,
