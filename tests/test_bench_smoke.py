@@ -32,6 +32,15 @@ def test_bench_mini_decode(monkeypatch, capsys):
     assert rec["vs_baseline"] == pytest.approx(rec["value"] / 63.8, rel=1e-3)
 
 
+def test_bench_long_generation_leg(monkeypatch, capsys):
+    """--long N: a true chunked multi-scan generation (reference
+    README.md:14's ~4800-token row), averaged over every dispatch."""
+    rec = _run_bench(monkeypatch, capsys, ["--mini", "--steps", "4", "--long", "8"])
+    assert rec["metric"] == "mistral7b_i8_decode_tok_s_long8"
+    assert rec["value"] > 0
+    assert rec["vs_baseline"] == pytest.approx(rec["value"] / 58.7, rel=1e-3)
+
+
 def test_bench_megakernel_fallback(monkeypatch, capsys):
     """An exception in the first decode_scan (how a Mosaic lowering failure
     of the fused megakernel surfaces) must fall back to fused_step=False and

@@ -501,3 +501,30 @@ def test_fused_a8_decode_close(tiny_i8):
     want, _ = base.generate(prompt, 6, stop_on_eos=False)
     got, _ = a8.generate(prompt, 6, stop_on_eos=False)
     assert got[:3] == want[:3]
+
+
+def test_auto_routing_measured_table(tiny_i8):
+    """fused_step='auto' (the default) routes by the silicon-measured table
+    (ops/fused_decode.measured_fused_preferred, docs/PERF.md variant
+    matrix): megakernel everywhere EXCEPT batch >= 8 with an int8 cache,
+    and decode_path reports the same resolution the forward uses."""
+    auto = Engine.from_xalm(tiny_i8, matmul_impl="pallas", kv_dtype=jnp.int8,
+                            progress=False)
+    assert auto.fused_step == "auto"
+    assert auto.decode_path(1) == "megakernel"
+    assert auto.decode_path(8) == "perlayer"
+    # float cache: megakernel at every batch the kernel supports
+    autof = Engine.from_xalm(tiny_i8, matmul_impl="pallas",
+                             kv_dtype=jnp.float32, progress=False)
+    assert autof.decode_path(8) == "megakernel"
+
+    # numeric equivalence across the switch: auto(b=8, i8 kv) must match the
+    # forced-megakernel engine on the same tokens
+    forced = Engine.from_xalm(tiny_i8, matmul_impl="pallas", kv_dtype=jnp.int8,
+                              progress=False, fused_step=True)
+    b, steps = 8, 6
+    tok0 = np.arange(3, 3 + b, dtype=np.int32)
+    pos0 = np.zeros((b,), np.int32)
+    out_a, _ = auto.decode_scan(tok0, pos0, auto.new_cache(b), steps)
+    out_f, _ = forced.decode_scan(tok0, pos0, forced.new_cache(b), steps)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_f))

@@ -35,13 +35,8 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-CONFIG = {
+_BASE_CONFIG = {
     "architectures": ["MistralForCausalLM"],
-    "hidden_size": 512,
-    "intermediate_size": 2048,
-    "num_hidden_layers": 8,
-    "num_attention_heads": 8,
-    "num_key_value_heads": 4,
     "head_dim": 64,
     "vocab_size": 8192,
     "max_position_embeddings": 512,
@@ -54,6 +49,30 @@ CONFIG = {
     "eos_token_id": 2,
     "torch_dtype": "float32",
     "model_type": "mistral",
+}
+
+# Three trained-model presets (all share the tokenizer/corpus pipeline):
+#   mini  — the original ~40M quality-gate model (round 3/4 RESULTS.md)
+#   base  — wider gate: hidden 1024 makes K/2 = 512, so q4 GROUP-512
+#           quality is finally *measurable* (VERDICT r4 item 1a); ~89M
+#   draft — ~12M draft for two-model speculative decoding; MUST be trained
+#           with --tokenizer <base>/tokenizer.json so vocab ids match
+PRESETS = {
+    "mini": {
+        "hidden_size": 512, "intermediate_size": 2048,
+        "num_hidden_layers": 8, "num_attention_heads": 8,
+        "num_key_value_heads": 4,
+    },
+    "base": {
+        "hidden_size": 1024, "intermediate_size": 3072,
+        "num_hidden_layers": 6, "num_attention_heads": 16,
+        "num_key_value_heads": 4,
+    },
+    "draft": {
+        "hidden_size": 256, "intermediate_size": 1024,
+        "num_hidden_layers": 4, "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+    },
 }
 
 SEQ = 512
@@ -342,13 +361,24 @@ def export_hf(params, cfg: dict, dest: Path) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/root/repo/models/xalm-mini")
+    ap.add_argument("--preset", default="mini", choices=sorted(PRESETS))
+    ap.add_argument("--out", default=None,
+                    help="export dir (default /root/repo/models/xalm-<preset>)")
+    ap.add_argument("--tokenizer", default=None,
+                    help="reuse an existing tokenizer.json (REQUIRED for the "
+                    "draft preset: spec decoding needs target-identical vocab)")
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--lr", type=float, default=6e-4)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
-    dest = Path(args.out)
+    CONFIG = dict(_BASE_CONFIG, **PRESETS[args.preset])
+    dest = Path(args.out or f"/root/repo/models/xalm-{args.preset}")
     dest.mkdir(parents=True, exist_ok=True)
+    if args.tokenizer:
+        import shutil
+
+        if not (dest / "tokenizer.json").exists():
+            shutil.copy(args.tokenizer, dest / "tokenizer.json")
 
     import jax
     import jax.numpy as jnp

@@ -410,7 +410,7 @@ def forward(
     a8_decode: bool = False,
     tp_axis: str | None = None,
     pp_axis: str | None = None,
-    fused_step: bool = True,
+    fused_step: bool | str = "auto",
     spec_verify: bool = False,
 ):
     """One jitted step over a (B, T) token block. Returns (logits, cache).
@@ -456,6 +456,12 @@ def forward(
     # stream once per STEP; rows carry their own kv_pos/rotate,
     # valid-masked rows ride the kv_pos == S sentinel set above, and i8
     # caches thread their scale planes through the kernel in-place).
+    if fused_step == "auto":
+        # measured-table routing (VERDICT r4 item 5): shapes are trace-time
+        # static, so this resolves to a constant per compiled program
+        from xalm_tpu.ops.fused_decode import measured_fused_preferred
+
+        fused_step = measured_fused_preferred(b, cache.k_scale is not None)
     if (
         fused_step
         and t == 1

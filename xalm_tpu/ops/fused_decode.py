@@ -979,6 +979,19 @@ def _kernel(
             token_ref[...] = jnp.broadcast_to(ri, (B, 128))
 
 
+def measured_fused_preferred(batch: int, quantized_cache: bool) -> bool:
+    """Measured-on-silicon path preference (docs/PERF.md variant matrix).
+
+    The megakernel wins every configuration except batch >= 8 with an int8
+    KV cache, where the per-layer path ran 714.7 vs 703.0 tok/s (the
+    batched (kh, nsb) quantized-attention grid tiles better outside the
+    megakernel's single-core DMA schedule). Engines built with
+    ``fused_step="auto"`` (the default) route by this table; the shape is
+    trace-time static so the choice costs nothing at runtime.
+    """
+    return not (batch >= 8 and quantized_cache)
+
+
 def fused_step_supported(
     cfg, params, cache_k, batch: int, t: int, k_scale=None, a8: bool = False
 ) -> bool:

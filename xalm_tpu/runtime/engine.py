@@ -89,7 +89,7 @@ class Engine:
         matmul_impl: str = "auto",
         a8_prefill: bool = False,
         a8_decode: bool = False,
-        fused_step: bool = True,
+        fused_step: bool | str = "auto",
         wcls_i8: bool = False,
     ):
         if wcls_i8:
@@ -251,15 +251,18 @@ class Engine:
                 # must reach its first sampled token with the key state its
                 # seed implies, independent of co-batched ticks
                 keys = newk if valid is None else jnp.where(valid[:, None], newk, keys)
-                nxt = sample_rows(logits, subs, temps, top_ps)
                 if not want_lp:
                     # no logprobs requested anywhere in the batch: skip the
-                    # vocab-wide log_softmax/top_k and the extra outputs
+                    # logprob gathers and the extra outputs
+                    nxt = sample_rows(logits, subs, temps, top_ps)
                     return (nxt, p + 1, c, keys), nxt
-                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-                lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
-                topv, topi = jax.lax.top_k(logp, 5)
-                return (nxt, p + 1, c, keys), (nxt, lp, topv, topi.astype(jnp.int32))
+                # fused epilogue: the sampler's shared top-K extraction
+                # yields the raw top-5 + chosen-token logprobs directly —
+                # no separate vocab-wide log_softmax/top_k per step
+                nxt, lp, topv, topi = sample_rows(
+                    logits, subs, temps, top_ps, return_logprobs=True
+                )
+                return (nxt, p + 1, c, keys), (nxt, lp, topv, topi)
 
             (tok, p, cache, keys), outs = jax.lax.scan(
                 step, (token0, pos0, cache, keys0), None, length=n_steps
@@ -352,7 +355,7 @@ class Engine:
         a8_prefill: bool = False,
         a8_decode: bool = False,
         q4_group: int = 0,
-        fused_step: bool = True,
+        fused_step: bool | str = "auto",
         wcls_i8: bool = False,
         progress: bool = True,
     ) -> "Engine":
@@ -414,7 +417,13 @@ class Engine:
         quant = jnp.dtype(self.kv_dtype) == jnp.dtype(jnp.int8)
         k = jax.ShapeDtypeStruct(shape, self.kv_dtype)
         ks = jax.ShapeDtypeStruct(shape[:-1], jnp.float32) if quant else None
-        if self.fused_step and fused_step_supported(
+        if self.fused_step == "auto":
+            from xalm_tpu.ops.fused_decode import measured_fused_preferred
+
+            fused_req = measured_fused_preferred(batch, quant)
+        else:
+            fused_req = bool(self.fused_step)
+        if fused_req and fused_step_supported(
             self.cfg, self.params, k, batch, 1, ks, a8=self.a8_decode
         ):
             return "megakernel"

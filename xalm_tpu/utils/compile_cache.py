@@ -19,6 +19,24 @@ import os
 
 _DEFAULT_DIR = "/root/.cache/xalm_jax_cache"
 _enabled = False
+_stats = {"hits": 0, "misses": 0, "requests": 0}
+
+
+def _cache_event_listener(event: str, **kw) -> None:
+    if event.endswith("/cache_hits"):
+        _stats["hits"] += 1
+    elif event.endswith("/cache_misses"):
+        _stats["misses"] += 1
+    elif event.endswith("/compile_requests_use_cache"):
+        _stats["requests"] += 1
+
+
+def cache_stats() -> dict:
+    """Persistent-cache hit/miss counters for this process (bench.py prints
+    them so every recorded number states which compile regime it ran in —
+    VERDICT r4 item 2: a 482 s driver warmup vs a 17 s documented one was
+    unattributable without this)."""
+    return dict(_stats)
 
 
 def enable_compile_cache(path: str | None = None) -> str | None:
@@ -37,5 +55,11 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     # round-trip, not local codegen, is the cost being avoided
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        from jax._src import monitoring
+
+        monitoring.register_event_listener(_cache_event_listener)
+    except Exception:  # noqa: BLE001 — stats are best-effort diagnostics
+        pass
     _enabled = True
     return cache_dir
