@@ -96,8 +96,8 @@ def main() -> int:
         "# RESULTS — quality gate on the locally-trained real checkpoint",
         "",
         "Zero-egress environment: no public checkpoint is fetchable, so the",
-        "gate runs on `models/xalm-mini` — a 39.9M-param Mistral-architecture",
-        "model trained on ~100 MB of locally installed Python/Markdown source",
+        f"gate runs on `{args.model}` — a Mistral-architecture model",
+        "trained on ~100 MB of locally installed Python/Markdown source",
         "(tools/train_tiny_lm.py), exported as a standard HF checkpoint and",
         "pushed through the exact converter -> container -> engine pipeline a",
         "downloaded model would use.",
@@ -213,8 +213,14 @@ def main() -> int:
     from xalm_tpu.models.params import recode_params_q4
 
     q4_lines = []
-    for grp in (128, 256):
-        pq4 = recode_params_q4(eng_mk.params, group=grp)
+    for grp in (128, 256, 512):
+        try:
+            pq4 = recode_params_q4(eng_mk.params, group=grp)
+        except ValueError as e:
+            # K/2 of some body matmul isn't a grp-multiple on this model
+            q4_lines.append(f"- q4 group {grp}: not measurable here ({e})")
+            print(f"q4 g{grp}: not measurable ({e})", flush=True)
+            continue
         eng_q4 = Engine(
             eng_mk.cfg, pq4, eng_mk.tokenizer, matmul_impl="pallas",
             kv_dtype=_jnp.float32, wcls_i8=True, a8_decode=True,
@@ -236,9 +242,10 @@ def main() -> int:
         "",
         *q4_lines,
         "",
-        "(This 40M model's contraction dims cap the coarsest measurable",
-        "group at 256 — K/2 = 256 for its attention weights. At 7B the",
-        "defaults are group 128 for quality, 512 for peak stream rate.)",
+        "(A group is measurable only when it divides K/2 of every body",
+        "matmul: the 40M mini caps at 256, the 1024-wide base model",
+        "measures 512 — the 7B peak-stream-rate default. Quality default",
+        "stays group 128.)",
         "",
     ]
 

@@ -44,11 +44,14 @@ run_step 2 mk_probe_l4 1800 python bench.py --layers 4 --steps 32 --warmup 4
 run_step 3 bench_headline 3600 python bench.py
 run_step 4 bench_fallback 3600 env XALM_NO_MEGAKERNEL=1 python bench.py
 
-run_step 5 train 3600 python tools/train_tiny_lm.py
-run_step 6 eval 3600 python tools/eval_real_model.py
-run_step 6 spec_probe 3600 python tools/spec_probe.py --json /tmp/hw_campaign/spec_probe.json
-run_step 6 spec_wrap 3600 python tools/spec_probe.py --context 128 --json /tmp/hw_campaign/spec_wrap.json
-run_step 6 spec_draft 3600 python tools/spec_probe.py --draft --json /tmp/hw_campaign/spec_draft.json
+run_step 5 train 7200 python tools/train_tiny_lm.py --preset base
+run_step 5 train_draft 3600 python tools/train_tiny_lm.py --preset draft \
+  --tokenizer models/xalm-base/tokenizer.json
+run_step 6 eval 5400 python tools/eval_real_model.py --model models/xalm-base
+run_step 6 spec_probe 3600 python tools/spec_probe.py --model models/xalm-base --json /tmp/hw_campaign/spec_probe.json
+run_step 6 spec_wrap 3600 python tools/spec_probe.py --model models/xalm-base --context 128 --json /tmp/hw_campaign/spec_wrap.json
+run_step 6 spec_draft 3600 python tools/spec_probe.py --model models/xalm-base \
+  --draft-model models/xalm-draft --json /tmp/hw_campaign/spec_draft.json
 run_step 7 check_tpu 5400 python tools/check_tpu.py
 run_step 8 serve 3600 python tools/serve_bench.py
 run_step 8 serve_mixed 3600 python tools/serve_bench.py --sampled-frac 0.5 --logprobs-frac 0.25
@@ -68,4 +71,7 @@ run_step 15 bench_moe 3600 python bench.py --moe
 run_step 15 bench_moe_dense 3600 env XALM_NO_MOE_GATHER=1 python bench.py --moe
 run_step 15 bench_moe_q4 3600 python bench.py --moe --dtype q4
 run_step 15 bench_q4_perlayer 3600 env XALM_NO_MEGAKERNEL=1 python bench.py --dtype q4
+run_step 16 bench_long 7200 python bench.py --long
+run_step 16 bench_long_q4 7200 python bench.py --dtype q4 --long
+run_step 17 aot_v5e 1800 python tools/aot_compile.py --topology v5e:2x4 --tp 4 --preset 7b --kv i8 --matmul pallas
 echo "=== campaign done $(date -u) ==="

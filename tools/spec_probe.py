@@ -42,6 +42,10 @@ def main() -> int:
     ap.add_argument("--draft", action="store_true",
                     help="draft-model mode: the model drafts for itself via "
                     "a second engine (two-model speculation plumbing)")
+    ap.add_argument("--draft-model", default=None, metavar="DIR",
+                    help="HF dir of a REAL smaller draft (e.g. "
+                    "models/xalm-draft, trained with the target's tokenizer):"
+                    " genuine two-model speculation with acceptance < 100%%")
     ap.add_argument("--context", type=int, default=0,
                     help="override the window (e.g. 128 with ctx 192: the "
                     "ring wraps, exercising wrap-safe verify-then-commit)")
@@ -61,13 +65,23 @@ def main() -> int:
     model_dir = str(Path(args.model).resolve())
     work = Path(args.work)
     work.mkdir(parents=True, exist_ok=True)
-    xalm = work / "mini_i8.xalm"
+    xalm = work / (Path(model_dir).name + "_i8.xalm")
     if not xalm.exists():
         rc = cvt.main(["--input", model_dir, "--output", str(xalm), "--type", "i8"])
         assert rc == 0
     eng = Engine.from_xalm(str(xalm), context=args.context)
     draft_eng = None
-    if args.draft:
+    if args.draft_model:
+        # genuine two-model speculation: a real, smaller checkpoint drafts
+        # (must share the target's tokenizer — tools/train_tiny_lm.py
+        # --preset draft --tokenizer <target>/tokenizer.json)
+        ddir = str(Path(args.draft_model).resolve())
+        dxalm = work / (Path(ddir).name + "_i8.xalm")
+        if not dxalm.exists():
+            rc = cvt.main(["--input", ddir, "--output", str(dxalm), "--type", "i8"])
+            assert rc == 0
+        draft_eng = Engine.from_xalm(str(dxalm), context=args.context)
+    elif args.draft:
         # second engine over the SAME params: separate cache/jit, no extra
         # weight memory — the self-draft plumbing check
         eng2 = Engine(eng.cfg, eng.params, eng.tokenizer)
@@ -123,7 +137,8 @@ def main() -> int:
         "spec_s": round(t_spec, 2),
         "plain_s": round(t_plain, 2),
         "backend": jax.default_backend(),
-        "mode": "draft-model" if args.draft else "ngram",
+        "mode": ("real-draft:" + Path(args.draft_model).name) if args.draft_model
+        else ("draft-model" if args.draft else "ngram"),
         "context": args.context,
     }
     print(
