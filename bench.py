@@ -143,10 +143,14 @@ def main() -> int:
     ap.add_argument("--a8", action="store_true",
                     help="W8A8 prefill: per-token int8 activations (s8xs8 "
                     "MXU at 2x bf16 rate; quality-gated, see RESULTS.md)")
-    ap.add_argument("--a8-decode", action="store_true",
+    ap.add_argument("--a8-decode", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="W8A8 decode: per-row int8 activations through "
                     "every megakernel dot (s8xs8 MXU, no per-tile weight "
-                    "convert; quality-gated like --a8)")
+                    "convert). DEFAULT ON for i8/q4 — the fastest "
+                    "quality-PASSING 8-bit config (RESULTS.md W8A8 row, "
+                    "delta-ppl within noise); --no-a8-decode reverts to "
+                    "bf16 activations")
     ap.add_argument("--wcls", default="i8", choices=["keep", "i8"],
                     help="i8 (default): recode the bf16 classifier head to "
                     "i8 per-row at load — halves its 262 MB decode stream, "
@@ -172,7 +176,14 @@ def main() -> int:
         "f16": jnp.float16,
         "q4": jnp.int8,  # synthesized i8, recoded to packed 4-bit below
     }[args.dtype]
-    if args.dtype == "q4" and not args.a8_decode:
+    if args.a8_decode is None:
+        # default: the fastest quality-passing 8-bit decode config
+        # (RESULTS.md W8A8 row) for i8; q4 requires it (s8xs8 dots only)
+        args.a8_decode = args.dtype in ("i8", "q4")
+        if args.a8_decode:
+            log(f"{args.dtype}: W8A8 decode ON by default (quality-gated, "
+                "RESULTS.md; --no-a8-decode for bf16 activations)")
+    elif args.dtype == "q4" and not args.a8_decode:
         args.a8_decode = True  # the q4 megakernel runs s8xs8 dots only
         log("q4 implies --a8-decode (the packed body feeds s8xs8 MXU dots)")
 

@@ -57,7 +57,7 @@ run_step 8 serve 3600 python tools/serve_bench.py
 run_step 8 serve_mixed 3600 python tools/serve_bench.py --sampled-frac 0.5 --logprobs-frac 0.25
 run_step 8 serve_prefix 3600 python tools/serve_bench.py --shared-prefix 256
 
-run_step 9 bench_a8_decode 3600 python bench.py --a8-decode
+run_step 9 bench_bf16act 3600 python bench.py --no-a8-decode
 run_step 9 bench_q4 3600 python bench.py --dtype q4
 run_step 9 bench_q4_g128 3600 python bench.py --dtype q4 --q4-group 128
 run_step 9 bench_kv_i8 3600 python bench.py --kv i8
