@@ -76,6 +76,10 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=96)
     ap.add_argument("--kv", default="bf16", choices=["bf16", "i8"])
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="i8", choices=["i8", "q4"],
+                    help="q4: packed-4-bit body (implies a8 decode), for "
+                    "sweeping the q4 megakernel's exposure map")
+    ap.add_argument("--q4-group", type=int, default=512)
     args = ap.parse_args()
 
     from xalm_tpu.runtime.engine import Engine
@@ -87,7 +91,10 @@ def main() -> int:
     dev = jax.devices()[0]
     log(f"device: {dev} | backend: {jax.default_backend()}")
     t0 = time.time()
-    params = recode_wcls_i8(synthetic_params(cfg, weight_dtype=jnp.int8))
+    params = recode_wcls_i8(synthetic_params(
+        cfg, weight_dtype=jnp.int8,
+        q4_group=args.q4_group if args.dtype == "q4" else 0,
+    ))
     jax.block_until_ready(jax.tree.leaves(params))
     log(f"params resident: {params.nbytes() / 1e9:.2f} GB "
         f"(built in {time.time() - t0:.1f}s)")
@@ -107,7 +114,8 @@ def main() -> int:
         log(f"--- variant {spec!r}: TA={ta} TB={tb} NBUF={nbuf} "
             f"probe={probe!r} fused={fused} bpipe={bpipe}")
         try:
-            eng = Engine(cfg, params, None, kv_dtype=kv_dt, fused_step=fused)
+            eng = Engine(cfg, params, None, kv_dtype=kv_dt, fused_step=fused,
+                         a8_decode=args.dtype == "q4")
             cache = eng.new_cache(b)
             prompt = np.tile(np.arange(1, 17, dtype=np.int32)[None], (b, 1))
             logits, cache = eng.step(

@@ -393,9 +393,27 @@ def _kernel(
         npg = Kh // q4
 
         def dot(tile_packed, out_sl):
-            w = tile_packed.astype(jnp.int32)
-            hi = (w >> 4).astype(jnp.int8)
-            lo = ((w << 28) >> 28).astype(jnp.int8)
+            if "nounpack" in PR:
+                # probe (correctness-breaking): skip the i32 shift unpack —
+                # isolates the nibble-extraction VPU cost
+                hi = lo = tile_packed
+            else:
+                w = tile_packed.astype(jnp.int32)
+                hi = (w >> 4).astype(jnp.int8)
+                lo = ((w << 28) >> 28).astype(jnp.int8)
+            if "nogroup" in PR:
+                # probe: ONE dot per half with a single scale — isolates the
+                # per-group dot/scale/accumulate chain cost
+                acc = None
+                for h, wh in ((0, lo), (1, hi)):
+                    d = jax.lax.dot_general(
+                        xq[:, h * Kh : (h + 1) * Kh], wh,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * s4[h * npg][:, out_sl]
+                    acc = d if acc is None else acc + d
+                return acc * xs
+            noscale = "noscale" in PR  # probe: drop per-group f32 rescale
             acc = None
             for h, wh in ((0, lo), (1, hi)):
                 for gi in range(npg):
@@ -404,7 +422,9 @@ def _kernel(
                         wh[:, gi * q4 : (gi + 1) * q4],
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
-                    ).astype(jnp.float32) * s4[h * npg + gi][:, out_sl]
+                    ).astype(jnp.float32)
+                    if not noscale:
+                        d = d * s4[h * npg + gi][:, out_sl]
                     acc = d if acc is None else acc + d
             return acc * xs
 
