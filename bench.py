@@ -103,12 +103,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=96, help="decode steps to time")
     ap.add_argument("--warmup", type=int, default=16)
-    ap.add_argument("--dtype", default="i8",
-                    choices=["f8_e4m3", "f8_e5m2", "i8", "bf16", "f16", "q4"])
+    ap.add_argument("--dtype", default="q4",
+                    choices=["f8_e4m3", "f8_e5m2", "i8", "bf16", "f16", "q4"],
+                    help="container weight format. DEFAULT q4: the packed-"
+                    "4-bit body is the shipped decode configuration — at "
+                    "its headline group (512) the quality gate measures "
+                    "delta-ppl +0.023 (~0.1 stderr, RESULTS.md q4 section "
+                    "on the 1024-wide gate model); i8 remains the 8-bit "
+                    "reference config")
     ap.add_argument("--q4-group", type=int, default=512,
                     help="q4: weights per scale group along the contraction "
                     "(128-multiple; smaller = better quality, more scale "
-                    "bytes). Body-only — the head stays i8 (quality-gated)")
+                    "bytes). Body-only — the head stays i8 (quality-gated). "
+                    "Both 128 and 512 hold delta-ppl within noise on the "
+                    "gate model (RESULTS.md)")
     ap.add_argument("--layers", type=int, default=0, help="override n_layers (debug)")
     ap.add_argument("--moe", action="store_true",
                     help="sparse-MoE decode: Mixtral-8x7B geometry (8 experts, "
@@ -212,6 +220,17 @@ def main() -> int:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, n_layers=args.layers)
+
+    if args.dtype == "q4":
+        # group must divide K/2 of every body matmul (debug shapes: --mini
+        # dims cap it at 128; the 7B default 512 passes untouched)
+        ks = (cfg.dim, cfg.q_dim, cfg.hidden_dim)
+        g = args.q4_group
+        while g > 128 and any((k // 2) % g for k in ks):
+            g //= 2
+        if g != args.q4_group:
+            log(f"q4 group clamped {args.q4_group} -> {g} for these dims")
+            args.q4_group = g
 
     dev = _probe_devices()[0]
     log(f"device: {dev} | backend: {jax.default_backend()}")

@@ -25,8 +25,10 @@ def _run_bench(monkeypatch, capsys, argv):
 
 
 def test_bench_mini_decode(monkeypatch, capsys):
+    # DEFAULT run: the shipped q4 configuration (group auto-clamps to the
+    # mini dims), parsed by the driver as the headline metric
     rec = _run_bench(monkeypatch, capsys, ["--mini", "--steps", "4"])
-    assert rec["metric"] == "mistral7b_i8_decode_tok_s_per_chip"
+    assert rec["metric"] == "mistral7b_q4_decode_tok_s_per_chip"
     assert rec["unit"] == "tok/s"
     assert rec["value"] > 0
     assert rec["vs_baseline"] == pytest.approx(rec["value"] / 63.8, rel=1e-3)
@@ -35,7 +37,10 @@ def test_bench_mini_decode(monkeypatch, capsys):
 def test_bench_long_generation_leg(monkeypatch, capsys):
     """--long N: a true chunked multi-scan generation (reference
     README.md:14's ~4800-token row), averaged over every dispatch."""
-    rec = _run_bench(monkeypatch, capsys, ["--mini", "--steps", "4", "--long", "8"])
+    rec = _run_bench(
+        monkeypatch, capsys,
+        ["--mini", "--steps", "4", "--long", "8", "--dtype", "i8"],
+    )
     assert rec["metric"] == "mistral7b_i8_decode_tok_s_long8"
     assert rec["value"] > 0
     assert rec["vs_baseline"] == pytest.approx(rec["value"] / 58.7, rel=1e-3)

