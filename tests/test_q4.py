@@ -311,3 +311,25 @@ def test_q4_moe_gathered_matches_dense():
     want, _ = dense.generate(prompt, 6, stop_on_eos=False)
     got, _ = sparse.generate(prompt, 6, stop_on_eos=False)
     assert got[:3] == want[:3]
+
+
+def test_q4_unpack_modes_agree(monkeypatch):
+    """The bf16 floor-algebra unpack (default) and the i32 shift pipeline
+    must produce IDENTICAL nibbles for every possible packed byte — both
+    sides are exact integer arithmetic in their respective domains."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    b = jnp.arange(-128, 128, dtype=jnp.int32).astype(jnp.int8)
+    # i32 reference
+    w = b.astype(jnp.int32)
+    hi_ref = np.asarray((w >> 4).astype(jnp.int8))
+    lo_ref = np.asarray(((w << 28) >> 28).astype(jnp.int8))
+    # bf16 floor algebra
+    wf = b.astype(jnp.bfloat16)
+    hi_f = jnp.floor(wf * (1.0 / 16.0))
+    u = wf - hi_f * 16.0
+    lo_f = jnp.where(u >= 8.0, u - 16.0, u)
+    np.testing.assert_array_equal(np.asarray(hi_f.astype(jnp.int8)), hi_ref)
+    np.testing.assert_array_equal(np.asarray(lo_f.astype(jnp.int8)), lo_ref)

@@ -111,7 +111,19 @@ def main() -> int:
         t_spec += time.perf_counter() - t0
         if out != ref:
             mismatches += 1
-            print(f"  prompt {i}: OUTPUT MISMATCH (numerics tie?)", flush=True)
+            d = next(j for j, (a, b) in enumerate(zip(out, ref)) if a != b)
+            # tie diagnostic: compare the two candidates' logits at the
+            # divergence under the plain stepped forward
+            cache = eng.new_cache(1)
+            ctx = prompt + ref[:d]
+            logits, cache, _ = eng.prefill(ctx, cache, logits_mode="last")
+            lg = np.asarray(logits, np.float32)[0]
+            print(
+                f"  prompt {i}: MISMATCH at gen pos {d}: spec={out[d]} "
+                f"ref={ref[d]} | stepped logits: spec {lg[out[d]]:.6f} vs "
+                f"ref {lg[ref[d]]:.6f} (delta {lg[out[d]] - lg[ref[d]]:+.2e})",
+                flush=True,
+            )
         n_verify = st.spec_proposed // args.k
         # fallback segments emitted the tokens speculation didn't
         n_fallback = -(-max(len(out) - (st.spec_accepted + n_verify), 0) // segment)

@@ -392,12 +392,29 @@ def _kernel(
         Kh = K // 2
         npg = Kh // q4
 
+        unpack_bf16 = os.environ.get("XALM_MK_Q4UNPACK", "bf16") == "bf16"
+
         def dot(tile_packed, out_sl):
             if "nounpack" in PR:
-                # probe (correctness-breaking): skip the i32 shift unpack —
-                # isolates the nibble-extraction VPU cost
+                # probe (correctness-breaking): skip the nibble unpack —
+                # isolates its VPU cost
                 hi = lo = tile_packed
-            else:
+            elif unpack_bf16:
+                # bf16 floor-algebra unpack: every packed-byte value and
+                # every intermediate (w/16 needs <= 7 significand bits) is
+                # exactly representable in bf16, and bf16 vectors run
+                # PACKED (2 elems/lane) on the VPU where the i32 shift
+                # pipeline runs 1/lane (A/B via XALM_MK_Q4UNPACK=i32).
+                # hi = floor(w/16) (arithmetic-shift
+                # semantics incl. negatives); u = w - 16*hi in [0, 15];
+                # the signed low nibble needs the [u >= 8] wrap fixup.
+                wf = tile_packed.astype(jnp.bfloat16)
+                hi_f = jnp.floor(wf * (1.0 / 16.0))
+                u = wf - hi_f * 16.0
+                lo_f = jnp.where(u >= 8.0, u - 16.0, u)
+                hi = hi_f.astype(jnp.int8)
+                lo = lo_f.astype(jnp.int8)
+            else:  # XALM_MK_Q4UNPACK=i32 — the r4 shift pipeline
                 w = tile_packed.astype(jnp.int32)
                 hi = (w >> 4).astype(jnp.int8)
                 lo = ((w << 28) >> 28).astype(jnp.int8)
