@@ -392,7 +392,11 @@ def _kernel(
         Kh = K // 2
         npg = Kh // q4
 
-        unpack_bf16 = os.environ.get("XALM_MK_Q4UNPACK", "bf16") == "bf16"
+        # default i32: the bf16 floor-algebra variant is numerically exact
+        # (tests) but currently fails Mosaic lowering on this toolchain
+        # (remote-compile HTTP 500, /tmp/sweep_q4_bf16.log) — opt in to
+        # re-probe on newer Mosaic
+        unpack_bf16 = os.environ.get("XALM_MK_Q4UNPACK", "i32") == "bf16"
 
         def dot(tile_packed, out_sl):
             if "nounpack" in PR:
