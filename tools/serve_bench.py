@@ -48,7 +48,7 @@ def main() -> int:
 
     from xalm_tpu.runtime.engine import Engine
     from xalm_tpu.serve.batching import ContinuousBatcher, Request
-    from xalm_tpu.utils.compile_cache import enable_compile_cache
+    from xalm_tpu.utils.compile_cache import cache_stats, enable_compile_cache
     from xalm_tpu.utils.synthetic import MISTRAL_7B, synthetic_params
 
     enable_compile_cache()
@@ -76,14 +76,16 @@ def main() -> int:
             logprobs=3 if rng.random() < args.logprobs_frac else 0,
         ))
 
-    # warm every compiled shape the run will hit (prefill buckets 16/32/64
-    # in both logits modes + the decode segment) — compile time would
-    # otherwise land inside the timed run
-    t0 = time.time()
-    for plen in (10, 30, 60, 70):
-        batcher.submit(Request(prompt_ids=[5] * plen, max_new_tokens=2, stop_on_eos=False))
-        batcher.run()
-    print(f"warmup/compile: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+    # warm every program the run can hit — prefill buckets, probe, greedy
+    # scan, sampled scans ± logprobs, first-token draw — BEFORE the timed
+    # window. The old warmup submitted tiny GREEDY requests only, so
+    # sampled/logprob programs loaded lazily inside live ticks (~45 s
+    # spread across TTFT at 7B on this remote-attach link).
+    wu = batcher.warmup(
+        sampled=args.sampled_frac > 0,
+        logprobs=args.logprobs_frac > 0,
+    )
+    print(f"warmup/compile (batcher.warmup): {wu:.1f}s", file=sys.stderr, flush=True)
     batcher.completed.clear()
     batcher.decoded_tokens = 0
     batcher.decode_steps = 0
@@ -124,6 +126,9 @@ def main() -> int:
             }
         )
     )
+    st = cache_stats()
+    print(f"compile cache: {st['hits']} hits / {st['misses']} misses "
+          f"of {st['requests']} cacheable compiles", file=sys.stderr, flush=True)
     return 0
 
 

@@ -120,12 +120,20 @@ class ContinuousBatcher:
         self._next_tok = np.zeros(max_batch, np.int32)  # token to feed next
         # prefill frontier per slot; -1 = slot is decoding (or free)
         self._prefill_pos = np.full(max_batch, -1, np.int32)
-        # per-slot sampling state (temperature 0 rows decode greedily)
+        # per-slot sampling state (temperature 0 rows decode greedily).
+        # DEVICE-RESIDENT across decode ticks: uploading keys/temps/top_ps
+        # and reading keys back every tick cost 4 tunnel round-trips
+        # (~10 ms each) — ~40 % of a segment-8 tick at 7B. The numpy
+        # copies are authoritative only between _samp_sync() (device ->
+        # host, lazy) and the next _samp_upload() (host -> device, only
+        # after host-side mutation at admission / first-token probes).
         self._pend_lp = [None] * max_batch  # pending token's logprob
         self._pend_top = [None] * max_batch  # pending token's top-5 alts
         self._keys = np.zeros((max_batch, 2), np.uint32)
         self._temps = np.zeros(max_batch, np.float32)
         self._top_ps = np.ones(max_batch, np.float32)
+        self._keys_dev = None  # freshest keys live HERE when not None
+        self._samp_dev = None  # (temps_dev, top_ps_dev) cache
         self._waiting: list[Request] = []
         self._next_id = 0
         self.completed: list[Request] = []
@@ -133,6 +141,80 @@ class ContinuousBatcher:
         self.decoded_tokens = 0
         self.prefix_hits = 0
         self.prefix_tokens_saved = 0
+
+    # ------------------------------------------------- sampling-state sync
+    def _samp_np(self) -> np.ndarray:
+        """Host view of the per-slot PRNG keys, syncing from the device
+        copy if that is fresher. Call BEFORE any host-side key mutation;
+        the mutation then invalidates the device copy."""
+        if self._keys_dev is not None:
+            self._keys = np.array(self._keys_dev)
+            self._keys_dev = None
+        return self._keys
+
+    def _samp_dirty(self) -> None:
+        """Host-side temps/top_ps changed (admission/retire): re-upload
+        lazily at the next sampled tick."""
+        self._samp_dev = None
+
+    # ------------------------------------------------------------- warmup
+
+    def warmup(self, sampled: bool = True, logprobs: bool = True) -> float:
+        """Load/compile every program the serving loop can hit, BEFORE
+        traffic. Returns seconds spent.
+
+        On a remote-attach device even persistently-CACHED executables pay
+        a per-program load when first invoked (measured: a mixed sampled
+        workload touches ~74 programs whose lazy loads added ~45 s across
+        the first requests' TTFT at 7B). Every call here is fully
+        valid-masked — no slot state or KV row changes (masked rows hit
+        the kv_pos sentinel, and masked sampling rows do not consume
+        PRNG state).
+        """
+        t0 = time.perf_counter()
+        b = self.max_batch
+        chunk = min(self.prefill_budget, _MAX_CHUNK)
+        # packed prefill chunks at every bucket the scheduler can emit
+        for t in sorted({1, *[x for x in _ENGINE_BUCKETS if x <= chunk]}):
+            _, self.cache = self.engine.step(
+                np.zeros((b, t), np.int32), np.zeros(b, np.int32), self.cache,
+                jnp.asarray(np.zeros((b, t), bool)), logits_mode="none",
+            )
+        # finishing probe (t=1, full logits)
+        probe, self.cache = self.engine.step(
+            np.zeros((b, 1), np.int32), np.zeros(b, np.int32), self.cache,
+            jnp.asarray(np.zeros((b, 1), bool)), logits_mode="last",
+        )
+        np.asarray(probe[:1, :1])
+        mask = np.zeros(b, bool)
+        out, self.cache = self.engine.decode_scan(
+            self._next_tok.copy(), self._pos.copy(), self.cache,
+            self.segment, valid=mask,
+        )
+        np.asarray(out)
+        if sampled and getattr(self.engine, "_sample_scan_rows", None) is not None:
+            keys = jnp.zeros((b, 2), jnp.uint32)
+            temps = jnp.zeros((b,), jnp.float32)
+            tps = jnp.ones((b,), jnp.float32)
+            for lp in (False, True) if logprobs else (False,):
+                outs = self.engine._sample_scan_rows(
+                    self.engine.params, self._next_tok.copy(),
+                    self._pos.copy(), self.cache, keys, temps, tps,
+                    n_steps=self.segment, valid=jnp.asarray(mask), want_lp=lp,
+                )
+                self.cache = outs[-1]
+                np.asarray(outs[0])
+            # the per-finishing first-token draw + logprob surface run as
+            # eager ops (one tiny program each) — touch them too
+            from xalm_tpu.sampler import sample_rows
+
+            np.asarray(sample_rows(
+                probe[:1], keys[:1], jnp.ones((1,), jnp.float32), tps[:1]
+            ))
+            if logprobs:
+                logp = jax.nn.log_softmax(probe[0].astype(jnp.float32))
+                np.asarray(jax.lax.top_k(logp, 5)[0])
+        return time.perf_counter() - t0
 
     # ------------------------------------------------------------- lifecycle
 
@@ -220,11 +302,12 @@ class ContinuousBatcher:
                     self.prefix_tokens_saved += shared
                 self._temps[i] = max(req.temperature, 0.0)
                 self._top_ps[i] = req.top_p
+                self._samp_dirty()
                 if req.temperature > 0:
                     import jax
 
                     seed = req.seed if req.seed is not None else req.id
-                    self._keys[i] = np.asarray(jax.random.PRNGKey(seed))
+                    self._samp_np()[i] = np.asarray(jax.random.PRNGKey(seed))
 
     def _prefill_tick(self, slots: list[int]) -> None:
         """Advance EVERY admitting slot by one budgeted chunk in one packed,
@@ -289,44 +372,64 @@ class ContinuousBatcher:
                 ids_i = self.slots[i].prompt_ids
                 toks2[i, 0] = ids_i[-1]
                 pos2[i] = len(ids_i) - 1
+            import os as _os2
+            _t_pr0 = time.perf_counter()
             probe, self.cache = self.engine.step(
                 toks2, pos2, self.cache,
                 jnp.asarray(np.zeros((b, 1), bool)),
                 logits_mode="last",
             )  # (B, vocab)
-        for i, t in finishing:
-            req = self.slots[i]
-            if req.temperature > 0:
-                # first generated token: draw on device with this slot's key
-                import jax
+            if _os2.environ.get("XALM_SERVE_TRACE"):
+                np.asarray(probe[:1, :1])
+                print(f"[tick] probe step x{len(finishing)} "
+                      f"{1e3*(time.perf_counter()-_t_pr0):.1f}ms", flush=True)
+        if finishing:
+            # ONE batched first-token pass for every finishing slot: the
+            # old per-slot loop dispatched 3-5 tiny device ops per request
+            # (~30-60 ms each through a remote-attach link)
+            from xalm_tpu.sampler import sample_rows
 
-                from xalm_tpu.sampler import sample_rows
-
-                ks = jax.random.split(jnp.asarray(self._keys[i]))
-                draw = sample_rows(
-                    probe[i : i + 1],
-                    ks[0][None],
-                    jnp.full((1,), self._temps[i]),
-                    jnp.full((1,), self._top_ps[i]),
+            rows = [i for i, _ in finishing]
+            any_sampled = any(self.slots[i].temperature > 0 for i in rows)
+            any_lp = any(self.slots[i].logprobs for i in rows)
+            if any_sampled:
+                kall = self._samp_np()
+                both = jax.vmap(lambda k: jax.random.split(k, 2))(
+                    jnp.asarray(kall[rows])
                 )
-                self._keys[i] = np.asarray(ks[1])
-                self._next_tok[i] = int(draw[0])
-            else:
-                # argmax on device: reading the (B, T, vocab) logits back
-                # costs ~65 MB per request at 7B vocab (measured ~seconds
-                # through a remote-device link); the argmax is 4 bytes
-                self._next_tok[i] = int(jnp.argmax(probe[i]))
-            if req.logprobs:
-                import jax
-
-                logp = jax.nn.log_softmax(probe[i].astype(jnp.float32))
-                self._pend_lp[i] = float(logp[int(self._next_tok[i])])
-                tv, ti = jax.lax.top_k(logp, 5)
-                self._pend_top[i] = list(
-                    zip(np.asarray(ti).tolist(), np.asarray(tv).tolist())
+                outs = sample_rows(
+                    probe[np.asarray(rows)], both[:, 0],
+                    jnp.asarray(self._temps[rows]),
+                    jnp.asarray(self._top_ps[rows]),
+                    return_logprobs=any_lp,
                 )
+                if any_lp:
+                    draw, lp1, top1v, top1i = jax.device_get(outs)
+                else:
+                    draw = np.asarray(outs)
+                    lp1 = top1v = top1i = None
+                kall[rows] = np.asarray(both[:, 1])
             else:
-                self._pend_lp[i] = self._pend_top[i] = None
+                if any_lp:
+                    draw, lp1, top1v, top1i = jax.device_get(sample_rows(
+                        probe[np.asarray(rows)],
+                        jnp.zeros((len(rows), 2), jnp.uint32),
+                        jnp.zeros((len(rows),), jnp.float32),  # greedy rows
+                        jnp.ones((len(rows),), jnp.float32),
+                        return_logprobs=True,
+                    ))
+                else:
+                    draw = np.asarray(jnp.argmax(probe[np.asarray(rows)], -1))
+                    lp1 = top1v = top1i = None
+            for j, i in enumerate(rows):
+                self._next_tok[i] = int(draw[j])
+                if self.slots[i].logprobs and lp1 is not None:
+                    self._pend_lp[i] = float(lp1[j])
+                    self._pend_top[i] = list(
+                        zip(top1i[j].tolist(), top1v[j].tolist())
+                    )
+                else:
+                    self._pend_lp[i] = self._pend_top[i] = None
         for i, pos, t in entries:
             n = len(self.slots[i].prompt_ids)
             done = pos + t >= n
@@ -365,7 +468,11 @@ class ContinuousBatcher:
         """One scheduler tick: admit -> packed budgeted prefill chunks ->
         batched decode segment -> retire. Returns False when nothing is left
         to do."""
+        import os as _os
+        trace = _os.environ.get("XALM_SERVE_TRACE")
+        t0 = time.perf_counter()
         self._admit()
+        t_admit = time.perf_counter()
         prefilling = [
             i for i, s in enumerate(self.slots)
             if s is not None and self._prefill_pos[i] >= 0
@@ -374,6 +481,10 @@ class ContinuousBatcher:
             # one budgeted chunk for every admitting request, packed into a
             # single masked call (decode below still runs)
             self._prefill_tick(prefilling)
+        if trace:
+            t_pf = time.perf_counter()
+            print(f"[tick] admit {1e3*(t_admit-t0):.1f}ms prefill({len(prefilling)}) "
+                  f"{1e3*(t_pf-t_admit):.1f}ms", flush=True)
 
         decoding = [
             i for i, s in enumerate(self.slots)
@@ -398,6 +509,8 @@ class ContinuousBatcher:
             )
 
         b = self.max_batch
+        import os as _os
+        _t_dec0 = time.perf_counter()
         sampling = any(
             self.slots[i].temperature > 0 or self.slots[i].logprobs
             for i in decoding
@@ -417,27 +530,39 @@ class ContinuousBatcher:
                 # temperature 0 through the same scan); the logprobs surface
                 # is gated statically — no vocab-wide softmax unless asked
                 want_lp = any(self.slots[i].logprobs for i in decoding)
+                if self._samp_dev is None:
+                    self._samp_dev = (
+                        jnp.asarray(self._temps), jnp.asarray(self._top_ps)
+                    )
+                keys_dev = (
+                    self._keys_dev if self._keys_dev is not None
+                    else jnp.asarray(self._keys)
+                )
                 outs = self.engine._sample_scan_rows(
                     self.engine.params, self._next_tok.copy(),
-                    self._pos.copy(), self.cache, jnp.asarray(self._keys),
-                    jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                    self._pos.copy(), self.cache, keys_dev,
+                    self._samp_dev[0], self._samp_dev[1],
                     n_steps=self.segment, valid=jnp.asarray(mask),
                     want_lp=want_lp,
                 )
                 if want_lp:
                     out, lps, topv, topi, keys, self.cache = outs
-                    lps, topv, topi = (
-                        np.asarray(lps), np.asarray(topv), np.asarray(topi)
-                    )
+                    # one batched fetch instead of three sequential ~10 ms
+                    # round-trips per tick
+                    lps, topv, topi = jax.device_get((lps, topv, topi))
                 else:
                     out, keys, self.cache = outs
-                self._keys = np.array(keys)  # np.asarray would be read-only
+                self._keys_dev = keys  # stays on device; host syncs lazily
             else:
                 out, self.cache = self.engine.decode_scan(
                     self._next_tok.copy(), self._pos.copy(), self.cache,
                     self.segment, valid=mask,
                 )
             out = np.asarray(out)
+            if _os.environ.get("XALM_SERVE_TRACE"):
+                print(f"[tick] decode seg{self.segment} x{len(decoding)} "
+                      f"{1e3*(time.perf_counter()-_t_dec0):.1f}ms "
+                      f"(sampling={sampling})", flush=True)
 
             def tt(i, j):
                 if topi is None:

@@ -36,10 +36,17 @@ _DONE = object()  # per-request token-queue sentinel
 class XalmServer:
     """Owns the scheduler thread + HTTP server around one engine."""
 
-    def __init__(self, engine, *, max_batch: int = 8, model_name: str = "xalm"):
+    def __init__(self, engine, *, max_batch: int = 8, model_name: str = "xalm",
+                 warmup: bool = True):
         self.engine = engine
         self.model_name = model_name
         self.batcher = ContinuousBatcher(engine, max_batch=max_batch)
+        if warmup and getattr(engine, "_sample_scan_rows", None) is not None:
+            # preload every serving program before accepting traffic — lazy
+            # loads otherwise stall the first requests (batching.warmup)
+            dt = self.batcher.warmup()
+            print(f"server warmup: {dt:.1f}s (all serving programs loaded)",
+                  flush=True)
         self._inbox: queue.Queue = queue.Queue()
         self._cancels: queue.Queue = queue.Queue()
         self._wake = threading.Event()
