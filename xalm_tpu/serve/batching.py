@@ -204,16 +204,18 @@ class ContinuousBatcher:
                 )
                 self.cache = outs[-1]
                 np.asarray(outs[0])
-            # the per-finishing first-token draw + logprob surface run as
-            # eager ops (one tiny program each) — touch them too
+            # the batched first-token pass runs eagerly at the full
+            # padded batch — touch both its variants
             from xalm_tpu.sampler import sample_rows
 
-            np.asarray(sample_rows(
-                probe[:1], keys[:1], jnp.ones((1,), jnp.float32), tps[:1]
-            ))
+            np.asarray(jax.vmap(lambda k: jax.random.split(k, 2))(keys))
+            np.asarray(sample_rows(probe, keys, temps, tps))
             if logprobs:
-                logp = jax.nn.log_softmax(probe[0].astype(jnp.float32))
-                np.asarray(jax.lax.top_k(logp, 5)[0])
+                for o in jax.device_get(
+                    sample_rows(probe, keys, temps, tps, return_logprobs=True)
+                ):
+                    pass
+            np.asarray(jnp.argmax(probe, -1))
         return time.perf_counter() - t0
 
     # ------------------------------------------------------------- lifecycle
@@ -384,23 +386,24 @@ class ContinuousBatcher:
                 print(f"[tick] probe step x{len(finishing)} "
                       f"{1e3*(time.perf_counter()-_t_pr0):.1f}ms", flush=True)
         if finishing:
-            # ONE batched first-token pass for every finishing slot: the
-            # old per-slot loop dispatched 3-5 tiny device ops per request
-            # (~30-60 ms each through a remote-attach link)
+            # ONE batched first-token pass for every finishing slot, PADDED
+            # to the full batch so the shape is static: the old per-slot
+            # loop dispatched 3-5 tiny device ops per request (~30-60 ms
+            # each through a remote-attach link), and a rows-sized batch
+            # would compile/load one program per finishing-count.
             from xalm_tpu.sampler import sample_rows
 
             rows = [i for i, _ in finishing]
             any_sampled = any(self.slots[i].temperature > 0 for i in rows)
             any_lp = any(self.slots[i].logprobs for i in rows)
-            if any_sampled:
+            if any_sampled or any_lp:
                 kall = self._samp_np()
                 both = jax.vmap(lambda k: jax.random.split(k, 2))(
-                    jnp.asarray(kall[rows])
-                )
+                    jnp.asarray(kall)
+                )  # (b, 2, 2); only finishing rows' advances are kept
                 outs = sample_rows(
-                    probe[np.asarray(rows)], both[:, 0],
-                    jnp.asarray(self._temps[rows]),
-                    jnp.asarray(self._top_ps[rows]),
+                    probe, both[:, 0],
+                    jnp.asarray(self._temps), jnp.asarray(self._top_ps),
                     return_logprobs=any_lp,
                 )
                 if any_lp:
@@ -408,25 +411,17 @@ class ContinuousBatcher:
                 else:
                     draw = np.asarray(outs)
                     lp1 = top1v = top1i = None
-                kall[rows] = np.asarray(both[:, 1])
+                adv = np.asarray(both[:, 1])
+                kall[rows] = adv[rows]  # non-finishing keys stay untouched
             else:
-                if any_lp:
-                    draw, lp1, top1v, top1i = jax.device_get(sample_rows(
-                        probe[np.asarray(rows)],
-                        jnp.zeros((len(rows), 2), jnp.uint32),
-                        jnp.zeros((len(rows),), jnp.float32),  # greedy rows
-                        jnp.ones((len(rows),), jnp.float32),
-                        return_logprobs=True,
-                    ))
-                else:
-                    draw = np.asarray(jnp.argmax(probe[np.asarray(rows)], -1))
-                    lp1 = top1v = top1i = None
-            for j, i in enumerate(rows):
-                self._next_tok[i] = int(draw[j])
+                draw = np.asarray(jnp.argmax(probe, -1))
+                lp1 = top1v = top1i = None
+            for i in rows:
+                self._next_tok[i] = int(draw[i])
                 if self.slots[i].logprobs and lp1 is not None:
-                    self._pend_lp[i] = float(lp1[j])
+                    self._pend_lp[i] = float(lp1[i])
                     self._pend_top[i] = list(
-                        zip(top1i[j].tolist(), top1v[j].tolist())
+                        zip(top1i[i].tolist(), top1v[i].tolist())
                     )
                 else:
                     self._pend_lp[i] = self._pend_top[i] = None
