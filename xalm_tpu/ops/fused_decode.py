@@ -60,7 +60,17 @@ from xalm_tpu.ops.pallas_attention import _quant_rows_f32, rope_lane
 
 __all__ = ["fused_decode_step", "fused_step_supported"]
 
-_TILE_A = int(os.environ.get("XALM_MK_TA", 256))  # pool-A tile rows (x N lanes int8 = 1 MiB at 7B)
+_TILE_A = int(os.environ.get("XALM_MK_TA", 0))  # pool-A tile rows; 0 = auto
+
+
+def _tile_a(q4: int) -> int:
+    """Measured per-dtype pool-A tile default: i8 is flat across 128-512
+    (r4 sweep 4) so it keeps 256; the q4 kernel runs +3.7% at 512 — fewer,
+    larger tiles amortize the per-tile nibble unpack better (r5 sweep,
+    166.0 -> 172.1 tok/s, /tmp/sweep_q4_tiles.log). XALM_MK_TA overrides."""
+    if _TILE_A:
+        return _TILE_A
+    return 512 if q4 else 256
 _TILE_B = int(os.environ.get("XALM_MK_TB", 128))  # pool-B (w2) tile rows (x hidden lanes)
 _NBUF_CAP = int(os.environ.get("XALM_MK_NBUF", 8))  # max outstanding tiles per pool
 _B_PIPE = os.environ.get("XALM_MK_BPIPE", "1") != "0"  # cross-layer pool-B prefetch
@@ -1086,7 +1096,7 @@ def fused_step_supported(
     QD = lp.wo.values.shape[2] * (2 if q4 else 1)
     c13 = ffn_chunk(cfg.hidden_dim)
     h2 = 2 * cfg.hidden_dim
-    ta = min(_TILE_A, DQ, N, h2)
+    ta = min(_tile_a(q4), DQ, N, h2)
     if DQ % ta or N % ta or h2 % ta or ta % (2 * c13):
         return False
     # int8 tile second-to-last dims must be 32-row sublane multiples or
@@ -1165,7 +1175,7 @@ def wcls_fold_supported(cfg, params) -> bool:
     if lp.wqkv.q4group:
         N *= 2  # packed body: wqkv lanes are K/2, the head stays i8 at N
     H2 = lp.w13.values.shape[1]
-    ta = min(_TILE_A, DQ, N, H2)
+    ta = min(_tile_a(lp.wqkv.q4group), DQ, N, H2)
     V, n = w.values.shape
     if n != N or V % ta:
         return False
@@ -1224,7 +1234,7 @@ def fused_decode_step(
     c13 = ffn_chunk(cfg.hidden_dim)
     assert DQ == KH * (G + 2) * hd, (DQ, KH, G, hd)
     sb = _pick_div(S, 512)
-    TA = min(_TILE_A, DQ, N, H2)
+    TA = min(_tile_a(q4), DQ, N, H2)
     TB = _pick_div(N, _TILE_B)
     cdtype = cache_k.dtype
     quant = k_scale is not None
