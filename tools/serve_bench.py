@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--prompt", type=int, default=128, help="mean prompt tokens")
     ap.add_argument("--gen", type=int, default=96, help="max new tokens per request")
     ap.add_argument("--kv", default="bf16", choices=["bf16", "i8"])
+    ap.add_argument("--q4", type=int, default=0, metavar="GROUP",
+                    help="serve the packed-4-bit body (group size, e.g. "
+                    "512): the shipped single-stream decode format under "
+                    "the continuous batcher")
     ap.add_argument("--segment", type=int, default=None)
     ap.add_argument("--sampled-frac", type=float, default=0.0,
                     help="fraction of requests using temperature 0.8 + "
@@ -55,10 +59,12 @@ def main() -> int:
 
     cfg = MISTRAL_7B
     print(f"backend: {jax.default_backend()} | building 7B i8 params...", file=sys.stderr, flush=True)
-    params = synthetic_params(cfg, weight_dtype=jnp.int8)
+    params = synthetic_params(
+        cfg, weight_dtype=jnp.int8, q4_group=args.q4,
+    )
     jax.block_until_ready(jax.tree.leaves(params))
     kv = jnp.bfloat16 if args.kv == "bf16" else jnp.int8
-    eng = Engine(cfg, params, None, kv_dtype=kv)
+    eng = Engine(cfg, params, None, kv_dtype=kv, a8_decode=bool(args.q4))
 
     rng = np.random.default_rng(0)
     batcher = ContinuousBatcher(eng, max_batch=args.max_batch, segment=args.segment)
@@ -115,7 +121,8 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": f"mistral7b_serve_tok_s_b{args.max_batch}_kv{args.kv}",
+                "metric": f"mistral7b{'_q4' if args.q4 else ''}_serve_tok_s"
+                f"_b{args.max_batch}_kv{args.kv}",
                 "value": round(gen_tokens / wall, 1),
                 "unit": "tok/s",
                 "vs_baseline": None,
