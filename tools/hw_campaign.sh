@@ -72,7 +72,8 @@ run_step 15 bench_moe_dense 3600 env XALM_NO_MOE_GATHER=1 python bench.py --moe
 run_step 15 bench_moe_q4 3600 python bench.py --moe --dtype q4
 run_step 15 bench_q4_perlayer 3600 env XALM_NO_MEGAKERNEL=1 python bench.py --dtype q4
 run_step 16 bench_long 7200 python bench.py --long
-run_step 16 bench_long_q4 7200 python bench.py --dtype q4 --long
+run_step 16 bench_long_kvi8 7200 python bench.py --kv i8 --long
+run_step 16 bench_long_i8 7200 python bench.py --dtype i8 --long
 run_step 17 aot_v5e 1800 python tools/aot_compile.py --topology v5e:2x4 --tp 4 --preset 7b --kv i8 --matmul pallas
-echo "=== campaign done $(date -u) ==="
 run_step 18 serve_q4 3600 python tools/serve_bench.py --q4 512
+echo "=== campaign done $(date -u) ==="
